@@ -1,0 +1,67 @@
+"""SparkSession construction and per-session tuning.
+
+The driver (and bench.py) may hand us an existing session, so the
+scale-relevant knobs that are runtime-settable are applied by
+``tune()`` rather than builder-time config. Everything here is plain
+public Spark configuration.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs applied to any session we receive. These are
+# the 100TB-posture defaults scaled to local mode: AQE owns runtime
+# shuffle sizing (coalescing + skew splitting), Arrow accelerates any
+# pandas-UDF boundary, and UTC pins timestamp semantics so results are
+# reproducible against the DuckDB oracle and across clusters.
+_RUNTIME_CONFS = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # local-mode friendly broadcast threshold; on a real cluster this
+    # would be raised alongside executor memory.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+}
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable tuning to an existing session (idempotent)."""
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Some confs may be fixed by the hosting driver; never fail
+            # a query because a tuning knob was locked.
+            pass
+    return spark
+
+
+def get_spark(app_name: str = "boat-etl-pyspark-spark",
+              cpus: int | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    """Create (or fetch) a local session sized from the environment.
+
+    ``SPARK_GRAFT_CPUS`` (default 32) controls local parallelism, per
+    the driver contract. Shuffle partitions default to the CPU count —
+    at cluster scale this is owned by AQE + explicit repartitioning,
+    not a magic global.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus, 8)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in _RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
