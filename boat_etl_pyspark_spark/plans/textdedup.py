@@ -1,0 +1,451 @@
+"""Text analysis + deduplication operators over the ``documents`` table.
+
+These are the LLM-training-pipeline operators the reference lacks
+(SURVEY.md §2.9): exact dedup, MinHash-LSH near-dup, n-gram Jaccard
+near-dup, SimHash, token/quality stats, language ID, fingerprints.
+
+Scale design (100 TB posture):
+  * all per-document work is pure column expressions over arrays
+    (split/transform/aggregate/zip_with) — whole-stage codegen, zero
+    shuffle, zero Python;
+  * exact dedup groups on md5(text) — shuffling a 32-byte hash, not
+    document bodies;
+  * MinHash-LSH shuffles only (band_idx, band_key) pairs; candidate
+    verification touches only bucket-collision pairs (classic
+    Broder/LSH banding — b=4 bands × r=3 rows, s-curve threshold
+    ≈ (1/4)^(1/3) ≈ 0.63);
+  * n-gram Jaccard uses a shared-rare-shingle inverted index with a
+    document-frequency cap as its candidate generator (deterministic,
+    skew-proof: hot shingles are dropped by the cap).
+
+Determinism: every hash is md5 (identical in Spark and DuckDB);
+fold orders are explicit sequential aggregates, so doubles are
+bit-reproducible at any parallelism.
+
+Where the logic is expression-dense, the Spark plan is declared via
+``spark.sql`` over a temp view — the SQL is Catalyst-optimized exactly
+like the DataFrame API.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table
+
+
+def _docs_view(spark: SparkSession, sf_dir: str, name: str = "__docs") -> str:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(name)
+    return name
+
+
+# Shared SQL fragments (valid in BOTH Spark SQL and DuckDB unless
+# stated otherwise). Tokens: whitespace split. Shingles: word 3-grams.
+_SPARK_SHINGLES = """
+  SELECT doc_id, lang, source,
+         array_distinct(transform(sequence(1, greatest(size(t) - 2, 1)),
+                        i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))) AS s
+  FROM (SELECT doc_id, lang, source, split(text, ' ') AS t FROM {docs})
+"""
+
+_DUCK_SHINGLES = """
+  SELECT doc_id, lang, source,
+         list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                       i -> concat_ws(' ', t[i], t[i + 1], t[i + 2]))) AS s
+  FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS t FROM documents)
+"""
+
+# ---------------------------------------------------------------------------
+# Exact dedup: group on content hash (hash-groupBy — never shuffle bodies)
+# ---------------------------------------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.md5(F.col("text")).alias("text_md5"), "doc_id")
+        .groupBy("text_md5")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+_DEDUP_EXACT_SQL = """
+SELECT md5(text) AS text_md5,
+       MIN(doc_id) AS keeper_doc_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH near-duplicate pairs (k=12 hashes, b=4 bands × r=3)
+# ---------------------------------------------------------------------------
+
+_MINHASH_SPARK = """
+WITH sh AS ({shingles}),
+sig AS (
+  SELECT doc_id, s,
+         transform(sequence(0, 11),
+                   i -> array_min(transform(s, x -> md5(concat(cast(i AS STRING), ':', x))))) AS mh
+  FROM sh
+),
+bands AS (
+  SELECT doc_id, b.band_idx, b.band_key
+  FROM sig
+  LATERAL VIEW explode(transform(sequence(0, 3),
+      j -> struct(j AS band_idx,
+                  md5(concat_ws(',', slice(mh, j * 3 + 1, 3))) AS band_key))) t AS b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(size(array_intersect(x.s, y.s)) AS DOUBLE)
+         / (size(x.s) + size(y.s) - size(array_intersect(x.s, y.s))) AS jaccard
+FROM cand c
+JOIN sh x ON x.doc_id = c.doc_a
+JOIN sh y ON y.doc_id = c.doc_b
+WHERE CAST(size(array_intersect(x.s, y.s)) AS DOUBLE)
+        / (size(x.s) + size(y.s) - size(array_intersect(x.s, y.s))) >= 0.6
+"""
+
+_MINHASH_DUCK = """
+WITH sh AS ({shingles}),
+sig AS (
+  SELECT doc_id, s,
+         list_transform(range(0, 12),
+                        i -> list_min(list_transform(s, x -> md5(CAST(i AS VARCHAR) || ':' || x)))) AS mh
+  FROM sh
+),
+bands AS (
+  SELECT doc_id, j AS band_idx,
+         md5(concat_ws(',', mh[j * 3 + 1], mh[j * 3 + 2], mh[j * 3 + 3])) AS band_key
+  FROM sig, range(0, 4) r(j)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+         / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) AS jaccard
+FROM cand c
+JOIN sh x ON x.doc_id = c.doc_a
+JOIN sh y ON y.doc_id = c.doc_b
+WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+        / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) >= 0.6
+"""
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_view(spark, sf_dir, "__docs_mh")
+    return spark.sql(
+        _MINHASH_SPARK.format(shingles=_SPARK_SHINGLES.format(docs=docs))
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard near-dup via shared-5-gram inverted index (df cap = 20)
+# ---------------------------------------------------------------------------
+
+_NGRAM_SPARK = """
+WITH sh AS ({shingles}),
+g5 AS (
+  SELECT doc_id,
+         array_distinct(transform(sequence(1, greatest(size(t) - 4, 1)),
+             i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1), element_at(t, i + 2),
+                                 element_at(t, i + 3), element_at(t, i + 4)))) AS s5
+  FROM (SELECT doc_id, split(text, ' ') AS t FROM {docs})
+),
+inv AS (
+  SELECT g.doc_id, gram
+  FROM g5 g LATERAL VIEW explode(g.s5) e AS gram
+),
+rare AS (
+  SELECT gram FROM inv GROUP BY gram HAVING COUNT(*) <= 20
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM inv a
+  JOIN rare r ON a.gram = r.gram
+  JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(size(array_intersect(x.s, y.s)) AS DOUBLE)
+         / (size(x.s) + size(y.s) - size(array_intersect(x.s, y.s))) AS jaccard
+FROM cand c
+JOIN sh x ON x.doc_id = c.doc_a
+JOIN sh y ON y.doc_id = c.doc_b
+WHERE CAST(size(array_intersect(x.s, y.s)) AS DOUBLE)
+        / (size(x.s) + size(y.s) - size(array_intersect(x.s, y.s))) >= 0.5
+"""
+
+_NGRAM_DUCK = """
+WITH sh AS ({shingles}),
+g5 AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(t) - 4, 1) + 1),
+             i -> concat_ws(' ', t[i], t[i + 1], t[i + 2], t[i + 3], t[i + 4]))) AS s5
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+),
+inv AS (SELECT doc_id, unnest(s5) AS gram FROM g5),
+rare AS (SELECT gram FROM inv GROUP BY gram HAVING COUNT(*) <= 20),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM inv a
+  JOIN rare r ON a.gram = r.gram
+  JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+         / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) AS jaccard
+FROM cand c
+JOIN sh x ON x.doc_id = c.doc_a
+JOIN sh y ON y.doc_id = c.doc_b
+WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+        / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) >= 0.5
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_view(spark, sf_dir, "__docs_ng")
+    return spark.sql(
+        _NGRAM_SPARK.format(shingles=_SPARK_SHINGLES.format(docs=docs), docs=docs)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash: 64-bit signature, computed shuffle-free per document
+# ---------------------------------------------------------------------------
+
+_SIMHASH_SPARK = """
+WITH h AS (
+  SELECT doc_id,
+         transform(array_distinct(split(text, ' ')), t -> substring(md5(t), 1, 16)) AS hs
+  FROM {docs}
+),
+b AS (
+  SELECT doc_id,
+         aggregate(
+           hs,
+           transform(sequence(0, 63), p -> CAST(0 AS BIGINT)),
+           (acc, hh) -> zip_with(
+             acc,
+             transform(sequence(0, 63),
+               p -> CAST(2 * (((instr('0123456789abcdef', substring(hh, CAST(p DIV 4 AS INT) + 1, 1)) - 1)
+                               DIV element_at(array(8, 4, 2, 1), CAST(p % 4 AS INT) + 1)) % 2) - 1 AS BIGINT)),
+             (x, y) -> x + y)
+         ) AS sums
+  FROM h
+)
+SELECT doc_id,
+       concat_ws('', transform(sums, v -> CASE WHEN v > 0 THEN '1' ELSE '0' END)) AS simhash,
+       CAST(size(filter(sums, v -> v > 0)) AS BIGINT) AS nbits_set
+FROM b
+"""
+
+_SIMHASH_DUCK = """
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t FROM documents
+),
+th AS (SELECT doc_id, substring(md5(t), 1, 16) AS h FROM tok),
+bit AS (
+  SELECT doc_id, p,
+         2 * (((instr('0123456789abcdef', substring(h, p // 4 + 1, 1)) - 1)
+               // ([8, 4, 2, 1])[p % 4 + 1]) % 2) - 1 AS c
+  FROM th, range(0, 64) r(p)
+),
+s AS (SELECT doc_id, p, SUM(c) AS v FROM bit GROUP BY doc_id, p)
+SELECT doc_id,
+       string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS simhash,
+       COUNT(*) FILTER (WHERE v > 0) AS nbits_set
+FROM s
+GROUP BY doc_id
+"""
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_view(spark, sf_dir, "__docs_sh")
+    return spark.sql(_SIMHASH_SPARK.format(docs=docs))
+
+
+# ---------------------------------------------------------------------------
+# Token statistics (whitespace tokens + BPE-ish regex word count)
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+_TOKSTATS_SPARK = f"""
+SELECT doc_id, lang, source,
+       CAST(size(t) AS BIGINT) AS n_tokens,
+       CAST(size(array_distinct(t)) AS BIGINT) AS n_unique,
+       CAST(size(regexp_extract_all(text, '{_TOKEN_RE}', 0)) AS BIGINT) AS n_bpeish,
+       CAST(aggregate(t, 0L, (acc, x) -> acc + length(x)) AS BIGINT) AS token_chars,
+       CAST(aggregate(t, 0L, (acc, x) -> acc + length(x)) AS DOUBLE) / greatest(size(t), 1) AS avg_token_len
+FROM (SELECT doc_id, lang, source, text, split(text, ' ') AS t FROM {{docs}})
+"""
+
+_TOKSTATS_DUCK = f"""
+SELECT doc_id, lang, source,
+       len(t) AS n_tokens,
+       len(list_distinct(t)) AS n_unique,
+       len(regexp_extract_all(text, '{_TOKEN_RE}')) AS n_bpeish,
+       CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT) AS token_chars,
+       CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / greatest(len(t), 1) AS avg_token_len
+FROM (SELECT doc_id, lang, source, text, string_split(text, ' ') AS t FROM documents)
+"""
+
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_view(spark, sf_dir, "__docs_ts")
+    return spark.sql(_TOKSTATS_SPARK.format(docs=docs))
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring: length / stopword / uniqueness signals
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = "('the', 'a', 'of', 'and', 'is', 'to', 'in')"
+
+_QUALITY_SPARK = f"""
+SELECT doc_id,
+       CAST(size(t) AS BIGINT) AS n_tokens,
+       CAST(size(array_distinct(t)) AS DOUBLE) / greatest(size(t), 1) AS unique_ratio,
+       CAST(size(filter(t, x -> x IN {_STOPWORDS})) AS DOUBLE) / greatest(size(t), 1) AS stop_ratio,
+       0.4 * least(CAST(size(t) AS DOUBLE) / 100.0, 1.0)
+         + 0.3 * (1.0 - CAST(size(filter(t, x -> x IN {_STOPWORDS})) AS DOUBLE) / greatest(size(t), 1))
+         + 0.3 * (CAST(size(array_distinct(t)) AS DOUBLE) / greatest(size(t), 1)) AS quality
+FROM (SELECT doc_id, split(text, ' ') AS t FROM {{docs}})
+"""
+
+_QUALITY_DUCK = f"""
+SELECT doc_id,
+       len(t) AS n_tokens,
+       CAST(len(list_distinct(t)) AS DOUBLE) / greatest(len(t), 1) AS unique_ratio,
+       CAST(len(list_filter(t, x -> x IN {_STOPWORDS})) AS DOUBLE) / greatest(len(t), 1) AS stop_ratio,
+       0.4 * least(CAST(len(t) AS DOUBLE) / 100.0, 1.0)
+         + 0.3 * (1.0 - CAST(len(list_filter(t, x -> x IN {_STOPWORDS})) AS DOUBLE) / greatest(len(t), 1))
+         + 0.3 * (CAST(len(list_distinct(t)) AS DOUBLE) / greatest(len(t), 1)) AS quality
+FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+"""
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_view(spark, sf_dir, "__docs_q")
+    return spark.sql(_QUALITY_SPARK.format(docs=docs))
+
+
+# ---------------------------------------------------------------------------
+# Language ID: marker-stopword + CJK-codepoint heuristic, then a
+# confusion matrix against the labeled lang column
+# ---------------------------------------------------------------------------
+
+_LANGID_CASE = """
+  CASE WHEN n_cjk > 0 THEN 'zh'
+       WHEN greatest(c_en, c_de, c_fr, c_es) = 0 THEN 'und'
+       WHEN c_en >= greatest(c_de, c_fr, c_es) THEN 'en'
+       WHEN c_de >= greatest(c_fr, c_es) THEN 'de'
+       WHEN c_fr >= c_es THEN 'fr'
+       ELSE 'es' END
+"""
+
+_LANGID_SPARK = f"""
+WITH f AS (
+  SELECT doc_id, lang,
+         CAST(size(filter(t, x -> x IN ('the', 'a', 'of', 'and', 'is'))) AS BIGINT) AS c_en,
+         CAST(size(filter(t, x -> x IN ('der', 'die', 'das', 'und', 'ist'))) AS BIGINT) AS c_de,
+         CAST(size(filter(t, x -> x IN ('le', 'la', 'les', 'et', 'est'))) AS BIGINT) AS c_fr,
+         CAST(size(filter(t, x -> x IN ('el', 'los', 'las', 'y', 'es'))) AS BIGINT) AS c_es,
+         CAST(size(regexp_extract_all(text, '[\\\\x{{{{4e00}}}}-\\\\x{{{{9fff}}}}]', 0)) AS BIGINT) AS n_cjk
+  FROM (SELECT doc_id, lang, text, split(text, ' ') AS t FROM {{docs}})
+)
+SELECT lang, {_LANGID_CASE} AS pred_lang, COUNT(*) AS n_docs
+FROM f
+GROUP BY lang, {_LANGID_CASE}
+"""
+
+_LANGID_DUCK = f"""
+WITH f AS (
+  SELECT doc_id, lang,
+         len(list_filter(t, x -> x IN ('the', 'a', 'of', 'and', 'is'))) AS c_en,
+         len(list_filter(t, x -> x IN ('der', 'die', 'das', 'und', 'ist'))) AS c_de,
+         len(list_filter(t, x -> x IN ('le', 'la', 'les', 'et', 'est'))) AS c_fr,
+         len(list_filter(t, x -> x IN ('el', 'los', 'las', 'y', 'es'))) AS c_es,
+         len(regexp_extract_all(text, '[\\x{{4e00}}-\\x{{9fff}}]')) AS n_cjk
+  FROM (SELECT doc_id, lang, text, string_split(text, ' ') AS t FROM documents)
+)
+SELECT lang, {_LANGID_CASE} AS pred_lang, COUNT(*) AS n_docs
+FROM f
+GROUP BY lang, {_LANGID_CASE}
+"""
+
+
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_view(spark, sf_dir, "__docs_li")
+    return spark.sql(_LANGID_SPARK.format(docs=docs))
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprints: content md5, k-min shingle sketch, rolling hash
+# ---------------------------------------------------------------------------
+
+_FP_SPARK = """
+WITH sh AS ({shingles})
+SELECT d.doc_id,
+       md5(trim(regexp_replace(lower(d.text), ' +', ' '))) AS fp_md5,
+       md5(concat_ws(',', slice(array_sort(transform(sh.s, x -> md5(x))), 1, 3))) AS fp_kmin,
+       aggregate(split(d.text, ''), CAST(0 AS BIGINT),
+                 (acc, c) -> (acc * 31 + ascii(c)) % 1000000007) AS fp_roll
+FROM {docs} d JOIN sh ON sh.doc_id = d.doc_id
+"""
+
+_FP_DUCK = """
+WITH sh AS ({shingles})
+SELECT d.doc_id,
+       md5(trim(regexp_replace(lower(d.text), ' +', ' ', 'g'))) AS fp_md5,
+       md5(concat_ws(',',
+           list_sort(list_transform(sh.s, x -> md5(x)))[1],
+           list_sort(list_transform(sh.s, x -> md5(x)))[2],
+           list_sort(list_transform(sh.s, x -> md5(x)))[3])) AS fp_kmin,
+       list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(d.text, ''), c -> CAST(ord(c) AS BIGINT))),
+                   (acc, c) -> (acc * 31 + c) % 1000000007) AS fp_roll
+FROM documents d JOIN sh ON sh.doc_id = d.doc_id
+"""
+
+
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_view(spark, sf_dir, "__docs_fp")
+    return spark.sql(
+        _FP_SPARK.format(shingles=_SPARK_SHINGLES.format(docs=docs), docs=docs)
+    )
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_simhash": dedup_simhash,
+    "text_token_stats": text_token_stats,
+    "text_quality_score": text_quality_score,
+    "text_language_id": text_language_id,
+    "text_fingerprints": text_fingerprints,
+}
+
+ORACLE = {
+    "dedup_exact": _DEDUP_EXACT_SQL,
+    "dedup_minhash_lsh": _MINHASH_DUCK.format(shingles=_DUCK_SHINGLES),
+    "dedup_ngram_jaccard": _NGRAM_DUCK.format(shingles=_DUCK_SHINGLES),
+    "dedup_simhash": _SIMHASH_DUCK,
+    "text_token_stats": _TOKSTATS_DUCK,
+    "text_quality_score": _QUALITY_DUCK,
+    "text_language_id": _LANGID_DUCK,
+    "text_fingerprints": _FP_DUCK.format(shingles=_DUCK_SHINGLES),
+}

@@ -19,6 +19,9 @@ from pyspark.sql import SparkSession
 # reproducible against the DuckDB oracle and across clusters.
 _RUNTIME_CONFS = {
     "spark.sql.session.timeZone": "UTC",
+    # permissive semantics to match the DuckDB oracle: out-of-range
+    # element_at -> NULL, silent casts (Spark 4 defaults ANSI on)
+    "spark.sql.ansi.enabled": "false",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
