@@ -18,10 +18,15 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from boat_etl_pyspark_spark.plans import collect_registries
-from boat_etl_pyspark_spark.plans import relational, similarity, textdedup
+from boat_etl_pyspark_spark.plans import (
+    relational,
+    similarity,
+    streaming_plans,
+    textdedup,
+)
 from boat_etl_pyspark_spark.session import tune
 
-_PLAN_MODULES = (relational, textdedup, similarity)
+_PLAN_MODULES = (relational, textdedup, similarity, streaming_plans)
 
 _QUERIES, _ORACLE = collect_registries(*_PLAN_MODULES)
 

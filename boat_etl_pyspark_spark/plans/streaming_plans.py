@@ -1,0 +1,142 @@
+"""Oracle-checked streaming queries (SURVEY.md §2.9 'streaming').
+
+Each query executes a genuine Structured Streaming job (watermark +
+event-time window over a file-source stream, availableNow trigger,
+memory sink) and returns the final table; the DuckDB oracle computes
+the batch-equivalent answer with epoch bucketing / gap sessionization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import cents
+from ..streaming.events import read_events_stream, run_stream_to_memory
+
+_GAP_US = 30 * 60 * 1_000_000  # 30-minute session gap
+
+
+def stream_tumbling_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, sf_dir)
+    win = (
+        ev.withWatermark("ev_time", "1 hour")
+        .groupBy(F.window("ev_time", "6 hours").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum(cents(F.col("value"))) / 100.0).alias("value_sum"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("ws_us"),
+            F.unix_micros(F.col("w.end")).alias("we_us"),
+            "event_type",
+            "n_events",
+            "value_sum",
+        )
+    )
+    return run_stream_to_memory(win, "complete")
+
+
+_TUMBLING_SQL = """
+SELECT
+  (epoch_us(ts) // 21600000000) * 21600000000 AS ws_us,
+  ((epoch_us(ts) // 21600000000) + 1) * 21600000000 AS we_us,
+  event_type,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS value_sum
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+def stream_sliding_6h_3h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, sf_dir)
+    win = (
+        ev.withWatermark("ev_time", "1 hour")
+        .groupBy(F.window("ev_time", "6 hours", "3 hours").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            # exact distinct aggregation is not allowed on streams;
+            # value sum keeps the query deterministic instead
+            (F.sum(cents(F.col("value"))) / 100.0).alias("value_sum"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("ws_us"),
+            F.unix_micros(F.col("w.end")).alias("we_us"),
+            "n_events",
+            "value_sum",
+        )
+    )
+    return run_stream_to_memory(win, "complete")
+
+
+# each event lands in the two overlapping 6h windows whose start is
+# aligned to a 3h slide boundary
+_SLIDING_SQL = """
+WITH hit AS (
+  SELECT e.*, ((epoch_us(ts) // 10800000000) - k) * 10800000000 AS ws_us
+  FROM events e, range(0, 2) r(k)
+  WHERE epoch_us(ts) >= ((epoch_us(ts) // 10800000000) - k) * 10800000000
+    AND epoch_us(ts) <  ((epoch_us(ts) // 10800000000) - k) * 10800000000 + 21600000000
+)
+SELECT ws_us, ws_us + 21600000000 AS we_us,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS value_sum
+FROM hit
+GROUP BY ws_us
+"""
+
+
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, sf_dir)
+    win = (
+        ev.withWatermark("ev_time", "1 hour")
+        .groupBy(F.session_window("ev_time", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum(cents(F.col("value"))) / 100.0).alias("value_sum"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "n_events",
+            "value_sum",
+        )
+    )
+    return run_stream_to_memory(win, "complete")
+
+
+_SESSION_SQL = f"""
+WITH e AS (SELECT user_id, epoch_us(ts) AS tu, value FROM events),
+m AS (
+  SELECT *, CASE WHEN tu - LAG(tu) OVER (PARTITION BY user_id ORDER BY tu)
+                      >= {_GAP_US} THEN 1 ELSE 0 END AS new_s
+  FROM e
+),
+s AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY tu
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM m
+)
+SELECT user_id,
+       MIN(tu) AS session_start_us,
+       MAX(tu) + {_GAP_US} AS session_end_us,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS value_sum
+FROM s
+GROUP BY user_id, sid
+"""
+
+
+QUERIES = {
+    "stream_tumbling_6h": stream_tumbling_6h,
+    "stream_sliding_6h_3h": stream_sliding_6h_3h,
+    "stream_session_windows": stream_session_windows,
+}
+
+ORACLE = {
+    "stream_tumbling_6h": _TUMBLING_SQL,
+    "stream_sliding_6h_3h": _SLIDING_SQL,
+    "stream_session_windows": _SESSION_SQL,
+}

@@ -29,6 +29,11 @@ _RUNTIME_CONFS = {
     # local-mode friendly broadcast threshold; on a real cluster this
     # would be raised alongside executor memory.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # stateful streaming can't use AQE, so the state-store partition
+    # count IS this setting; batch queries are unaffected because AQE
+    # re-coalesces. Sized for local mode — a cluster deployment scales
+    # it with executor count.
+    "spark.sql.shuffle.partitions": "32",
 }
 
 

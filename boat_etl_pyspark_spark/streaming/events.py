@@ -1,0 +1,110 @@
+"""Structured Streaming over the ``events`` fixture.
+
+The fixture is a static parquet file, but the queries here run as
+REAL streaming jobs: file-source ``readStream`` → event-time
+transformations (watermark + tumbling/sliding/session windows) →
+``writeStream`` with an ``availableNow`` trigger into a memory sink.
+``availableNow`` processes the backlog as a finite set of micro-
+batches and stops — so a query over the fixture terminates and the
+memory table holds the final result, which the DuckDB oracle checks
+against a pure-batch sessionization/bucketing computation.
+
+At production scale the same plans run unmodified on an unbounded
+source (Kafka / file arrival): the watermark bounds state, session
+state is merge-on-event, and aggregation state is partitioned by
+group key across executors.
+
+Aggregations use ``complete`` output mode so the memory table equals
+the batch answer; append-mode watermark semantics (late-data drop,
+held-back tail windows) are exercised separately in tests.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import itertools
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# events.parquet physical schema: ts is parquet TIMESTAMP(NANOS) which
+# Spark reads as long under nanosAsLong (see sources.readers).
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+_SINK_IDS = itertools.count()
+
+
+def _stream_dir_for(sf_dir: str) -> str:
+    """The file stream source wants a directory of files; the fixture
+    is a single parquet file. Expose it through a symlink in a stable
+    temp directory (real deployments stream an arrival directory or
+    Kafka — this shim exists only for the single-file fixture)."""
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    d = os.path.join(tempfile.gettempdir(), f"spark_graft_stream_{key}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    src = os.path.join(sf_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    return d
+
+
+def read_events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    dir_override: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream of events with a proper event-time column.
+
+    ``dir_override`` streams an arbitrary directory of event files
+    (used by the watermark tests to feed files in event-time order);
+    ``max_files_per_trigger`` bounds each micro-batch so the watermark
+    advances between batches.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.parquet(dir_override or _stream_dir_for(sf_dir))
+    return raw.withColumn("ev_time", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def run_stream_to_memory(
+    result: DataFrame, output_mode: str = "complete", timeout_sec: int = 300
+) -> DataFrame:
+    """Run a finite (availableNow) streaming query into a memory sink
+    and return the final table as a batch DataFrame."""
+    name = f"__stream_sink_{next(_SINK_IDS)}"
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:
+            q.stop()
+    return result.sparkSession.table(name)
