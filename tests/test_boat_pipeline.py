@@ -1,0 +1,101 @@
+"""Reference parity: run the Spark-native boat pipeline on the
+reference's real input CSV and compare against its committed golden
+outputs (SURVEY.md §5 + appendix quirks checklist)."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import pandas as pd
+import pytest
+
+REF = "/root/reference"
+INPUT = f"{REF}/data/boat_data.csv"
+GOLDEN_SUMMARY = f"{REF}/output/data_summary.csv"
+GOLDEN_PARQUET = f"{REF}/output/data.parquet"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(INPUT), reason="reference data not present"
+)
+
+
+@pytest.fixture(scope="module")
+def pipeline_output(spark, tmp_path_factory):
+    from boat_etl_pyspark_spark.pipeline.boat import run_pipeline, summarize
+
+    out = tmp_path_factory.mktemp("boat_out")
+    parquet = str(out / "data.parquet")
+    summary = str(out / "data_summary.csv")
+    df = run_pipeline(spark, INPUT, parquet, summary, current_year=2025)
+    return df, parquet, summary
+
+
+def test_row_count_and_schema(pipeline_output, spark):
+    df, parquet, _ = pipeline_output
+    golden = spark.read.parquet(GOLDEN_PARQUET)
+    mine = spark.read.parquet(parquet)
+    assert mine.count() == golden.count() == 9888
+    assert [f.name for f in mine.schema.fields] == [
+        f.name for f in golden.schema.fields
+    ]
+
+
+def test_full_parquet_parity(pipeline_output, spark):
+    """Row-for-row equality with the golden parquet (order-insensitive),
+    with float columns compared exactly — the cleaning and transforms
+    are deterministic, so values must match bit-for-bit."""
+    _, parquet, _ = pipeline_output
+    golden = spark.read.parquet(GOLDEN_PARQUET).toPandas()
+    mine = spark.read.parquet(parquet).toPandas()
+    key_cols = list(golden.columns)
+    g = golden.sort_values(key_cols, na_position="last").reset_index(drop=True)
+    m = mine[key_cols].sort_values(key_cols, na_position="last").reset_index(drop=True)
+    for col in key_cols:
+        gv, mv = g[col].tolist(), m[col].tolist()
+        bad = []
+        for i, (a, b) in enumerate(zip(gv, mv)):
+            if isinstance(a, float) or isinstance(b, float):
+                af, bf = float(a), float(b)
+                ok = (math.isnan(af) and math.isnan(bf)) or af == bf
+            else:
+                ok = (pd.isna(a) and pd.isna(b)) or a == b
+            if not ok:
+                bad.append((i, a, b))
+        assert not bad, f"column {col}: {len(bad)} diffs, first {bad[0]}"
+
+
+def test_summary_parity(pipeline_output):
+    _, _, summary = pipeline_output
+    golden = pd.read_csv(GOLDEN_SUMMARY)
+    mine = pd.read_csv(summary)
+    assert len(mine) == len(golden) == 50
+    # country order identical (avg_price desc, no ties in data)
+    assert mine["country"].tolist() == golden["country"].tolist()
+    assert mine["count"].tolist() == golden["count"].tolist()
+    # float sums depend on partial-aggregation order; golden was written
+    # by a different partitioning, so compare to 1e-9 relative
+    for a, b in zip(mine["avg_price"], golden["avg_price"]):
+        assert abs(a - b) <= 1e-9 * max(abs(a), abs(b)), (a, b)
+
+
+def test_golden_quirks(pipeline_output, spark):
+    """SURVEY appendix: the quirky semantics that prove we reproduced
+    the reference's behavior rather than a sanitized version."""
+    df, _, _ = pipeline_output
+    from pyspark.sql import functions as F
+
+    # 551 unknown years -> sentinel 1875 (= min-nonzero 1885 - 10)
+    assert df.where(F.col("`Year Built`") == 1875).count() == 551
+    # currency domain after mojibake cleanup
+    cur = {r["Currency"]: r["n"] for r in
+           df.groupBy("Currency").agg(F.count("*").alias("n")).collect()}
+    assert cur == {"EUR": 8430, "CHF": 980, "GBP": 298, "DKK": 180}
+    # City keeps exactly one leading space when Location had 2 levels
+    assert df.where(F.col("City").startswith(" ")).count() > 0
+    # unmapped lowercase countries pass through the recode
+    countries = {r["country"] for r in df.select("country").distinct().collect()}
+    assert {"belgium", "croatia (hrvatska)", "russian federation",
+            "slovak republic"} <= countries
+    # bare-fuel rows: fuel lands in Type, Power = None
+    assert df.where((F.col("Type") == "Diesel") & (F.col("Power") == "None")).count() > 0
