@@ -85,47 +85,55 @@ GROUP BY md5(text)
 # MinHash-LSH near-duplicate pairs (k=12 hashes, b=4 bands × r=3)
 # ---------------------------------------------------------------------------
 
-_MINHASH_SPARK = """
-WITH sh AS ({shingles}),
+# One md5 per shingle, then k affine permutations over GF(2^31-1):
+# h_i(x) = (A[i] * (h0(x) mod p) + B[i]) mod p. ~10x cheaper than k
+# salted md5s and still oracle-reproducible (hex->int parses
+# identically in Spark's conv() and DuckDB's 0x-cast).
+_MH_A = [7, 13, 31, 61, 127, 251, 509, 1021, 2039, 4093, 8191, 16381]
+_MH_B = [3, 17, 29, 47, 71, 97, 113, 131, 149, 167, 181, 199]
+_MH_P = 2147483647
+
+_MINHASH_BANDS_SPARK = f"""
+WITH hashed AS (
+  SELECT doc_id,
+         transform(s, x -> CAST(conv(substring(md5(x), 1, 15), 16, 10) AS BIGINT) % {_MH_P}) AS h0
+  FROM {{sh}}
+),
 sig AS (
-  SELECT doc_id, s,
+  SELECT doc_id,
          transform(sequence(0, 11),
-                   i -> array_min(transform(s, x -> md5(concat(cast(i AS STRING), ':', x))))) AS mh
-  FROM sh
-),
-bands AS (
-  SELECT doc_id, b.band_idx, b.band_key
-  FROM sig
-  LATERAL VIEW explode(transform(sequence(0, 3),
-      j -> struct(j AS band_idx,
-                  md5(concat_ws(',', slice(mh, j * 3 + 1, 3))) AS band_key))) t AS b
-),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
-    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+                   i -> array_min(transform(h0,
+                        h -> (element_at(array({", ".join(map(str, _MH_A))}), CAST(i AS INT) + 1) * h
+                              + element_at(array({", ".join(map(str, _MH_B))}), CAST(i AS INT) + 1)) % {_MH_P}))) AS mh
+  FROM hashed
 )
-SELECT c.doc_a, c.doc_b,
-       CAST(size(array_intersect(x.s, y.s)) AS DOUBLE)
-         / (size(x.s) + size(y.s) - size(array_intersect(x.s, y.s))) AS jaccard
-FROM cand c
-JOIN sh x ON x.doc_id = c.doc_a
-JOIN sh y ON y.doc_id = c.doc_b
-WHERE CAST(size(array_intersect(x.s, y.s)) AS DOUBLE)
-        / (size(x.s) + size(y.s) - size(array_intersect(x.s, y.s))) >= 0.6
+SELECT doc_id, b.band_idx, b.band_key
+FROM sig
+LATERAL VIEW explode(transform(sequence(0, 3),
+    j -> struct(j AS band_idx,
+                md5(concat_ws(',', transform(slice(mh, j * 3 + 1, 3),
+                                             v -> CAST(v AS STRING)))) AS band_key))) t AS b
 """
 
-_MINHASH_DUCK = """
-WITH sh AS ({shingles}),
+_MINHASH_DUCK = f"""
+WITH sh AS ({{shingles}}),
+hashed AS (
+  SELECT doc_id, s,
+         list_transform(s, x -> CAST(concat('0x', substring(md5(x), 1, 15)) AS BIGINT) % {_MH_P}) AS h0
+  FROM sh
+),
 sig AS (
   SELECT doc_id, s,
          list_transform(range(0, 12),
-                        i -> list_min(list_transform(s, x -> md5(CAST(i AS VARCHAR) || ':' || x)))) AS mh
-  FROM sh
+                        i -> list_min(list_transform(h0,
+                             h -> (([{", ".join(map(str, _MH_A))}])[i + 1] * h
+                                   + ([{", ".join(map(str, _MH_B))}])[i + 1]) % {_MH_P}))) AS mh
+  FROM hashed
 ),
 bands AS (
   SELECT doc_id, j AS band_idx,
-         md5(concat_ws(',', mh[j * 3 + 1], mh[j * 3 + 2], mh[j * 3 + 3])) AS band_key
+         md5(concat_ws(',', CAST(mh[j * 3 + 1] AS VARCHAR), CAST(mh[j * 3 + 2] AS VARCHAR),
+                            CAST(mh[j * 3 + 3] AS VARCHAR))) AS band_key
   FROM sig, range(0, 4) r(j)
 ),
 cand AS (
@@ -145,9 +153,40 @@ WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle -> signature -> band buckets -> candidate pairs ->
+    exact-Jaccard verify.
+
+    The shingle sets and band table each feed two join sides; they are
+    persisted so the (HOF-interpreted, non-codegen) signature pipeline
+    runs once, not four times — at corpus scale recomputing signatures
+    per join side is the difference between one pass and four.
+    """
     docs = _docs_view(spark, sf_dir, "__docs_mh")
-    return spark.sql(
-        _MINHASH_SPARK.format(shingles=_SPARK_SHINGLES.format(docs=docs))
+    sh = spark.sql(_SPARK_SHINGLES.format(docs=docs)).persist()
+    sh.createOrReplaceTempView("__mh_sh")
+    bands_sql = _MINHASH_BANDS_SPARK.format(sh="__mh_sh")
+    bands = spark.sql(bands_sql).persist()
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    x = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    y = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    jac = inter.cast("double") / (F.size("sa") + F.size("sb") - inter)
+    return (
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
+        .withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= 0.6)
+        .select("doc_a", "doc_b", "jaccard")
     )
 
 
