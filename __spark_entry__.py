@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from boat_etl_pyspark_spark.plans import collect_registries
 from boat_etl_pyspark_spark.plans import (
+    multimodal_plans,
     relational,
     similarity,
     streaming_plans,
@@ -26,7 +27,7 @@ from boat_etl_pyspark_spark.plans import (
 )
 from boat_etl_pyspark_spark.session import tune
 
-_PLAN_MODULES = (relational, textdedup, similarity, streaming_plans)
+_PLAN_MODULES = (relational, textdedup, similarity, streaming_plans, multimodal_plans)
 
 _QUERIES, _ORACLE = collect_registries(*_PLAN_MODULES)
 

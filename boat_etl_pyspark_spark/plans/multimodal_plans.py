@@ -1,0 +1,86 @@
+"""Oracle-checked queries for the multimodal binary operators.
+
+The payloads are UTF-8 bytes of ``documents.text`` (stand-in for real
+image/audio columns); the DuckDB oracle reproduces the byte math via
+``hex(encode(text))`` so the checks hold for any byte content.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.multimodal import (
+    attach_binary,
+    binary_metadata,
+    decode_features,
+    frame_sample,
+)
+from ..sources.readers import load_table
+
+
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return binary_metadata(attach_binary(docs))
+
+
+_META_SQL = """
+WITH b AS (
+  SELECT doc_id, octet_length(encode(text)) AS byte_len, hex(encode(text)) AS hx
+  FROM documents
+)
+SELECT doc_id, byte_len,
+       (['image', 'audio', 'video', 'blob'])[byte_len % 4 + 1] AS kind,
+       list_sum(list_transform(range(0, byte_len),
+                i -> CAST(concat('0x', substring(hx, i * 2 + 1, 2)) AS BIGINT)))
+         % 1000003 AS checksum
+FROM b
+"""
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return frame_sample(attach_binary(docs), chunk=1024, stride=2)
+
+
+_FRAME_SQL = """
+WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+f AS (
+  SELECT doc_id, n,
+         unnest(range(0, CAST((n + 1023) // 1024 AS BIGINT), 2)) AS frame_idx
+  FROM b
+)
+SELECT doc_id, frame_idx,
+       least(1024, n - frame_idx * 1024) AS frame_len
+FROM f
+"""
+
+
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    feats = decode_features(attach_binary(docs), dim=8)
+    return feats.select(
+        "doc_id", F.posexplode("feature").alias("j", "value")
+    )
+
+
+_FEATURES_SQL = """
+WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+SELECT doc_id,
+       CAST(unnest(range(0, 8)) AS INT) AS j,
+       CAST((n * (unnest(range(0, 8)) + 1)) % 997 AS DOUBLE) AS value
+FROM b
+"""
+
+
+QUERIES = {
+    "multimodal_binary_meta": multimodal_binary_meta,
+    "multimodal_frame_sample": multimodal_frame_sample,
+    "multimodal_decode_features": multimodal_decode_features,
+}
+
+ORACLE = {
+    "multimodal_binary_meta": _META_SQL,
+    "multimodal_frame_sample": _FRAME_SQL,
+    "multimodal_decode_features": _FEATURES_SQL,
+}
