@@ -21,13 +21,21 @@ from boat_etl_pyspark_spark.plans import collect_registries
 from boat_etl_pyspark_spark.plans import (
     multimodal_plans,
     relational,
+    relational2,
     similarity,
     streaming_plans,
     textdedup,
 )
 from boat_etl_pyspark_spark.session import tune
 
-_PLAN_MODULES = (relational, textdedup, similarity, streaming_plans, multimodal_plans)
+_PLAN_MODULES = (
+    relational,
+    relational2,
+    textdedup,
+    similarity,
+    streaming_plans,
+    multimodal_plans,
+)
 
 _QUERIES, _ORACLE = collect_registries(*_PLAN_MODULES)
 

@@ -1,0 +1,261 @@
+"""Second relational coverage batch: pivot, subqueries (scalar +
+IN/EXISTS), statistical moments, percentiles, schema-aligned unions,
+conditional aggregation.
+
+Moments (variance/stddev/correlation) are computed from exact integer
+co-moments (scaled round + BIGINT sums, final double formula) instead
+of Spark's streaming aggregators — the built-ins are float-order-
+dependent and can't hash-match an oracle across partitionings; the
+co-moment form is bit-reproducible at any parallelism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table
+
+
+# ---------------------------------------------------------------------------
+# Pivot: order-status counts per market segment
+# ---------------------------------------------------------------------------
+
+def pivot_status_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    piv = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return piv.select(
+        "c_mktsegment",
+        *[F.coalesce(F.col(s), F.lit(0)).alias(f"n_{s}") for s in ("F", "O", "P")],
+    )
+
+
+_PIVOT_SQL = """
+SELECT c_mktsegment,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_F,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_O,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_P
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# Subqueries: scalar (uncorrelated) + IN
+# ---------------------------------------------------------------------------
+
+def subquery_big_building_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    orders.createOrReplaceTempView("__sq_orders")
+    cust.createOrReplaceTempView("__sq_customer")
+    # threshold derives from an exact MAX (not a float-order-dependent
+    # AVG) so the filter boundary is identical in both engines
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM __sq_orders
+        WHERE o_totalprice > (SELECT MAX(o_totalprice) * 0.5 FROM __sq_orders)
+          AND o_custkey IN (
+              SELECT c_custkey FROM __sq_customer WHERE c_mktsegment = 'BUILDING'
+          )
+        """
+    )
+
+
+_SUBQUERY_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_totalprice > (SELECT MAX(o_totalprice) * 0.5 FROM orders)
+  AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+"""
+
+
+# ---------------------------------------------------------------------------
+# Moments: variance / stddev / correlation from integer co-moments
+# ---------------------------------------------------------------------------
+
+def agg_price_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    v = F.round(F.col("o_totalprice")).cast("bigint")  # whole currency units
+    base = orders.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum(v).alias("s1"),
+        F.sum(v * v).alias("s2"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1").cast("double"), F.col("s2").cast("double")
+    var = (s2 - s1 * s1 / n) / (n - 1)
+    return base.select(
+        "o_orderstatus",
+        "n",
+        (s1 / n).alias("mean_price"),
+        var.alias("var_price"),
+        F.sqrt(var).alias("stddev_price"),
+    )
+
+
+_MOMENTS_SQL = """
+WITH b AS (
+  SELECT o_orderstatus,
+         COUNT(*) AS n,
+         SUM(CAST(ROUND(o_totalprice) AS BIGINT)) AS s1,
+         SUM(CAST(ROUND(o_totalprice) AS BIGINT) * CAST(ROUND(o_totalprice) AS BIGINT)) AS s2
+  FROM orders GROUP BY o_orderstatus
+)
+SELECT o_orderstatus, n,
+       CAST(s1 AS DOUBLE) / n AS mean_price,
+       (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1) AS var_price,
+       sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1)) AS stddev_price
+FROM b
+"""
+
+
+def agg_qty_price_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.round(F.col("l_quantity") * 100).cast("bigint")
+    p = F.round(F.col("l_extendedprice")).cast("bigint")
+    base = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(q).alias("sq"),
+        F.sum(p).alias("sp"),
+        F.sum(q * q).alias("sqq"),
+        F.sum(p * p).alias("spp"),
+        F.sum(q * p).alias("sqp"),
+    )
+    n = F.col("n").cast("double")
+    sq, sp = F.col("sq").cast("double"), F.col("sp").cast("double")
+    sqq, spp, sqp = (
+        F.col("sqq").cast("double"),
+        F.col("spp").cast("double"),
+        F.col("sqp").cast("double"),
+    )
+    corr = (n * sqp - sq * sp) / (
+        F.sqrt(n * sqq - sq * sq) * F.sqrt(n * spp - sp * sp)
+    )
+    return base.select("l_returnflag", "n", corr.alias("qty_price_corr"))
+
+
+_CORR_SQL = """
+WITH b AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS sq,
+         SUM(CAST(ROUND(l_extendedprice) AS BIGINT)) AS sp,
+         SUM(CAST(ROUND(l_quantity * 100) AS BIGINT) * CAST(ROUND(l_quantity * 100) AS BIGINT)) AS sqq,
+         SUM(CAST(ROUND(l_extendedprice) AS BIGINT) * CAST(ROUND(l_extendedprice) AS BIGINT)) AS spp,
+         SUM(CAST(ROUND(l_quantity * 100) AS BIGINT) * CAST(ROUND(l_extendedprice) AS BIGINT)) AS sqp
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       (CAST(n AS DOUBLE) * sqp - CAST(sq AS DOUBLE) * sp)
+         / (sqrt(CAST(n AS DOUBLE) * sqq - CAST(sq AS DOUBLE) * sq)
+            * sqrt(CAST(n AS DOUBLE) * spp - CAST(sp AS DOUBLE) * sp)) AS qty_price_corr
+FROM b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Percentiles (exact, interpolated)
+# ---------------------------------------------------------------------------
+
+def agg_acctbal_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        F.expr("percentile(c_acctbal, 0.5)").alias("p50"),
+        F.expr("percentile(c_acctbal, 0.9)").alias("p90"),
+        F.min("c_acctbal").alias("min_bal"),
+        F.max("c_acctbal").alias("max_bal"),
+    )
+
+
+_PCTL_SQL = """
+SELECT c_mktsegment,
+       quantile_cont(c_acctbal, 0.5) AS p50,
+       quantile_cont(c_acctbal, 0.9) AS p90,
+       MIN(c_acctbal) AS min_bal,
+       MAX(c_acctbal) AS max_bal
+FROM customer
+GROUP BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# Schema-aligned union of heterogeneous entities
+# ---------------------------------------------------------------------------
+
+def union_account_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.lit("customer").alias("kind"),
+        F.col("c_custkey").alias("entity_id"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_nationkey").alias("nationkey"),
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("kind"),
+        F.col("s_suppkey").alias("entity_id"),
+        F.col("s_acctbal").alias("acctbal"),
+        F.col("s_nationkey").alias("nationkey"),
+    )
+    return cust.unionByName(sup)
+
+
+_UNION_SQL = """
+SELECT 'customer' AS kind, c_custkey AS entity_id, c_acctbal AS acctbal, c_nationkey AS nationkey
+FROM customer
+UNION ALL
+SELECT 'supplier', s_suppkey, s_acctbal, s_nationkey FROM supplier
+"""
+
+
+# ---------------------------------------------------------------------------
+# Conditional aggregation
+# ---------------------------------------------------------------------------
+
+def agg_conditional_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.count_if(F.col("l_extendedprice") > 5000).alias("n_high_value"),
+        F.count_if(F.col("l_discount") >= 0.05).alias("n_discounted"),
+        F.bool_or(F.col("l_returnflag") == "R").alias("any_returned"),
+        F.bool_and(F.col("l_quantity") > 0).alias("all_positive_qty"),
+    )
+
+
+_COND_SQL = """
+SELECT l_linestatus,
+       COUNT(*) AS n,
+       COUNT(*) FILTER (WHERE l_extendedprice > 5000) AS n_high_value,
+       COUNT(*) FILTER (WHERE l_discount >= 0.05) AS n_discounted,
+       BOOL_OR(l_returnflag = 'R') AS any_returned,
+       BOOL_AND(l_quantity > 0) AS all_positive_qty
+FROM lineitem
+GROUP BY l_linestatus
+"""
+
+
+QUERIES = {
+    "pivot_status_by_segment": pivot_status_by_segment,
+    "subquery_big_building_orders": subquery_big_building_orders,
+    "agg_price_moments": agg_price_moments,
+    "agg_qty_price_correlation": agg_qty_price_correlation,
+    "agg_acctbal_percentiles": agg_acctbal_percentiles,
+    "union_account_entities": union_account_entities,
+    "agg_conditional_lineitem": agg_conditional_lineitem,
+}
+
+ORACLE = {
+    "pivot_status_by_segment": _PIVOT_SQL,
+    "subquery_big_building_orders": _SUBQUERY_SQL,
+    "agg_price_moments": _MOMENTS_SQL,
+    "agg_qty_price_correlation": _CORR_SQL,
+    "agg_acctbal_percentiles": _PCTL_SQL,
+    "union_account_entities": _UNION_SQL,
+    "agg_conditional_lineitem": _COND_SQL,
+}

@@ -1,0 +1,101 @@
+"""Physical-plan audits: the properties that decide whether these
+plans survive a 100x scale-up. A correctness-green query that full-
+scans 14 columns for a 2-column projection, or shuffles a fact table
+against a 25-row dimension, is still wrong — these tests pin the
+physical shape Catalyst must produce (SURVEY.md §4)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def queries():
+    import __spark_entry__ as m
+
+    return m.queries()
+
+
+def test_q1_pushes_filter_and_partial_agg(spark, queries):
+    plan = plan_of(queries["q1_pricing_summary"](spark, SF_SMOKE))
+    # shipdate predicate reaches the parquet scan
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters", 1)[1][:400]
+    # partial (map-side) aggregation before the exchange
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q1_prunes_columns(spark, queries):
+    plan = plan_of(queries["q1_pricing_summary"](spark, SF_SMOKE))
+    read_schema = plan.split("ReadSchema", 1)[1][:400]
+    assert "l_comment" not in read_schema  # nonexistent anyway, shape check
+    # only the 7 needed columns are read, not the full 11-column table
+    assert "l_orderkey" not in read_schema
+    assert "l_partkey" not in read_schema
+    assert "l_quantity" in read_schema
+
+
+def test_q5_broadcasts_dimensions(spark, queries):
+    plan = plan_of(queries["q5_region_revenue"](spark, SF_SMOKE))
+    # nation/region/supplier must come in as broadcasts, not shuffles
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_global_topk_avoids_full_sort(spark, queries):
+    plan = plan_of(queries["sort_global_top_orders"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_range_join_is_broadcast_nlj(spark, queries):
+    plan = plan_of(queries["join_range_value_buckets"](spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_semi_and_anti_join_forms(spark, queries):
+    semi = plan_of(queries["join_semi_active_customers"](spark, SF_SMOKE))
+    anti = plan_of(queries["join_anti_dormant_customers"](spark, SF_SMOKE))
+    assert "LeftSemi" in semi
+    assert "LeftAnti" in anti
+
+
+def test_projection_only_reads_needed_columns(spark, queries):
+    plan = plan_of(queries["string_part_catalog"](spark, SF_SMOKE))
+    read_schema = plan.split("ReadSchema", 1)[1][:400]
+    assert "p_retailprice" not in read_schema
+
+
+def test_window_topk_single_shuffle(spark, queries):
+    plan = plan_of(queries["window_topk_orders_per_customer"](spark, SF_SMOKE), "simple")
+    # one exchange for the window partitioning, no extra shuffles
+    assert plan.count("Exchange") == 1
+    # rank-limit pushdown: per-partition top-k BEFORE the shuffle, so
+    # at scale each map task ships at most k rows per group
+    assert plan.count("WindowGroupLimit") == 2
+
+
+def test_boat_pipeline_single_python_stage(spark):
+    """The boat pipeline's only Python is the parity line-cleanup UDF;
+    the transform section must stay JVM-side column expressions."""
+    from boat_etl_pyspark_spark.pipeline.boat import (
+        clean_lines,
+        parse_csv,
+        read_raw_lines,
+        transform,
+    )
+
+    df = transform(
+        parse_csv(clean_lines(read_raw_lines(spark, "/root/reference/data/boat_data.csv")))
+    )
+    plan = plan_of(df, "simple")
+    assert plan.count("ArrowEvalPython") == 1
