@@ -240,7 +240,100 @@ GROUP BY l_linestatus
 """
 
 
+# ---------------------------------------------------------------------------
+# Full outer join: per-nation customer vs supplier presence
+# ---------------------------------------------------------------------------
+
+def join_full_outer_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk_c"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk_s"))
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+    return (
+        cust.join(sup, cust.nk_c == sup.nk_s, "full_outer")
+        .select(
+            F.coalesce(F.col("nk_c"), F.col("nk_s")).alias("nationkey"),
+            F.coalesce(F.col("n_customers"), F.lit(0)).alias("n_customers"),
+            F.coalesce(F.col("n_suppliers"), F.lit(0)).alias("n_suppliers"),
+        )
+    )
+
+
+_FULL_OUTER_SQL = """
+WITH c AS (SELECT c_nationkey AS nk, COUNT(*) AS n_customers FROM customer GROUP BY 1),
+     s AS (SELECT s_nationkey AS nk, COUNT(*) AS n_suppliers FROM supplier GROUP BY 1)
+SELECT COALESCE(c.nk, s.nk) AS nationkey,
+       COALESCE(n_customers, 0) AS n_customers,
+       COALESCE(n_suppliers, 0) AS n_suppliers
+FROM c FULL OUTER JOIN s ON c.nk = s.nk
+"""
+
+
+# ---------------------------------------------------------------------------
+# Analytic window functions: percent_rank / cume_dist / first / last
+# ---------------------------------------------------------------------------
+
+def window_analytic_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return cust.select(
+        "c_mktsegment",
+        "c_custkey",
+        "c_acctbal",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.first("c_custkey").over(wf).alias("poorest_custkey"),
+        F.last("c_custkey").over(wf).alias("richest_custkey"),
+    )
+
+
+_ANALYTIC_SQL = """
+SELECT c_mktsegment, c_custkey, c_acctbal,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST() OVER w AS cume,
+       FIRST_VALUE(c_custkey) OVER wf AS poorest_custkey,
+       LAST_VALUE(c_custkey) OVER wf AS richest_custkey
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey),
+       wf AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Map functions: build, explode
+# ---------------------------------------------------------------------------
+
+def map_order_attributes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    m = F.expr(
+        "str_to_map(concat('status=', o_orderstatus, ';prio=', o_orderpriority), ';', '=')"
+    )
+    return orders.select(
+        "o_orderkey", F.explode(m).alias("attr_key", "attr_value")
+    )
+
+
+_MAP_SQL = """
+SELECT o_orderkey, 'status' AS attr_key, o_orderstatus AS attr_value FROM orders
+UNION ALL
+SELECT o_orderkey, 'prio', o_orderpriority FROM orders
+"""
+
+
 QUERIES = {
+    "join_full_outer_nation_presence": join_full_outer_nation_presence,
+    "window_analytic_acctbal": window_analytic_acctbal,
+    "map_order_attributes": map_order_attributes,
     "pivot_status_by_segment": pivot_status_by_segment,
     "subquery_big_building_orders": subquery_big_building_orders,
     "agg_price_moments": agg_price_moments,
@@ -251,6 +344,9 @@ QUERIES = {
 }
 
 ORACLE = {
+    "join_full_outer_nation_presence": _FULL_OUTER_SQL,
+    "window_analytic_acctbal": _ANALYTIC_SQL,
+    "map_order_attributes": _MAP_SQL,
     "pivot_status_by_segment": _PIVOT_SQL,
     "subquery_big_building_orders": _SUBQUERY_SQL,
     "agg_price_moments": _MOMENTS_SQL,

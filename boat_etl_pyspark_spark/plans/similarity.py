@@ -198,14 +198,70 @@ def sim_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_NORMSTATS_SPARK.format(emb=emb))
 
 
+# ---------------------------------------------------------------------------
+# Random-projection (sign) LSH bucketing: 8 deterministic hyperplanes
+# ---------------------------------------------------------------------------
+# Hyperplane j, dim d: Knuth-hash of (j*64+d) mapped to [-0.5, 0.5).
+# Pure arithmetic, so both engines derive identical planes — no stored
+# projection matrix needed. At scale the bucket id becomes the shuffle/
+# storage partitioning key and candidate search stays intra-bucket.
+
+_RP_H = "(CAST((({j} * 64 + {d}) * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0 - 0.5)"
+
+_RP_SPARK = f"""
+WITH n AS ({_SPARK_VECS}),
+b AS (
+  SELECT vec_id, label,
+         concat_ws('', transform(sequence(0, 7),
+           j -> CASE WHEN aggregate(
+                  transform(sequence(0, 63),
+                    d -> element_at(v, d + 1) * {_RP_H.format(j='j', d='d')}),
+                  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) > 0
+                THEN '1' ELSE '0' END)) AS bucket
+  FROM n
+)
+SELECT bucket,
+       COUNT(*) AS n_vectors,
+       COUNT(DISTINCT label) AS n_labels
+FROM b
+GROUP BY bucket
+"""
+
+_RP_DUCK = f"""
+WITH n AS ({_DUCK_VECS}),
+b AS (
+  SELECT vec_id, label,
+         list_aggregate(list_transform(range(0, 8),
+           j -> CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list_transform(range(0, 64),
+                    d -> v[d + 1] * {_RP_H.format(j='j', d='d')})),
+                  (acc, x) -> acc + x) > 0
+                THEN '1' ELSE '0' END), 'string_agg', '') AS bucket
+  FROM n
+)
+SELECT bucket,
+       COUNT(*) AS n_vectors,
+       COUNT(DISTINCT label) AS n_labels
+FROM b
+GROUP BY bucket
+"""
+
+
+def sim_rp_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb_view(spark, sf_dir, "__emb_rp")
+    return spark.sql(_RP_SPARK.format(emb=emb))
+
+
 QUERIES = {
     "sim_bruteforce_topk": sim_bruteforce_topk,
     "sim_ivf_topk": sim_ivf_topk,
     "sim_norm_stats": sim_norm_stats,
+    "sim_rp_lsh_buckets": sim_rp_lsh_buckets,
 }
 
 ORACLE = {
     "sim_bruteforce_topk": _BRUTE_DUCK,
     "sim_ivf_topk": _IVF_DUCK,
     "sim_norm_stats": _NORMSTATS_DUCK,
+    "sim_rp_lsh_buckets": _RP_DUCK,
 }

@@ -129,14 +129,40 @@ GROUP BY user_id, sid
 """
 
 
+def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState). The memory
+    sink accumulates one update row per touched user per micro-batch;
+    the final running totals are the per-user maxima, which must equal
+    a plain batch aggregation."""
+    from ..streaming.events import stateful_user_totals
+
+    ev = read_events_stream(spark, sf_dir)
+    updates = run_stream_to_memory(stateful_user_totals(ev), "update")
+    return updates.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("value_sum").alias("value_sum"),
+    )
+
+
+_STATEFUL_SQL = """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS value_sum
+FROM events
+GROUP BY user_id
+"""
+
+
 QUERIES = {
     "stream_tumbling_6h": stream_tumbling_6h,
     "stream_sliding_6h_3h": stream_sliding_6h_3h,
     "stream_session_windows": stream_session_windows,
+    "stream_stateful_user_totals": stream_stateful_user_totals,
 }
 
 ORACLE = {
     "stream_tumbling_6h": _TUMBLING_SQL,
     "stream_sliding_6h_3h": _SLIDING_SQL,
     "stream_session_windows": _SESSION_SQL,
+    "stream_stateful_user_totals": _STATEFUL_SQL,
 }

@@ -69,6 +69,11 @@ def get_spark(app_name: str = "boat-etl-pyspark-spark",
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # keep managed tables (bucketing tests etc.) out of the repo tree
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark_graft_warehouse"),
+        )
     )
     for k, v in _RUNTIME_CONFS.items():
         builder = builder.config(k, v)

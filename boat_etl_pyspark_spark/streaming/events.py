@@ -89,6 +89,35 @@ def read_events_stream(
     return raw.withColumn("ev_time", F.timestamp_micros(F.expr("ts DIV 1000")))
 
 
+def stateful_user_totals(stream_df: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user running event count + value
+    cents, kept in explicit GroupState across micro-batches
+    (applyInPandasWithState — the escape hatch for stateful semantics
+    the built-in windows can't express). Each batch emits the updated
+    running totals for the users it touched; state is partitioned by
+    user_id across executors and bounded by the key cardinality."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, cents_sum = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            cents_sum += int(pdf["value"].mul(100).round().astype("int64").sum())
+        state.update((n, cents_sum))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "value_sum": [cents_sum / 100.0]}
+        )
+
+    return stream_df.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id BIGINT, n_events BIGINT, value_sum DOUBLE",
+        stateStructType="n BIGINT, cents_sum BIGINT",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_stream_to_memory(
     result: DataFrame, output_mode: str = "complete", timeout_sec: int = 300
 ) -> DataFrame:

@@ -85,6 +85,30 @@ def test_append_mode_watermark_holds_back_tail_sessions(spark, ordered_event_fil
     assert max_end_appended < max_end_complete
 
 
+def test_stateful_operator_accumulates_across_batches(spark, ordered_event_files):
+    """applyInPandasWithState must carry state between micro-batches:
+    stream the 4 time-ordered files one per trigger and check the
+    final running totals equal a batch aggregation — and that users
+    got multiple intermediate updates (proof of multi-batch state)."""
+    from pyspark.sql import functions as F
+
+    from boat_etl_pyspark_spark.sources.readers import load_table
+    from boat_etl_pyspark_spark.streaming.events import stateful_user_totals
+
+    ev = read_events_stream(
+        spark, SF, dir_override=ordered_event_files, max_files_per_trigger=1
+    )
+    updates = run_stream_to_memory(stateful_user_totals(ev), "update")
+    finals = updates.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+    batch = load_table(spark, SF, "events").groupBy("user_id").count()
+    got = {r["user_id"]: r["n_events"] for r in finals.collect()}
+    want = {r["user_id"]: r["count"] for r in batch.collect()}
+    assert got == want
+    # multiple updates per user across the 4 micro-batches
+    n_updates = updates.groupBy("user_id").count().agg(F.max("count")).collect()[0][0]
+    assert n_updates >= 2
+
+
 def test_stream_tumbling_equals_batch(spark):
     """complete-mode streaming agg == the same agg computed in batch."""
     from boat_etl_pyspark_spark.sources.readers import load_table
