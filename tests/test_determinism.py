@@ -1,0 +1,39 @@
+"""Bit-reproducibility: the float-producing aggregates must return
+identical bits under different parallelism — the property that makes
+results stable across cluster sizes (and makes the DuckDB oracle an
+exact check). This is the integer-cents / co-moment design under
+test: a raw sum(double) would fail it."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+FLOAT_QUERIES = [
+    "q1_pricing_summary",
+    "window_running_spend",
+    "agg_price_moments",
+    "agg_qty_price_correlation",
+    "sim_bruteforce_topk",
+    "date_daily_event_stats",
+]
+
+
+@pytest.mark.parametrize("name", FLOAT_QUERIES)
+def test_identical_results_across_parallelism(spark, name):
+    import __spark_entry__ as m
+
+    # raw registry, not queries(): the tuned wrapper pins
+    # shuffle.partitions and would make this test vacuous
+    q = m._QUERIES[name]
+
+    def run(partitions: int):
+        spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
+        try:
+            rows = q(spark, SF_SMOKE).collect()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+        return sorted(map(tuple, rows))
+
+    assert run(3) == run(29), f"{name} is partitioning-dependent"
