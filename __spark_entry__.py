@@ -22,6 +22,7 @@ from boat_etl_pyspark_spark.plans import (
     multimodal_plans,
     relational,
     relational2,
+    relational3,
     similarity,
     streaming_plans,
     textdedup,
@@ -31,6 +32,7 @@ from boat_etl_pyspark_spark.session import tune
 _PLAN_MODULES = (
     relational,
     relational2,
+    relational3,
     textdedup,
     similarity,
     streaming_plans,

@@ -1,0 +1,210 @@
+"""Third relational batch: harder TPC-H-shaped compositions.
+
+  * q2-style per-group minimum with correlated filter (cheapest
+    supplier per part via window-min, the scalable form of TPC-H Q2's
+    correlated subquery)
+  * q13-style two-level aggregation (customer order-count histogram)
+  * q16-style exclusion + distinct counting (NOT IN + countDistinct)
+  * q22-style anti-join with scalar-subquery threshold
+  * approximate sketches (approx_count_distinct / approx_percentile)
+    — deterministic for a given dataset but not reproducible in
+    DuckDB, so exactness is asserted relative to exact values inside
+    the test suite instead (tests/test_approx.py); the contract entry
+    is exactly checkable because it returns the sketch-vs-exact error
+    bounds as booleans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.numeric import money_sum
+from ..sources.readers import load_table
+
+
+# ---------------------------------------------------------------------------
+# Q2 shape: cheapest supplier per part (correlated min -> window form)
+# ---------------------------------------------------------------------------
+
+def q2_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    # per (part, supplier): min observed unit price (price/qty is noisy;
+    # use extendedprice directly as the offer price)
+    offers = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("l_extendedprice").alias("best_price")
+    )
+    w = Window.partitionBy("l_partkey")
+    cheapest = (
+        offers.withColumn("part_min", F.min("best_price").over(w))
+        .where(F.col("best_price") == F.col("part_min"))
+        .drop("part_min")
+    )
+    return (
+        cheapest.join(F.broadcast(sup), cheapest.l_suppkey == sup.s_suppkey)
+        .select("l_partkey", "l_suppkey", "s_name", "best_price")
+    )
+
+
+_Q2_SQL = """
+WITH offers AS (
+  SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS best_price
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+)
+SELECT o.l_partkey, o.l_suppkey, s_name, o.best_price
+FROM offers o
+JOIN supplier ON o.l_suppkey = s_suppkey
+WHERE o.best_price = (
+  SELECT MIN(best_price) FROM offers i WHERE i.l_partkey = o.l_partkey
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q13 shape: customer order-count distribution (two-level aggregation)
+# ---------------------------------------------------------------------------
+
+def q13_order_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(
+        F.count("*").alias("n_customers")
+    )
+
+
+_Q13_SQL = """
+WITH per_cust AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+SELECT n_orders, COUNT(*) AS n_customers
+FROM per_cust
+GROUP BY n_orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q16 shape: exclusion list + distinct counting
+# ---------------------------------------------------------------------------
+
+def q16_parts_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").where(
+        ~F.col("p_brand").isin("Brand#1", "Brand#2")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+_Q16_SQL = """
+SELECT p_brand, p_type, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand NOT IN ('Brand#1', 'Brand#2')
+GROUP BY p_brand, p_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q22 shape: positive-balance customers with no recent orders
+# ---------------------------------------------------------------------------
+
+def q22_dormant_positive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    cust.createOrReplaceTempView("__q22_cust")
+    recent = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.to_timestamp(F.lit("2000-01-01"))
+    )
+    threshold = spark.sql(
+        "SELECT MAX(c_acctbal) * 0.2 AS t FROM __q22_cust WHERE c_acctbal > 0"
+    )
+    rich = cust.join(F.broadcast(threshold)).where(F.col("c_acctbal") > F.col("t"))
+    return (
+        rich.join(recent, rich.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            money_sum(F.col("c_acctbal")).alias("total_bal"),
+        )
+    )
+
+
+_Q22_SQL = """
+SELECT c_mktsegment,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_bal
+FROM customer
+WHERE c_acctbal > (SELECT MAX(c_acctbal) * 0.2 FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01'
+  )
+GROUP BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# Approximate sketches, made exactly checkable: the query returns
+# whether each sketch landed within its error bound vs the exact value
+# ---------------------------------------------------------------------------
+
+def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    per_status = orders.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("exact_customers"),
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("exact_p50"),
+        F.expr("approx_percentile(o_totalprice, 0.5, 10000)").alias("approx_p50"),
+    )
+    return per_status.select(
+        "o_orderstatus",
+        "exact_customers",
+        (
+            F.abs(F.col("approx_customers") - F.col("exact_customers"))
+            <= 0.05 * F.col("exact_customers")
+        ).alias("hll_within_5pct"),
+        (
+            F.abs(F.col("approx_p50") - F.col("exact_p50"))
+            <= 0.05 * F.col("exact_p50")
+        ).alias("p50_within_5pct"),
+    )
+
+
+_APPROX_SQL = """
+SELECT o_orderstatus,
+       COUNT(DISTINCT o_custkey) AS exact_customers,
+       TRUE AS hll_within_5pct,
+       TRUE AS p50_within_5pct
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+QUERIES = {
+    "q2_cheapest_supplier_per_part": q2_cheapest_supplier_per_part,
+    "q13_order_count_histogram": q13_order_count_histogram,
+    "q16_parts_supplier_variety": q16_parts_supplier_variety,
+    "q22_dormant_positive_customers": q22_dormant_positive_customers,
+    "agg_approx_sketches": agg_approx_sketches,
+}
+
+ORACLE = {
+    "q2_cheapest_supplier_per_part": _Q2_SQL,
+    "q13_order_count_histogram": _Q13_SQL,
+    "q16_parts_supplier_variety": _Q16_SQL,
+    "q22_dormant_positive_customers": _Q22_SQL,
+    "agg_approx_sketches": _APPROX_SQL,
+}
