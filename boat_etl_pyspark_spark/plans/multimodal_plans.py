@@ -31,9 +31,9 @@ WITH b AS (
 )
 SELECT doc_id, byte_len,
        (['image', 'audio', 'video', 'blob'])[byte_len % 4 + 1] AS kind,
-       list_sum(list_transform(range(0, byte_len),
+       CAST(list_sum(list_transform(range(0, byte_len),
                 i -> CAST(concat('0x', substring(hx, i * 2 + 1, 2)) AS BIGINT)))
-         % 1000003 AS checksum
+         % 1000003 AS BIGINT) AS checksum
 FROM b
 """
 

@@ -451,7 +451,7 @@ def window_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFra
         F.desc("o_totalprice"), F.asc("o_orderkey")
     )
     return (
-        orders.withColumn("rk", F.row_number().over(w))
+        orders.withColumn("rk", F.row_number().over(w).cast("bigint"))
         .where(F.col("rk") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
     )
@@ -525,7 +525,7 @@ def window_ntile_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
     return (
-        cust.withColumn("quartile", F.ntile(4).over(w))
+        cust.withColumn("quartile", F.ntile(4).over(w).cast("bigint"))
         .groupBy("c_mktsegment", "quartile")
         .agg(
             F.count("*").alias("n_customers"),
@@ -559,8 +559,8 @@ def window_rank_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_part.select(
             "l_partkey",
             "total_qty",
-            F.rank().over(w).alias("qty_rank"),
-            F.dense_rank().over(w).alias("qty_dense_rank"),
+            F.rank().over(w).cast("bigint").alias("qty_rank"),
+            F.dense_rank().over(w).cast("bigint").alias("qty_dense_rank"),
         )
         .where(F.col("qty_rank") <= 25)
     )
@@ -683,7 +683,7 @@ _JSON_PROPS_SQL = """
 SELECT
   event_type,
   COUNT(*) AS n_events,
-  SUM(k) AS k_sum,
+  CAST(SUM(k) AS BIGINT) AS k_sum,
   CAST(SUM(k) AS DOUBLE) / COUNT(k) AS k_avg,
   MIN(k) AS k_min,
   MAX(k) AS k_max
@@ -702,7 +702,7 @@ def string_part_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_partkey",
             F.upper(F.col("p_brand")).alias("brand_upper"),
             F.substring_index(F.col("p_name"), " ", 1).alias("name_head"),
-            F.length(F.col("p_name")).alias("name_len"),
+            F.length(F.col("p_name")).cast("bigint").alias("name_len"),
             F.concat_ws("|", F.col("p_brand"), F.col("p_type")).alias("brand_type"),
             F.lpad(F.col("p_size").cast("string"), 3, "0").alias("size_padded"),
         )

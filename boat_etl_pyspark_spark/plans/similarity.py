@@ -68,7 +68,7 @@ p AS (
          {_SPARK_DOT.format(a='q.v', b='n.v')} / (sqrt(q.n2) * sqrt(n.n2)) AS cos
   FROM q JOIN n ON q.vec_id != n.vec_id
 )
-SELECT q_vec_id, n_vec_id, n_label, cos, rk
+SELECT q_vec_id, n_vec_id, n_label, cos, CAST(rk AS BIGINT) AS rk
 FROM (SELECT *, row_number() OVER (PARTITION BY q_vec_id ORDER BY cos DESC, n_vec_id) AS rk FROM p)
 WHERE rk <= 10
 """
@@ -81,7 +81,7 @@ p AS (
          {_DUCK_DOT.format(a='q.v', b='n.v')} / (sqrt(q.n2) * sqrt(n.n2)) AS cos
   FROM q JOIN n ON q.vec_id != n.vec_id
 )
-SELECT q_vec_id, n_vec_id, n_label, cos, rk
+SELECT q_vec_id, n_vec_id, n_label, cos, CAST(rk AS BIGINT) AS rk
 FROM (SELECT *, row_number() OVER (PARTITION BY q_vec_id ORDER BY cos DESC, n_vec_id) AS rk FROM p)
 WHERE rk <= 10
 """
@@ -123,7 +123,7 @@ p AS (
   FROM q JOIN labeled c
     ON q.cluster_id = c.cluster_id AND q.vec_id != c.vec_id
 )
-SELECT q_vec_id, cluster_id, n_vec_id, cos, rk
+SELECT q_vec_id, cluster_id, n_vec_id, cos, CAST(rk AS BIGINT) AS rk
 FROM (SELECT *, row_number() OVER (PARTITION BY q_vec_id ORDER BY cos DESC, n_vec_id) AS rk FROM p)
 WHERE rk <= 5
 """
@@ -153,7 +153,7 @@ p AS (
   FROM q JOIN labeled c
     ON q.cluster_id = c.cluster_id AND q.vec_id != c.vec_id
 )
-SELECT q_vec_id, cluster_id, n_vec_id, cos, rk
+SELECT q_vec_id, cluster_id, n_vec_id, cos, CAST(rk AS BIGINT) AS rk
 FROM (SELECT *, row_number() OVER (PARTITION BY q_vec_id ORDER BY cos DESC, n_vec_id) AS rk FROM p)
 WHERE rk <= 5
 """
