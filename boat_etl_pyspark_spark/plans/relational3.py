@@ -193,8 +193,141 @@ GROUP BY o_orderstatus
 """
 
 
+# ---------------------------------------------------------------------------
+# Q4 shape: order-priority counts where any lineitem shipped late
+# ---------------------------------------------------------------------------
+
+def q4_priority_with_late_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    # semi join on a non-equi condition: any lineitem shipped more
+    # than 60 days after the order date
+    joined = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.date_add(orders.o_orderdate, 60)),
+        "left_semi",
+    )
+    return joined.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
+
+
+_Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey
+    AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+)
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q12 shape: priority buckets per ship-year (CASE aggregation)
+# ---------------------------------------------------------------------------
+
+def q12_priority_by_ship_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+_Q12_SQL = """
+SELECT CAST(year(l_shipdate) AS INT) AS ship_year,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q14 shape: promo revenue share (conditional ratio over one scan)
+# ---------------------------------------------------------------------------
+
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.numeric import cents
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return joined.agg(
+        (
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))).cast("double")
+            / F.sum(rev)
+            * 100.0
+        ).alias("promo_share_pct"),
+        (F.sum(rev) / 100.0).alias("total_revenue"),
+    )
+
+
+_Q14_SQL = """
+SELECT
+  CAST(SUM(CASE WHEN p_type = 'PROMO'
+                THEN CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)
+                ELSE 0 END) AS DOUBLE)
+    / CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS DOUBLE)
+    * 100.0 AS promo_share_pct,
+  CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q18 shape: large orders via HAVING on an aggregated join key
+# ---------------------------------------------------------------------------
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.numeric import cents
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg((F.sum(cents(F.col("l_quantity"))) / 100.0).alias("total_qty"))
+        .where(F.col("total_qty") > 150.0)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select("c_name", "o_orderkey", "o_totalprice", "total_qty")
+    )
+
+
+_Q18_SQL = """
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_qty
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 > 150.0
+)
+SELECT c_name, o_orderkey, o_totalprice, total_qty
+FROM big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
 QUERIES = {
     "q2_cheapest_supplier_per_part": q2_cheapest_supplier_per_part,
+    "q4_priority_with_late_items": q4_priority_with_late_items,
+    "q12_priority_by_ship_year": q12_priority_by_ship_year,
+    "q14_promo_revenue_share": q14_promo_revenue_share,
+    "q18_large_orders": q18_large_orders,
     "q13_order_count_histogram": q13_order_count_histogram,
     "q16_parts_supplier_variety": q16_parts_supplier_variety,
     "q22_dormant_positive_customers": q22_dormant_positive_customers,
@@ -203,6 +336,10 @@ QUERIES = {
 
 ORACLE = {
     "q2_cheapest_supplier_per_part": _Q2_SQL,
+    "q4_priority_with_late_items": _Q4_SQL,
+    "q12_priority_by_ship_year": _Q12_SQL,
+    "q14_promo_revenue_share": _Q14_SQL,
+    "q18_large_orders": _Q18_SQL,
     "q13_order_count_histogram": _Q13_SQL,
     "q16_parts_supplier_variety": _Q16_SQL,
     "q22_dormant_positive_customers": _Q22_SQL,
