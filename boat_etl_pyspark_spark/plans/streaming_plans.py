@@ -153,7 +153,58 @@ GROUP BY user_id
 """
 
 
+def stream_dedup_user_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: first-seen (user_id, event_type) pairs
+    via dropDuplicates state. Only the key columns are emitted, so the
+    result is deterministic regardless of arrival order and equals
+    batch DISTINCT."""
+    ev = read_events_stream(spark, sf_dir)
+    deduped = ev.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    return run_stream_to_memory(deduped, "append")
+
+
+_STREAM_DEDUP_SQL = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
+def stream_static_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream joined against a static
+    bucket dimension (broadcast on every micro-batch), then an
+    event-time-independent aggregation in complete mode."""
+    ev = read_events_stream(spark, sf_dir)
+    buckets = spark.createDataFrame(
+        [(float(lo), float(lo + 70)) for lo in range(0, 350, 70)],
+        "lo double, hi double",
+    )
+    joined = ev.join(
+        F.broadcast(buckets),
+        (ev.value >= buckets.lo) & (ev.value < buckets.hi),
+    )
+    agg = joined.groupBy("lo", "hi").agg(
+        F.count("*").alias("n_events"),
+        (F.sum(cents(F.col("value"))) / 100.0).alias("value_sum"),
+    )
+    return run_stream_to_memory(agg, "complete")
+
+
+_STREAM_STATIC_SQL = """
+SELECT lo, hi,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS value_sum
+FROM events
+JOIN (VALUES (0.0, 70.0), (70.0, 140.0), (140.0, 210.0),
+             (210.0, 280.0), (280.0, 350.0)) AS b(lo, hi)
+  ON value >= lo AND value < hi
+GROUP BY lo, hi
+"""
+
+
 QUERIES = {
+    "stream_dedup_user_event_types": stream_dedup_user_event_types,
+    "stream_static_value_buckets": stream_static_value_buckets,
     "stream_tumbling_6h": stream_tumbling_6h,
     "stream_sliding_6h_3h": stream_sliding_6h_3h,
     "stream_session_windows": stream_session_windows,
@@ -161,6 +212,8 @@ QUERIES = {
 }
 
 ORACLE = {
+    "stream_dedup_user_event_types": _STREAM_DEDUP_SQL,
+    "stream_static_value_buckets": _STREAM_STATIC_SQL,
     "stream_tumbling_6h": _TUMBLING_SQL,
     "stream_sliding_6h_3h": _SLIDING_SQL,
     "stream_session_windows": _SESSION_SQL,
