@@ -23,6 +23,7 @@ from boat_etl_pyspark_spark.plans import (
     relational,
     relational2,
     relational3,
+    relational4,
     similarity,
     streaming_plans,
     textdedup,
@@ -33,6 +34,7 @@ _PLAN_MODULES = (
     relational,
     relational2,
     relational3,
+    relational4,
     textdedup,
     similarity,
     streaming_plans,
