@@ -24,6 +24,7 @@ from boat_etl_pyspark_spark.plans import (
     relational2,
     relational3,
     relational4,
+    relational5,
     similarity,
     streaming_plans,
     textdedup,
@@ -35,6 +36,7 @@ _PLAN_MODULES = (
     relational2,
     relational3,
     relational4,
+    relational5,
     textdedup,
     similarity,
     streaming_plans,
