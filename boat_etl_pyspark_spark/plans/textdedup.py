@@ -467,8 +467,46 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: a new batch checked against a known corpus
+    by content hash — the shape of continuous ingestion, where the
+    corpus side is a persisted hash table (here: docs from sources
+    src0-src9 as 'corpus', the rest as 'new batch'). Anti-join on the
+    32-byte md5, never on document bodies."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_corpus = F.regexp_extract("source", r"src(\d+)", 1).cast("int") < 10
+    hashed = docs.select(
+        "doc_id", "source", F.md5("text").alias("text_md5"), is_corpus.alias("in_corpus")
+    )
+    corpus_hashes = hashed.where("in_corpus").select("text_md5").distinct()
+    new_batch = hashed.where(~F.col("in_corpus"))
+    fresh = new_batch.join(corpus_hashes, "text_md5", "left_anti")
+    return fresh.groupBy("source").agg(
+        F.count("*").alias("n_fresh_docs"),
+        F.countDistinct("text_md5").alias("n_unique_texts"),
+    )
+
+
+_DEDUP_INCR_SQL = """
+WITH hashed AS (
+  SELECT doc_id, source, md5(text) AS text_md5,
+         CAST(regexp_extract(source, 'src(\\d+)', 1) AS INT) < 10 AS in_corpus
+  FROM documents
+),
+corpus AS (SELECT DISTINCT text_md5 FROM hashed WHERE in_corpus)
+SELECT source,
+       COUNT(*) AS n_fresh_docs,
+       COUNT(DISTINCT text_md5) AS n_unique_texts
+FROM hashed
+WHERE NOT in_corpus
+  AND text_md5 NOT IN (SELECT text_md5 FROM corpus)
+GROUP BY source
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_incremental": dedup_incremental,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_simhash": dedup_simhash,
@@ -480,6 +518,7 @@ QUERIES = {
 
 ORACLE = {
     "dedup_exact": _DEDUP_EXACT_SQL,
+    "dedup_incremental": _DEDUP_INCR_SQL,
     "dedup_minhash_lsh": _MINHASH_DUCK.format(shingles=_DUCK_SHINGLES),
     "dedup_ngram_jaccard": _NGRAM_DUCK.format(shingles=_DUCK_SHINGLES),
     "dedup_simhash": _SIMHASH_DUCK,
