@@ -330,7 +330,85 @@ SELECT o_orderkey, 'prio', o_orderpriority FROM orders
 """
 
 
+# ---------------------------------------------------------------------------
+# Calendar densification: daily event counts with zero-filled gaps
+# ---------------------------------------------------------------------------
+
+def date_densified_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    days = spark.sql(
+        """
+        SELECT explode(sequence(DATE '2024-01-01', DATE '2024-01-30',
+                                INTERVAL 1 DAY)) AS day
+        """
+    ).select(F.date_format("day", "yyyy-MM-dd").alias("day"))
+    per_day = events.groupBy(
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day")
+    ).agg(F.count("*").alias("n_events"))
+    return (
+        days.join(per_day, "day", "left")
+        .select("day", F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"))
+    )
+
+
+_DENSIFY_SQL = """
+WITH days AS (
+  SELECT strftime(d, '%Y-%m-%d') AS day
+  FROM (SELECT unnest(generate_series(DATE '2024-01-01', DATE '2024-01-30',
+                                      INTERVAL 1 DAY)) AS d)
+),
+per_day AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, COUNT(*) AS n_events
+  FROM events GROUP BY 1
+)
+SELECT days.day, COALESCE(per_day.n_events, 0) AS n_events
+FROM days LEFT JOIN per_day ON days.day = per_day.day
+"""
+
+
+# ---------------------------------------------------------------------------
+# RANGE-frame window: rolling 24h event value per user (event-time range,
+# not row count — the frame every billing/rate-limit pipeline needs)
+# ---------------------------------------------------------------------------
+
+def window_rolling_24h_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.numeric import cents
+
+    events = load_table(spark, sf_dir, "events")
+    day_us = 24 * 3600 * 1_000_000
+    base = events.select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"),
+        cents(F.col("value")).alias("v_cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-day_us, Window.currentRow)
+    )
+    return base.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.count("*").over(w).alias("n_24h"),
+        (F.sum("v_cents").over(w) / 100.0).alias("value_24h"),
+    )
+
+
+_ROLLING_SQL = """
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       COUNT(*) OVER w AS n_24h,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS DOUBLE) / 100.0 AS value_24h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+"""
+
+
 QUERIES = {
+    "date_densified_daily_events": date_densified_daily_events,
+    "window_rolling_24h_value": window_rolling_24h_value,
     "join_full_outer_nation_presence": join_full_outer_nation_presence,
     "window_analytic_acctbal": window_analytic_acctbal,
     "map_order_attributes": map_order_attributes,
@@ -344,6 +422,8 @@ QUERIES = {
 }
 
 ORACLE = {
+    "date_densified_daily_events": _DENSIFY_SQL,
+    "window_rolling_24h_value": _ROLLING_SQL,
     "join_full_outer_nation_presence": _FULL_OUTER_SQL,
     "window_analytic_acctbal": _ANALYTIC_SQL,
     "map_order_attributes": _MAP_SQL,
