@@ -504,9 +504,97 @@ GROUP BY source
 """
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash-LSH near-dup pair graph:
+    iterative min-label propagation (each round = one join + one
+    aggregation, all distributed; rounds ~ graph diameter, which for
+    dedup graphs is tiny). Output: every clustered doc with its
+    cluster id (= min doc_id in the component) and the elected keeper
+    — the stage that turns pairwise dedup into actual row removal."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.unionByName(
+            pairs.select(
+                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+            )
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("doc_a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    for _ in range(20):  # >> diameter of any dedup component
+        neighbor_min = (
+            edges.join(labels, edges.doc_b == labels.node)
+            .groupBy(F.col("doc_a").alias("node"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    clusters = labels.groupBy("label").agg(
+        F.count("*").alias("cluster_size"), F.min("node").alias("keeper_doc_id")
+    )
+    return (
+        labels.join(clusters, "label")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("label").alias("cluster_id"),
+            "cluster_size",
+            "keeper_doc_id",
+        )
+    )
+
+
+_DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS (
+  {{minhash_pairs}}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(node, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, reach.r
+  FROM edges e JOIN reach ON e.dst = reach.node
+),
+labels AS (
+  SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node
+),
+clusters AS (
+  SELECT cluster_id, COUNT(*) AS cluster_size, MIN(node) AS keeper_doc_id
+  FROM labels GROUP BY cluster_id
+)
+SELECT node AS doc_id, labels.cluster_id, cluster_size, keeper_doc_id
+FROM labels JOIN clusters ON labels.cluster_id = clusters.cluster_id
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_incremental": dedup_incremental,
+    "dedup_clusters": dedup_clusters,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_simhash": dedup_simhash,
@@ -519,6 +607,9 @@ QUERIES = {
 ORACLE = {
     "dedup_exact": _DEDUP_EXACT_SQL,
     "dedup_incremental": _DEDUP_INCR_SQL,
+    "dedup_clusters": _DEDUP_CLUSTERS_SQL.format(
+        minhash_pairs=_MINHASH_DUCK.format(shingles=_DUCK_SHINGLES)
+    ),
     "dedup_minhash_lsh": _MINHASH_DUCK.format(shingles=_DUCK_SHINGLES),
     "dedup_ngram_jaccard": _NGRAM_DUCK.format(shingles=_DUCK_SHINGLES),
     "dedup_simhash": _SIMHASH_DUCK,
