@@ -202,7 +202,64 @@ GROUP BY lo, hi
 """
 
 
+def stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join: each purchase joined to
+    the same user's views from the preceding hour. Both sides carry
+    watermarks so the join state is bounded (views older than the
+    interval + watermark are evicted) — the canonical attribution
+    shape on unbounded streams."""
+    views = (
+        read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ev_time").alias("v_time"),
+        )
+        .withWatermark("v_time", "30 minutes")
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ev_time").alias("p_time"),
+        )
+        .withWatermark("p_time", "30 minutes")
+    )
+    joined = purchases.join(
+        views,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_time") <= F.col("p_time"))
+        & (F.col("v_time") >= F.col("p_time") - F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        "purchase_id",
+        "view_id",
+        F.col("p_user").alias("user_id"),
+        F.unix_micros("p_time").alias("purchase_ts_us"),
+        F.unix_micros("v_time").alias("view_ts_us"),
+    )
+    return run_stream_to_memory(joined, "append")
+
+
+_STREAM_STREAM_SQL = """
+SELECT p.event_id AS purchase_id,
+       v.event_id AS view_id,
+       p.user_id,
+       epoch_us(p.ts) AS purchase_ts_us,
+       epoch_us(v.ts) AS view_ts_us
+FROM events p
+JOIN events v
+  ON p.event_type = 'purchase' AND v.event_type = 'view'
+ AND p.user_id = v.user_id
+ AND v.ts <= p.ts
+ AND v.ts >= p.ts - INTERVAL 1 HOUR
+"""
+
+
 QUERIES = {
+    "stream_stream_attribution": stream_stream_attribution,
     "stream_dedup_user_event_types": stream_dedup_user_event_types,
     "stream_static_value_buckets": stream_static_value_buckets,
     "stream_tumbling_6h": stream_tumbling_6h,
@@ -212,6 +269,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "stream_stream_attribution": _STREAM_STREAM_SQL,
     "stream_dedup_user_event_types": _STREAM_DEDUP_SQL,
     "stream_static_value_buckets": _STREAM_STATIC_SQL,
     "stream_tumbling_6h": _TUMBLING_SQL,
