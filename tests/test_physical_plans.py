@@ -84,6 +84,18 @@ def test_window_topk_single_shuffle(spark, queries):
     assert plan.count("WindowGroupLimit") == 2
 
 
+def test_q8_broadcasts_all_dimensions(spark, queries):
+    plan = plan_of(queries["q8_market_share"](spark, SF_SMOKE))
+    # customer-nation, region, supplier, supplier-nation all broadcast:
+    # only the orders/lineitem fact join may shuffle
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_rolling_range_window_single_shuffle(spark, queries):
+    plan = plan_of(queries["window_rolling_24h_value"](spark, SF_SMOKE), "simple")
+    assert plan.count("Exchange") == 1  # one hash partition by user_id
+
+
 def test_boat_pipeline_single_python_stage(spark):
     """The boat pipeline's only Python is the parity line-cleanup UDF;
     the transform section must stay JVM-side column expressions."""
