@@ -547,6 +547,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("n.label") != F.col("o.label"))
             .count()
         )
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
