@@ -592,10 +592,92 @@ FROM labels JOIN clusters ON labels.cluster_id = clusters.cluster_id
 """
 
 
+def text_stopword_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword filtering as a map-only column expression: tokens
+    dropped against a broadcast-literal stoplist, text reassembled."""
+    docs = _docs_view(spark, sf_dir, "__docs_sw")
+    return spark.sql(
+        f"""
+        SELECT doc_id,
+               CAST(size(t) - size(kept) AS BIGINT) AS n_removed,
+               concat_ws(' ', kept) AS clean_text
+        FROM (
+          SELECT doc_id, t, filter(t, x -> x NOT IN {_STOPWORDS}) AS kept
+          FROM (SELECT doc_id, split(text, ' ') AS t FROM {docs})
+        )
+        """
+    )
+
+
+_STOPWORD_SQL = f"""
+SELECT doc_id,
+       len(t) - len(kept) AS n_removed,
+       array_to_string(kept, ' ') AS clean_text
+FROM (
+  SELECT doc_id, t, list_filter(t, x -> x NOT IN {_STOPWORDS}) AS kept
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+)
+"""
+
+
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF with exact integer term/document frequencies and a
+    smoothed idf; top-3 terms per document. One shuffle for the
+    per-(doc, term) counts, a broadcast for the term df table."""
+    docs = _docs_view(spark, sf_dir, "__docs_tfidf")
+    return spark.sql(
+        f"""
+        WITH tok AS (
+          SELECT doc_id, tok FROM {docs}
+          LATERAL VIEW explode(split(text, ' ')) e AS tok
+        ),
+        tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY doc_id, tok),
+        df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY tok),
+        n AS (SELECT COUNT(*) AS n_docs FROM {docs}),
+        scored AS (
+          SELECT tf.doc_id, tf.tok AS term, tf.tf, df.df,
+                 tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)) AS score
+          FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+        )
+        SELECT doc_id, term, tf, df, round(score, 6) AS score
+        FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rk
+          FROM scored
+        )
+        WHERE rk <= 3
+        """
+    )
+
+
+_TFIDF_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY doc_id, tok),
+df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY tok),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.tok AS term, tf.tf, df.df,
+         tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)) AS score
+  FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, round(score, 6) AS score
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rk
+  FROM scored
+)
+WHERE rk <= 3
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_incremental": dedup_incremental,
     "dedup_clusters": dedup_clusters,
+    "text_stopword_removal": text_stopword_removal,
+    "text_tfidf_top_terms": text_tfidf_top_terms,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_simhash": dedup_simhash,
@@ -611,6 +693,8 @@ ORACLE = {
     "dedup_clusters": _DEDUP_CLUSTERS_SQL.format(
         minhash_pairs=_MINHASH_DUCK.format(shingles=_DUCK_SHINGLES)
     ),
+    "text_stopword_removal": _STOPWORD_SQL,
+    "text_tfidf_top_terms": _TFIDF_SQL,
     "dedup_minhash_lsh": _MINHASH_DUCK.format(shingles=_DUCK_SHINGLES),
     "dedup_ngram_jaccard": _NGRAM_DUCK.format(shingles=_DUCK_SHINGLES),
     "dedup_simhash": _SIMHASH_DUCK,
