@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from boat_etl_pyspark_spark.plans import collect_registries
 from boat_etl_pyspark_spark.plans import (
+    analytics,
     multimodal_plans,
     relational,
     relational2,
@@ -32,6 +33,7 @@ from boat_etl_pyspark_spark.plans import (
 from boat_etl_pyspark_spark.session import tune
 
 _PLAN_MODULES = (
+    analytics,
     relational,
     relational2,
     relational3,
