@@ -1,0 +1,96 @@
+"""Reusable operator API — the generic forms of the patterns the
+contract queries instantiate. A user of the engine composes these on
+their own tables; each is a pure DataFrame-plan builder (no collects,
+no UDFs) and scales the same way the audited query plans do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str] | None = None,
+) -> DataFrame:
+    """Backward as-of join: for every left row, the latest right row
+    with ``right_ts <= left_ts`` within the same ``by`` key.
+
+    Implemented as a tagged union + one ordered window over the key —
+    a single shuffle and linear work, never an N x M expansion (the
+    scalable alternative to per-key merge_asof).
+    Right-side values arrive via a max-of-struct so ties on the
+    timestamp resolve to the greatest value tuple (deterministic).
+    """
+    value_cols = value_cols or []
+    rtag = right.select(
+        F.col(by).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__kind"),
+        F.struct(F.col(right_ts).alias("__rts"), *[F.col(c) for c in value_cols]).alias("__payload"),
+    )
+    ltag = left.select(
+        F.col(by).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__kind"),
+        F.lit(None).cast(rtag.schema["__payload"].dataType).alias("__payload"),
+        "*",
+    )
+    unioned = rtag.select("__k", "__ts", "__kind", "__payload").unionByName(
+        ltag.select("__k", "__ts", "__kind", "__payload")
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__ts", "__kind")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    matched = (
+        unioned.withColumn("__match", F.max("__payload").over(w))
+        .where(F.col("__kind") == 1)
+        .select("__k", "__ts", "__match")
+    )
+    out = left.join(
+        matched,
+        (left[by] == matched["__k"]) & (left[left_ts] == matched["__ts"]),
+    ).drop("__k", "__ts")
+    out = out.withColumn("asof_ts", F.col("__match.__rts"))
+    for c in value_cols:
+        out = out.withColumn(f"asof_{c}", F.col(f"__match.{c}"))
+    return out.drop("__match")
+
+
+def topk_per_group(
+    df: DataFrame, group_cols: list[str], order_by: list[Column], k: int
+) -> DataFrame:
+    """Top-k rows per group via row_number; plans with WindowGroupLimit
+    so each map task ships at most k rows per group before the shuffle.
+    Include a unique tiebreaker in ``order_by`` for determinism."""
+    w = Window.partitionBy(*group_cols).orderBy(*order_by)
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
+def sessionize(
+    df: DataFrame, key: str, ts: str, gap_seconds: int
+) -> DataFrame:
+    """Gap-based sessionization (batch form of session_window): rows
+    get a ``session_id`` per key, where a gap >= ``gap_seconds`` opens
+    a new session. One shuffle on the key."""
+    w = Window.partitionBy(key).orderBy(ts)
+    gap_us = gap_seconds * 1_000_000
+    prev = F.lag(F.unix_micros(F.col(ts))).over(w)
+    new_s = F.when(
+        prev.isNull() | (F.unix_micros(F.col(ts)) - prev >= gap_us), 1
+    ).otherwise(0)
+    return df.withColumn(
+        "session_id",
+        F.sum(new_s).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )

@@ -1,0 +1,68 @@
+"""The generic operator API must reproduce the results of the
+contract queries that instantiate the same patterns."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from boat_etl_pyspark_spark.operators.library import (
+    asof_join,
+    sessionize,
+    topk_per_group,
+)
+from boat_etl_pyspark_spark.sources.readers import load_table
+from tests.conftest import SF_SMOKE
+
+
+def test_asof_join_matches_contract_query(spark):
+    import __spark_entry__ as m
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    views = ev.where(F.col("event_type") == "view")
+    lib = asof_join(purchases, views, by="user_id", left_ts="ts", right_ts="ts")
+    got = {
+        (r["event_id"], r["asof_ts"] and int(r["asof_ts"].timestamp() * 1e6))
+        for r in lib.select("event_id", "asof_ts").collect()
+    }
+    want = {
+        (r["purchase_id"], r["last_view_ts_us"])
+        for r in m.queries()["join_asof_purchase_last_view"](spark, SF_SMOKE).collect()
+    }
+    assert got == want
+
+
+def test_topk_matches_contract_query(spark):
+    import __spark_entry__ as m
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    lib = topk_per_group(
+        orders, ["o_custkey"], [F.desc("o_totalprice"), F.asc("o_orderkey")], 3
+    )
+    got = {(r["o_custkey"], r["o_orderkey"]) for r in lib.collect()}
+    want = {
+        (r["o_custkey"], r["o_orderkey"])
+        for r in m.queries()["window_topk_orders_per_customer"](spark, SF_SMOKE).collect()
+    }
+    assert got == want
+
+
+def test_sessionize_matches_streaming_session_windows(spark):
+    import __spark_entry__ as m
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    sess = sessionize(ev, key="user_id", ts="ts", gap_seconds=30 * 60)
+    lib = (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.min(F.unix_micros("ts")).alias("session_start_us"),
+            F.count("*").alias("n_events"),
+        )
+        .select("user_id", "session_start_us", "n_events")
+    )
+    got = sorted(map(tuple, lib.collect()))
+    want = sorted(
+        (r["user_id"], r["session_start_us"], r["n_events"])
+        for r in m.queries()["stream_session_windows"](spark, SF_SMOKE).collect()
+    )
+    assert got == want
