@@ -193,13 +193,130 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_QUANT_SPARK.format(emb="__emb_q8"))
 
 
+# ---------------------------------------------------------------------------
+# Bitmap aggregation: per-user engagement bitmask via bit_or
+# ---------------------------------------------------------------------------
+
+_EVENT_BITS = "CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2 WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8 ELSE 16 END"
+
+
+def agg_user_engagement_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("__bm_events")
+    return spark.sql(
+        f"""
+        WITH u AS (
+          SELECT user_id,
+                 bit_or({_EVENT_BITS}) AS engagement_bits,
+                 COUNT(*) AS n_events
+          FROM __bm_events GROUP BY user_id
+        )
+        SELECT engagement_bits,
+               COUNT(*) AS n_users,
+               CAST(SUM(n_events) AS BIGINT) AS total_events
+        FROM u GROUP BY engagement_bits
+        """
+    )
+
+
+_BITMAP_SQL = f"""
+WITH u AS (
+  SELECT user_id,
+         bit_or({_EVENT_BITS}) AS engagement_bits,
+         COUNT(*) AS n_events
+  FROM events GROUP BY user_id
+)
+SELECT engagement_bits,
+       COUNT(*) AS n_users,
+       CAST(SUM(n_events) AS BIGINT) AS total_events
+FROM u GROUP BY engagement_bits
+"""
+
+
+# ---------------------------------------------------------------------------
+# Histogram via width_bucket — the scalar (shuffle-free) form of the
+# range-join bucketing in join_range_value_buckets
+# ---------------------------------------------------------------------------
+
+def agg_width_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    from ..functions.numeric import money_sum
+
+    bucket = F.expr("width_bucket(value, 0.0, 350.0, 7)")
+    return ev.groupBy(bucket.cast("bigint").alias("bucket")).agg(
+        F.count("*").alias("n_events"),
+        money_sum(F.col("value")).alias("value_sum"),
+    )
+
+
+# DuckDB has no width_bucket; the equal-width arithmetic is identical
+_WIDTH_BUCKET_SQL = """
+SELECT CAST(CASE WHEN value < 0.0 THEN 0
+                 WHEN value >= 350.0 THEN 8
+                 ELSE floor(value / 50.0) + 1 END AS BIGINT) AS bucket,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS value_sum
+FROM events
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Edit distance over near-dup pairs (string-similarity verification)
+# ---------------------------------------------------------------------------
+
+def dedup_pair_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .textdedup import dedup_minhash_lsh
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    docs = load_table(spark, sf_dir, "documents")
+    prefix = F.substring(F.col("text"), 1, 60)
+    a = docs.select(F.col("doc_id").alias("doc_a"), prefix.alias("pa"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), prefix.alias("pb"))
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein(F.col("pa"), F.col("pb")).cast("bigint").alias("prefix_edit_distance"),
+        )
+    )
+
+
+_EDIT_DIST_SQL = """
+WITH pairs AS (
+  {minhash_pairs}
+)
+SELECT doc_a, doc_b,
+       levenshtein(substring(a.text, 1, 60), substring(b.text, 1, 60)) AS prefix_edit_distance
+FROM pairs
+JOIN documents a ON a.doc_id = doc_a
+JOIN documents b ON b.doc_id = doc_b
+"""
+
+
 QUERIES = {
+    "agg_user_engagement_bitmap": agg_user_engagement_bitmap,
+    "agg_width_bucket_histogram": agg_width_bucket_histogram,
+    "dedup_pair_edit_distance": dedup_pair_edit_distance,
     "events_funnel_conversion": events_funnel_conversion,
     "cohort_retention": cohort_retention,
     "sim_quantize_int8": sim_quantize_int8,
 }
 
+def _edit_dist_oracle() -> str:
+    from .textdedup import _DUCK_SHINGLES, _MINHASH_DUCK
+
+    return _EDIT_DIST_SQL.format(
+        minhash_pairs=_MINHASH_DUCK.format(shingles=_DUCK_SHINGLES)
+    )
+
+
 ORACLE = {
+    "agg_user_engagement_bitmap": _BITMAP_SQL,
+    "agg_width_bucket_histogram": _WIDTH_BUCKET_SQL,
+    "dedup_pair_edit_distance": _edit_dist_oracle(),
     "events_funnel_conversion": _FUNNEL_SQL,
     "cohort_retention": _COHORT_SQL,
     "sim_quantize_int8": _QUANT_DUCK,
