@@ -40,6 +40,31 @@ def _docs_view(spark: SparkSession, sf_dir: str, name: str = "__docs") -> str:
     return name
 
 
+# Session-scoped cache for expensive shared intermediates: shingle
+# sets and verified near-dup pairs are needed by several operators
+# (minhash, ngram, fingerprints, clustering, edit distance). Keyed by
+# (applicationId, sf_dir) — the fixture dirs are immutable, so the
+# cached plans never go stale within a session.
+_SHARED: dict = {}
+
+
+def _cached(spark: SparkSession, sf_dir: str, kind: str, build):
+    key = (spark.sparkContext.applicationId, sf_dir, kind)
+    if key not in _SHARED:
+        _SHARED[key] = build().persist()
+    return _SHARED[key]
+
+
+def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted (doc_id, lang, source, s=3-gram set) — shared by every
+    shingle-consuming operator in the session."""
+    def build():
+        docs = _docs_view(spark, sf_dir, "__docs_shared_sh")
+        return spark.sql(_SPARK_SHINGLES.format(docs=docs))
+
+    return _cached(spark, sf_dir, "shingles3", build)
+
+
 # Shared SQL fragments (valid in BOTH Spark SQL and DuckDB unless
 # stated otherwise). Tokens: whitespace split. Shingles: word 3-grams.
 _SPARK_SHINGLES = """
@@ -161,69 +186,50 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs once, not four times — at corpus scale recomputing signatures
     per join side is the difference between one pass and four.
     """
-    docs = _docs_view(spark, sf_dir, "__docs_mh")
-    sh = spark.sql(_SPARK_SHINGLES.format(docs=docs)).persist()
-    sh.createOrReplaceTempView("__mh_sh")
-    bands_sql = _MINHASH_BANDS_SPARK.format(sh="__mh_sh")
-    bands = spark.sql(bands_sql).persist()
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    def build():
+        sh = _shingle_sets(spark, sf_dir)
+        sh.createOrReplaceTempView("__mh_sh")
+        bands = spark.sql(_MINHASH_BANDS_SPARK.format(sh="__mh_sh")).persist()
+        a, b = bands.alias("a"), bands.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .distinct()
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    x = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
-    y = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
-    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
-    jac = inter.cast("double") / (F.size("sa") + F.size("sb") - inter)
-    return (
-        cand.join(x, "doc_a")
-        .join(y, "doc_b")
-        .withColumn("jaccard", jac)
-        .where(F.col("jaccard") >= 0.6)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+        x = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+        y = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+        inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+        jac = inter.cast("double") / (F.size("sa") + F.size("sb") - inter)
+        return (
+            cand.join(x, "doc_a")
+            .join(y, "doc_b")
+            .withColumn("jaccard", jac)
+            .where(F.col("jaccard") >= 0.6)
+            .select("doc_a", "doc_b", "jaccard")
+        )
+
+    return _cached(spark, sf_dir, "minhash_pairs", build)
 
 
 # ---------------------------------------------------------------------------
 # N-gram Jaccard near-dup via shared-5-gram inverted index (df cap = 20)
 # ---------------------------------------------------------------------------
 
-_NGRAM_SPARK = """
-WITH sh AS ({shingles}),
-g5 AS (
+_NGRAM_INV_SPARK = """
+WITH g5 AS (
   SELECT doc_id,
          array_distinct(transform(sequence(1, greatest(size(t) - 4, 1)),
              i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1), element_at(t, i + 2),
                                  element_at(t, i + 3), element_at(t, i + 4)))) AS s5
   FROM (SELECT doc_id, split(text, ' ') AS t FROM {docs})
-),
-inv AS (
-  SELECT g.doc_id, gram
-  FROM g5 g LATERAL VIEW explode(g.s5) e AS gram
-),
-rare AS (
-  SELECT gram FROM inv GROUP BY gram HAVING COUNT(*) <= 20
-),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM inv a
-  JOIN rare r ON a.gram = r.gram
-  JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
 )
-SELECT c.doc_a, c.doc_b,
-       CAST(size(array_intersect(x.s, y.s)) AS DOUBLE)
-         / (size(x.s) + size(y.s) - size(array_intersect(x.s, y.s))) AS jaccard
-FROM cand c
-JOIN sh x ON x.doc_id = c.doc_a
-JOIN sh y ON y.doc_id = c.doc_b
-WHERE CAST(size(array_intersect(x.s, y.s)) AS DOUBLE)
-        / (size(x.s) + size(y.s) - size(array_intersect(x.s, y.s))) >= 0.5
+SELECT g.doc_id, gram
+FROM g5 g LATERAL VIEW explode(g.s5) e AS gram
 """
 
 _NGRAM_DUCK = """
@@ -254,9 +260,34 @@ WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted 5-gram index (df cap 20 kills hot shingles, so no
+    skewed join key) -> candidate pairs -> exact 3-gram Jaccard over
+    the session-shared shingle sets."""
     docs = _docs_view(spark, sf_dir, "__docs_ng")
-    return spark.sql(
-        _NGRAM_SPARK.format(shingles=_SPARK_SHINGLES.format(docs=docs), docs=docs)
+    inv = _cached(
+        spark, sf_dir, "ngram_inv",
+        lambda: spark.sql(_NGRAM_INV_SPARK.format(docs=docs)),
+    )
+    rare = inv.groupBy("gram").count().where(F.col("count") <= 20).select("gram")
+    cand = (
+        inv.alias("a")
+        .join(rare, "gram")
+        .join(inv.alias("b"), "gram")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sh = _shingle_sets(spark, sf_dir)
+    x = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    y = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    jac = inter.cast("double") / (F.size("sa") + F.size("sb") - inter)
+    return (
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
+        .withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
     )
 
 
@@ -462,8 +493,9 @@ FROM documents d JOIN sh ON sh.doc_id = d.doc_id
 
 def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_view(spark, sf_dir, "__docs_fp")
+    _shingle_sets(spark, sf_dir).createOrReplaceTempView("__fp_sh")
     return spark.sql(
-        _FP_SPARK.format(shingles=_SPARK_SHINGLES.format(docs=docs), docs=docs)
+        _FP_SPARK.format(shingles="SELECT * FROM __fp_sh", docs=docs)
     )
 
 
