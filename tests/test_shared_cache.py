@@ -1,0 +1,26 @@
+"""The session-scoped shared-intermediate cache must key correctly by
+scale-factor directory: the driver runs entry() on sf0.001 and the
+correctness gate on sf0.01 in the same session, so cross-sf cache
+bleed would silently corrupt the gate."""
+
+from __future__ import annotations
+
+
+def test_cache_isolated_per_sf_dir(spark):
+    import __spark_entry__ as m
+
+    q = m.queries()["dedup_minhash_lsh"]
+    # the two fixtures hold different 500-doc corpora (different md5s)
+    a1 = sorted(map(tuple, q(spark, "/root/testdata/sf0.001").collect()))
+    b = sorted(map(tuple, q(spark, "/root/testdata/sf0.01").collect()))
+    a2 = sorted(map(tuple, q(spark, "/root/testdata/sf0.001").collect()))
+    assert a1 == a2  # cache hit returns identical results
+    assert a1 != b   # and never bleeds across sf dirs
+
+
+def test_cache_survives_many_calls(spark):
+    import __spark_entry__ as m
+
+    q = m.queries()["text_fingerprints"]
+    counts = {q(spark, "/root/testdata/sf0.001").count() for _ in range(3)}
+    assert len(counts) == 1
