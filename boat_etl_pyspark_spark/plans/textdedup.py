@@ -704,12 +704,44 @@ WHERE rk <= 3
 """
 
 
+_KEYWORDS = "('spark', 'hash', 'vector', 'stream')"
+
+
+def text_keyword_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword span extraction: (doc, keyword, token position) rows —
+    the built-in posexplode+filter form (the UDTF equivalence test in
+    tests/test_udtf.py drives the same semantics through a Python
+    UDTF, which stays off the contract hot path by design)."""
+    docs = _docs_view(spark, sf_dir, "__docs_ks")
+    return spark.sql(
+        f"""
+        SELECT doc_id, tok AS keyword, CAST(pos AS BIGINT) AS position
+        FROM {docs}
+        LATERAL VIEW posexplode(split(text, ' ')) e AS pos, tok
+        WHERE tok IN {_KEYWORDS}
+        """
+    )
+
+
+_KEYWORD_SPANS_SQL = f"""
+SELECT doc_id, tok AS keyword, CAST(pos - 1 AS BIGINT) AS position
+FROM (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+)
+WHERE tok IN {_KEYWORDS}
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_incremental": dedup_incremental,
     "dedup_clusters": dedup_clusters,
     "text_stopword_removal": text_stopword_removal,
     "text_tfidf_top_terms": text_tfidf_top_terms,
+    "text_keyword_spans": text_keyword_spans,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_simhash": dedup_simhash,
@@ -727,6 +759,7 @@ ORACLE = {
     ),
     "text_stopword_removal": _STOPWORD_SQL,
     "text_tfidf_top_terms": _TFIDF_SQL,
+    "text_keyword_spans": _KEYWORD_SPANS_SQL,
     "dedup_minhash_lsh": _MINHASH_DUCK.format(shingles=_DUCK_SHINGLES),
     "dedup_ngram_jaccard": _NGRAM_DUCK.format(shingles=_DUCK_SHINGLES),
     "dedup_simhash": _SIMHASH_DUCK,
