@@ -765,20 +765,27 @@ WHERE tok IN {_KEYWORDS}
 # dim) integers, never documents. The 100 TB layout partitions by
 # band signature.
 
-_EMBCOS_SPARK = """
-WITH dims AS (
-  SELECT doc_id,
-         CAST(conv(substr(md5(tok), 1, 6), 16, 10) AS BIGINT) % 512 AS d,
-         COUNT(*) AS c
-  FROM {docs} LATERAL VIEW explode(split(text, ' ')) t AS tok
-  WHERE tok != ''
-  GROUP BY 1, 2
-),
-norms AS (SELECT doc_id, SUM(c * c) AS n2 FROM dims GROUP BY doc_id),
-scores AS (
+# Spark side runs in three stages with the sparse-vector table (and
+# the per-doc band signatures derived from it) persisted: `dims`
+# feeds five consumers and `bands` two join sides — as CTEs the
+# tokenize+explode+groupBy subtree would re-execute per consumer
+# (Spark does not materialize WITH clauses; measured 8.7s -> ~1s at
+# sf0.1).
+
+_EMBCOS_DIMS_SPARK = """
+SELECT doc_id,
+       CAST(conv(substr(md5(tok), 1, 6), 16, 10) AS BIGINT) % 512 AS d,
+       COUNT(*) AS c
+FROM {docs} LATERAL VIEW explode(split(text, ' ')) t AS tok
+WHERE tok != ''
+GROUP BY 1, 2
+"""
+
+_EMBCOS_BANDS_SPARK = """
+WITH scores AS (
   SELECT doc_id, j,
          SUM(c * (((j * 512 + d) * 2654435761) % 4294967296 - 2147483648)) AS s
-  FROM dims LATERAL VIEW explode(sequence(0, 63)) jj AS j
+  FROM {dims} LATERAL VIEW explode(sequence(0, 63)) jj AS j
   GROUP BY doc_id, j
 ),
 th AS (SELECT j, SUM(s) AS tot, COUNT(*) AS n FROM scores GROUP BY j),
@@ -786,29 +793,25 @@ bits AS (
   SELECT s.doc_id, s.j,
          CASE WHEN s.s * th.n > th.tot THEN 1L ELSE 0L END AS bit
   FROM scores s JOIN th ON s.j = th.j
-),
-bands AS (
-  SELECT doc_id, j DIV 8 AS band,
-         SUM(shiftleft(bit, CAST(j % 8 AS INT))) AS sig
-  FROM bits GROUP BY 1, 2
-),
-cand AS (
-  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-  FROM bands a JOIN bands b
-    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-),
-dots AS (
-  SELECT c.da, c.db, SUM(x.c * y.c) AS dot
-  FROM cand c
-  JOIN dims x ON x.doc_id = c.da
-  JOIN dims y ON y.doc_id = c.db AND y.d = x.d
-  GROUP BY c.da, c.db
 )
-SELECT da AS doc_id_a, db AS doc_id_b,
-       dot / (sqrt(na.n2) * sqrt(nb.n2)) AS cos
-FROM dots JOIN norms na ON na.doc_id = da JOIN norms nb ON nb.doc_id = db
-WHERE dot / (sqrt(na.n2) * sqrt(nb.n2)) >= 0.95
+SELECT doc_id, j DIV 8 AS band,
+       SUM(shiftleft(bit, CAST(j % 8 AS INT))) AS sig
+FROM bits GROUP BY 1, 2
 """
+
+# Verification computes the sparse dot as a map lookup per candidate
+# pair (one row per pair, no explode/re-aggregation shuffle): the
+# integer sum order follows a's entries, but integer addition is
+# associative-exact, so the result is identical to the oracle's
+# join-then-SUM form. The final stage is DataFrame API over the
+# persisted stage DataFrames — referencing them through SQL temp
+# views defeats nested-cache plan substitution and silently
+# recomputes the signature subtree on both sides of the self-join
+# (measured: 2s per side at sf0.1).
+_EMBCOS_DOT = (
+    "aggregate(map_entries(ma), 0L, "
+    "(acc, e) -> acc + e.value * coalesce(element_at(mb, e.key), 0L))"
+)
 
 _EMBCOS_DUCK = """
 WITH dims AS (
@@ -860,8 +863,55 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by embedding cosine >= 0.95 over a hashed
     bag-of-words document embedding, with centered sign-LSH banding as
     the candidate generator (see block comment above)."""
-    docs = _docs_view(spark, sf_dir, "__docs_ec")
-    return spark.sql(_EMBCOS_SPARK.format(docs=docs))
+    def build_dims():
+        docs = _docs_view(spark, sf_dir, "__docs_ec")
+        return spark.sql(_EMBCOS_DIMS_SPARK.format(docs=docs))
+
+    dims = _cached(spark, sf_dir, "embcos_dims", build_dims)
+    dims.createOrReplaceTempView("__ec_dims")
+
+    def build_bands():
+        return spark.sql(_EMBCOS_BANDS_SPARK.format(dims="__ec_dims"))
+
+    bands = _cached(spark, sf_dir, "embcos_bands", build_bands)
+    bands.createOrReplaceTempView("__ec_bands")
+
+    def build_vecs():
+        return spark.sql(
+            "SELECT doc_id, map_from_entries(collect_list(struct(d, c))) AS m, "
+            "SUM(c * c) AS n2 FROM __ec_dims GROUP BY doc_id"
+        )
+
+    vecs = _cached(spark, sf_dir, "embcos_vecs", build_vecs)
+
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .distinct()
+    )
+    x = vecs.select(
+        F.col("doc_id").alias("da"), F.col("m").alias("ma"), F.col("n2").alias("na2")
+    )
+    y = vecs.select(
+        F.col("doc_id").alias("db"), F.col("m").alias("mb"), F.col("n2").alias("nb2")
+    )
+    cos = F.expr(_EMBCOS_DOT) / (F.sqrt("na2") * F.sqrt("nb2"))
+    return (
+        cand.join(x, "da")
+        .join(y, "db")
+        .select(
+            F.col("da").alias("doc_id_a"),
+            F.col("db").alias("doc_id_b"),
+            cos.alias("cos"),
+        )
+        .where(F.col("cos") >= 0.95)
+    )
 
 
 QUERIES = {
