@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from boat_etl_pyspark_spark.plans import collect_registries
 from boat_etl_pyspark_spark.plans import (
     analytics,
+    curation,
     multimodal_plans,
     relational,
     relational2,
@@ -34,6 +35,7 @@ from boat_etl_pyspark_spark.session import tune
 
 _PLAN_MODULES = (
     analytics,
+    curation,
     relational,
     relational2,
     relational3,

@@ -1,0 +1,176 @@
+"""Dataset curation operators over ``documents`` — the decisions a
+training-data pipeline makes before a corpus reaches the trainer
+(SURVEY.md §2.9 north-star extensions; no reference counterpart —
+the reference, src/pipeline_pyspark.py, has no sampling/split surface
+at all).
+
+Three decision ops, distinct from the scoring ops in ``textdedup``:
+
+  * ``curate_train_split`` — deterministic train/val/test assignment
+    by content-independent hash of the document key. Hash-based (not
+    ``rand()``-based) so the split is reproducible across runs,
+    engines, and repartitionings, and stable under corpus growth: a
+    document's split never changes when other documents are added.
+  * ``curate_quality_filter`` — reason-coded C4-style heuristic
+    filter: every document gets a keep/drop verdict plus the first
+    failing rule, so downstream can audit drop rates per rule.
+  * ``curate_stratified_sample`` — deterministic per-stratum sample:
+    rank by md5(doc_id) within (lang, source) and keep the first k.
+    Equivalent to a uniform random sample per stratum (the hash is
+    uncorrelated with any document property) but reproducible and
+    oracle-checkable, unlike ``TABLESAMPLE``/``rand()``.
+
+Scale posture: all three are map-side except the sample's per-stratum
+window (a shuffle on (lang, source) — bounded cardinality, no skew
+since strata are hash-ranked, not value-ranked); the filter and split
+never shuffle at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.readers import load_table
+
+
+def _docs_view(spark: SparkSession, sf_dir: str, name: str) -> str:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(name)
+    return name
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split (80/10/10 by md5 bucket)
+# ---------------------------------------------------------------------------
+
+_SPLIT_CASE = """
+  CASE WHEN bucket < 80 THEN 'train'
+       WHEN bucket < 90 THEN 'val'
+       ELSE 'test' END
+"""
+
+_SPLIT_SPARK = f"""
+SELECT doc_id, {_SPLIT_CASE} AS split
+FROM (
+  SELECT doc_id,
+         CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 6), 16, 10) AS BIGINT) % 100 AS bucket
+  FROM {{docs}}
+)
+"""
+
+_SPLIT_DUCK = f"""
+SELECT doc_id, {_SPLIT_CASE} AS split
+FROM (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT) % 100 AS bucket
+  FROM documents
+)
+"""
+
+
+def curate_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_view(spark, sf_dir, "__docs_split")
+    return spark.sql(_SPLIT_SPARK.format(docs=docs))
+
+
+# ---------------------------------------------------------------------------
+# Reason-coded quality filter (C4-style heuristics)
+# ---------------------------------------------------------------------------
+# Rules, in precedence order (first failure wins):
+#   too_short  — fewer than 20 tokens;
+#   repetitive — most frequent token accounts for > 12.5% of tokens
+#                (boilerplate/spam signal);
+#   non_text   — mean token length outside [2.5, 6] (binary junk or
+#                delimiter-free blobs; never fires on the clean
+#                fixture, which the test pins as 0 — the rule guards
+#                real corpora).
+# mean token length is derived from n_chars and the token count
+# (text is space-joined, so chars = sum(len) + (n_tok - 1)).
+
+_FILTER_BODY = """
+  SELECT doc_id, n_tok, top_share, mean_tok_len,
+         n_tok < 20 AS r_too_short,
+         top_share > 0.125 AS r_repetitive,
+         mean_tok_len < 2.5 OR mean_tok_len > 6.0 AS r_non_text,
+         CASE WHEN n_tok < 20 THEN 'too_short'
+              WHEN top_share > 0.125 THEN 'repetitive'
+              WHEN mean_tok_len < 2.5 OR mean_tok_len > 6.0 THEN 'non_text'
+              ELSE 'keep' END AS verdict
+"""
+
+_FILTER_SPARK = f"""
+{_FILTER_BODY}
+FROM (
+  SELECT doc_id,
+         CAST(size(t) AS BIGINT) AS n_tok,
+         CAST(array_max(transform(array_distinct(t),
+              x -> size(filter(t, y -> y = x)))) AS DOUBLE) / size(t) AS top_share,
+         CAST(n_chars - size(t) + 1 AS DOUBLE) / size(t) AS mean_tok_len
+  FROM (SELECT doc_id, n_chars, split(text, ' ') AS t FROM {{docs}})
+)
+"""
+
+_FILTER_DUCK = f"""
+{_FILTER_BODY}
+FROM (
+  SELECT doc_id,
+         CAST(len(t) AS BIGINT) AS n_tok,
+         CAST(list_max(list_transform(list_distinct(t),
+              x -> len(list_filter(t, y -> y = x)))) AS DOUBLE) / len(t) AS top_share,
+         CAST(n_chars - len(t) + 1 AS DOUBLE) / len(t) AS mean_tok_len
+  FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS t FROM documents)
+)
+"""
+
+
+def curate_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_view(spark, sf_dir, "__docs_qf")
+    return spark.sql(_FILTER_SPARK.format(docs=docs))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sample: first k per (lang, source) by hash
+# ---------------------------------------------------------------------------
+
+_SAMPLE_K = 5
+
+_SAMPLE_SPARK = f"""
+SELECT lang, source, doc_id, CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT lang, source, doc_id,
+         row_number() OVER (
+           PARTITION BY lang, source
+           ORDER BY md5(CAST(doc_id AS STRING)), doc_id) AS rk
+  FROM {{docs}}
+)
+WHERE rk <= {_SAMPLE_K}
+"""
+
+_SAMPLE_DUCK = f"""
+SELECT lang, source, doc_id, CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT lang, source, doc_id,
+         row_number() OVER (
+           PARTITION BY lang, source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents
+)
+WHERE rk <= {_SAMPLE_K}
+"""
+
+
+def curate_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_view(spark, sf_dir, "__docs_strat")
+    return spark.sql(_SAMPLE_SPARK.format(docs=docs))
+
+
+QUERIES = {
+    "curate_train_split": curate_train_split,
+    "curate_quality_filter": curate_quality_filter,
+    "curate_stratified_sample": curate_stratified_sample,
+}
+
+ORACLE = {
+    "curate_train_split": _SPLIT_DUCK,
+    "curate_quality_filter": _FILTER_DUCK,
+    "curate_stratified_sample": _SAMPLE_DUCK,
+}
