@@ -46,6 +46,8 @@ def binary_metadata(with_payload: DataFrame) -> DataFrame:
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in it:
             lens = pdf["payload"].map(len)
             yield pd.DataFrame(
@@ -53,9 +55,12 @@ def binary_metadata(with_payload: DataFrame) -> DataFrame:
                     "doc_id": pdf["doc_id"],
                     "byte_len": lens,
                     "kind": [_KINDS[n % 4] for n in lens],
-                    # cheap rolling checksum over the raw bytes
+                    # cheap rolling checksum over the raw bytes —
+                    # vectorized per payload (a pure-Python byte loop
+                    # is ~100x slower at Arrow batch sizes)
                     "checksum": [
-                        sum(b) % 1_000_003 for b in pdf["payload"]
+                        int(np.frombuffer(b, dtype=np.uint8).sum()) % 1_000_003
+                        for b in pdf["payload"]
                     ],
                 }
             )

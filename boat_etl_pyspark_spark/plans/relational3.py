@@ -163,12 +163,20 @@ GROUP BY c_mktsegment
 
 def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
-    per_status = orders.groupBy("o_orderstatus").agg(
-        F.countDistinct("o_custkey").alias("exact_customers"),
+    # countDistinct must NOT share a groupBy with the sketch/percentile
+    # aggregates: Spark's distinct-rewrite would pre-aggregate by
+    # (status, custkey), building one HLL + percentile + KLL buffer per
+    # CUSTOMER instead of per status (~100k object buffers; measured
+    # 6.5s -> 1.3s at sf0.1). Two cheap aggregations + a 3-row join.
+    exact_distinct = orders.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("exact_customers")
+    )
+    sketches = orders.groupBy("o_orderstatus").agg(
         F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
         F.expr("percentile(o_totalprice, 0.5)").alias("exact_p50"),
         F.expr("approx_percentile(o_totalprice, 0.5, 10000)").alias("approx_p50"),
     )
+    per_status = exact_distinct.join(sketches, "o_orderstatus")
     return per_status.select(
         "o_orderstatus",
         "exact_customers",
