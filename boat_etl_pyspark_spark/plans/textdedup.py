@@ -55,11 +55,27 @@ def _cached(spark: SparkSession, sf_dir: str, kind: str, build):
     return _SHARED[key]
 
 
+def _docs_wide_view(spark: SparkSession, sf_dir: str, name: str) -> str:
+    """Documents repartitioned to full parallelism for expression-heavy
+    per-doc pipelines. The fixture files are single-row-group parquet,
+    so they scan as ONE input partition and any compute placed before
+    the first exchange runs on one core of 32 (measured: the shingle
+    build alone was 13.9s at sf0.1, ~4x faster after spreading). The
+    repartition shuffles only the slim base table. At cluster scale
+    the same guard covers the few-huge-files layout where splits are
+    capped by row-group boundaries."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    docs.createOrReplaceTempView(name)
+    return name
+
+
 def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted (doc_id, lang, source, s=3-gram set) — shared by every
     shingle-consuming operator in the session."""
     def build():
-        docs = _docs_view(spark, sf_dir, "__docs_shared_sh")
+        docs = _docs_wide_view(spark, sf_dir, "__docs_shared_sh")
         return spark.sql(_SPARK_SHINGLES.format(docs=docs))
 
     return _cached(spark, sf_dir, "shingles3", build)
@@ -263,7 +279,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted 5-gram index (df cap 20 kills hot shingles, so no
     skewed join key) -> candidate pairs -> exact 3-gram Jaccard over
     the session-shared shingle sets."""
-    docs = _docs_view(spark, sf_dir, "__docs_ng")
+    docs = _docs_wide_view(spark, sf_dir, "__docs_ng")
     inv = _cached(
         spark, sf_dir, "ngram_inv",
         lambda: spark.sql(_NGRAM_INV_SPARK.format(docs=docs)),
@@ -559,30 +575,51 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("label", F.col("node"))
         .persist()
     )
-    for _ in range(20):  # >> diameter of any dedup component
-        neighbor_min = (
-            edges.join(labels, edges.doc_b == labels.node)
-            .groupBy(F.col("doc_a").alias("node"))
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, "node", "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias("label"),
+    # Size the loop's shuffle width to the GRAPH, not the session
+    # default: the near-dup graph is orders of magnitude smaller than
+    # the corpus (it holds only verified near-dup pairs), and every
+    # round pays per-partition scheduling on 3 shuffles. ~50k edges
+    # per partition, floor 4; a billion-edge graph on a real cluster
+    # still widens to the session default. (Measured 7.1s -> 5.0s at
+    # sf0.1; results are width-independent, pinned by
+    # tests/test_determinism.)
+    n_edges = edges.count()
+    default_width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    loop_width = max(4, min(default_width, n_edges // 50_000 + 4))
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_width))
+    prev_cached = labels
+    try:
+        for _ in range(20):  # >> diameter of any dedup component
+            neighbor_min = (
+                edges.join(labels, edges.doc_b == labels.node)
+                .groupBy(F.col("doc_a").alias("node"))
+                .agg(F.min("label").alias("nbr_label"))
             )
-            .persist()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            break
+            # the convergence flag rides along in the same pass, so
+            # each round costs ONE action (the count materializes the
+            # persisted round result) instead of a second old-vs-new
+            # join job
+            stepped = (
+                labels.join(neighbor_min, "node", "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                    ).alias("new_label"),
+                    (
+                        F.coalesce(F.col("nbr_label"), F.col("label")) < F.col("label")
+                    ).alias("changed"),
+                )
+                .persist()
+            )
+            changed = stepped.where("changed").count()
+            prev_cached.unpersist()
+            prev_cached = stepped
+            labels = stepped.select("node", F.col("new_label").alias("label"))
+            if changed == 0:
+                break
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", str(default_width))
     clusters = labels.groupBy("label").agg(
         F.count("*").alias("cluster_size"), F.min("node").alias("keeper_doc_id")
     )
@@ -864,7 +901,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     bag-of-words document embedding, with centered sign-LSH banding as
     the candidate generator (see block comment above)."""
     def build_dims():
-        docs = _docs_view(spark, sf_dir, "__docs_ec")
+        docs = _docs_wide_view(spark, sf_dir, "__docs_ec")
         return spark.sql(_EMBCOS_DIMS_SPARK.format(docs=docs))
 
     dims = _cached(spark, sf_dir, "embcos_dims", build_dims)

