@@ -258,8 +258,40 @@ JOIN events v
 """
 
 
+def stream_kafka_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka-source plumbing check as a real streaming job: events ->
+    Kafka wire records (JSON value, keyed partition, offset) ->
+    consumer parse -> per-(partition, event_type) totals. The oracle
+    recomputes from the raw events, so a MATCH proves the serialize/
+    parse round-trip is lossless (doubles included) and the partition/
+    offset assignment is deterministic."""
+    from ..sources.kafka_shim import parse_event_records, read_kafka_shaped_stream
+
+    ev = parse_event_records(read_kafka_shaped_stream(spark, sf_dir))
+    agg = ev.groupBy(
+        F.col("partition").cast("bigint").alias("partition"), "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        (F.sum(cents(F.col("value"))) / 100.0).alias("value_sum"),
+        F.max("offset").alias("max_offset"),
+    )
+    return run_stream_to_memory(agg, "complete")
+
+
+_KAFKA_ROUNDTRIP_SQL = """
+SELECT user_id % 4 AS partition,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS value_sum,
+       MAX(event_id) AS max_offset
+FROM events
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "stream_stream_attribution": stream_stream_attribution,
+    "stream_kafka_roundtrip": stream_kafka_roundtrip,
     "stream_dedup_user_event_types": stream_dedup_user_event_types,
     "stream_static_value_buckets": stream_static_value_buckets,
     "stream_tumbling_6h": stream_tumbling_6h,
@@ -270,6 +302,7 @@ QUERIES = {
 
 ORACLE = {
     "stream_stream_attribution": _STREAM_STREAM_SQL,
+    "stream_kafka_roundtrip": _KAFKA_ROUNDTRIP_SQL,
     "stream_dedup_user_event_types": _STREAM_DEDUP_SQL,
     "stream_static_value_buckets": _STREAM_STATIC_SQL,
     "stream_tumbling_6h": _TUMBLING_SQL,
