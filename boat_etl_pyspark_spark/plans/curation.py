@@ -163,14 +163,69 @@ def curate_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SAMPLE_SPARK.format(docs=docs))
 
 
+# ---------------------------------------------------------------------------
+# Sequence packing: concat-then-chunk into fixed token blocks
+# ---------------------------------------------------------------------------
+# The canonical LLM pretraining layout: documents are concatenated in
+# a deterministic order (per lang stream, by doc_id) and the token
+# stream is cut into fixed-size blocks; a document belongs to the
+# block where it starts (long docs straddle into following blocks).
+# One window cumsum per lang = one shuffle; block stats aggregate on
+# (lang, seq_id). At scale the lang partition is the parallelism unit
+# and the cumsum is a prefix-sum over pre-aggregated partition totals.
+
+_PACK_BUDGET = 512
+
+_PACK_BODY = """
+SELECT lang, seq_id,
+       COUNT(*) AS n_docs,
+       SUM(n_tok) AS n_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+"""
+
+# seq_id uses each dialect's INTEGER division (Spark DIV, DuckDB //);
+# plain `/` is float division in both.
+_PACK_SPARK = f"""
+{_PACK_BODY}
+FROM (
+  SELECT doc_id, lang, n_tok,
+         (SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          - n_tok) DIV {_PACK_BUDGET} AS seq_id
+  FROM (SELECT doc_id, lang, CAST(size(split(text, ' ')) AS BIGINT) AS n_tok FROM {{docs}})
+)
+GROUP BY lang, seq_id
+"""
+
+_PACK_DUCK = f"""
+{_PACK_BODY}
+FROM (
+  SELECT doc_id, lang, n_tok,
+         (SUM(n_tok) OVER w - n_tok) // {_PACK_BUDGET} AS seq_id
+  FROM (SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents)
+  WINDOW w AS (PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+GROUP BY lang, seq_id
+"""
+
+
+def curate_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_view(spark, sf_dir, "__docs_pack")
+    return spark.sql(_PACK_SPARK.format(docs=docs))
+
+
 QUERIES = {
     "curate_train_split": curate_train_split,
     "curate_quality_filter": curate_quality_filter,
     "curate_stratified_sample": curate_stratified_sample,
+    "curate_pack_sequences": curate_pack_sequences,
 }
 
 ORACLE = {
     "curate_train_split": _SPLIT_DUCK,
     "curate_quality_filter": _FILTER_DUCK,
     "curate_stratified_sample": _SAMPLE_DUCK,
+    "curate_pack_sequences": _PACK_DUCK,
 }

@@ -111,3 +111,21 @@ def test_boat_pipeline_single_python_stage(spark):
     )
     plan = plan_of(df, "simple")
     assert plan.count("ArrowEvalPython") == 1
+
+
+def test_curation_filter_and_split_are_map_only(spark, queries):
+    """The per-document curation decisions must not shuffle: at corpus
+    scale they are pure map passes that fuse into whatever pipeline
+    reads the documents."""
+    for name in ("curate_train_split", "curate_quality_filter"):
+        plan = plan_of(queries[name](spark, SF_SMOKE), "simple")
+        assert plan.count("Exchange") == 0, f"{name} should be map-only"
+
+
+def test_pack_sequences_single_window_shuffle(spark, queries):
+    plan = plan_of(queries["curate_pack_sequences"](spark, SF_SMOKE), "simple")
+    # one hash partition by lang for the cumsum window; the block
+    # aggregation reuses that partitioning (lang is a prefix of the
+    # grouping key) — no second full shuffle of the doc stream
+    assert plan.count("Exchange") <= 2
+    assert plan.count("Window") == 1
