@@ -310,6 +310,77 @@ WHERE chunk <> ''
 """
 
 
+# ---------------------------------------------------------------------------
+# UNPIVOT (wide -> long reshape), the inverse of the pivot operator
+# ---------------------------------------------------------------------------
+
+def unpivot_customer_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide->long reshape via the ``stack`` generator (Spark's
+    UNPIVOT): one row per (customer, metric). Map-only — the
+    generator multiplies rows without any shuffle."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.expr(
+            "stack(2, 'acctbal', c_acctbal, 'nationkey', CAST(c_nationkey AS DOUBLE))"
+        ).alias("metric", "val"),
+    )
+
+
+_UNPIVOT_SQL = """
+SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS val FROM customer
+UNION ALL
+SELECT c_custkey, 'nationkey' AS metric, CAST(c_nationkey AS DOUBLE) AS val FROM customer
+"""
+
+
+# ---------------------------------------------------------------------------
+# LOCF gap-fill (last observation carried forward)
+# ---------------------------------------------------------------------------
+
+def window_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill: clicks carry no amount in this shape
+    (their value is masked to NULL), and each event's ``filled``
+    value is the last non-null observation in the user's stream —
+    ``last(..., ignorenulls)`` over an ordered per-user window. One
+    shuffle on user_id; the frame is running, so state per row is a
+    single value regardless of stream length."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    masked = ev.select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("ts_ns"),
+        F.when(F.col("event_type") != "click", F.col("value")).alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ns", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return masked.select(
+        "event_id",
+        "user_id",
+        F.col("v").isNull().alias("was_gap"),
+        F.last("v", ignorenulls=True).over(w).alias("filled"),
+    )
+
+
+_LOCF_SQL = """
+SELECT event_id, user_id,
+       v IS NULL AS was_gap,
+       LAST_VALUE(v IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY ts_ns, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+FROM (
+  SELECT event_id, user_id, epoch_ns(ts) AS ts_ns,
+         CASE WHEN event_type != 'click' THEN value END AS v
+  FROM events
+)
+"""
+
+
 QUERIES = {
     "q7_nation_trade_volume": q7_nation_trade_volume,
     "q8_market_share": q8_market_share,
@@ -317,6 +388,8 @@ QUERIES = {
     "q11_important_stock": q11_important_stock,
     "q20_excess_stock_suppliers": q20_excess_stock_suppliers,
     "text_chunking": text_chunking,
+    "unpivot_customer_metrics": unpivot_customer_metrics,
+    "window_locf_fill": window_locf_fill,
 }
 
 ORACLE = {
@@ -326,4 +399,6 @@ ORACLE = {
     "q11_important_stock": _Q11_SQL,
     "q20_excess_stock_suppliers": _Q20_SQL,
     "text_chunking": _CHUNK_SQL,
+    "unpivot_customer_metrics": _UNPIVOT_SQL,
+    "window_locf_fill": _LOCF_SQL,
 }
