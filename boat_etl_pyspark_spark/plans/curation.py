@@ -216,8 +216,62 @@ def curate_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_PACK_SPARK.format(docs=docs))
 
 
+# ---------------------------------------------------------------------------
+# Corpus upsert: MERGE INTO semantics as a full-outer join
+# ---------------------------------------------------------------------------
+# The steady-state corpus operation: a daily update batch lands with
+# revised versions of some documents and brand-new ones. MERGE INTO
+# (Delta/Iceberg) is table-format sugar over exactly this plan: full
+# outer join on the key, matched -> update, source-only -> insert,
+# target-only -> keep. Expressed directly so it runs on plain parquet;
+# at scale both sides are bucketed by doc_id and the join is
+# co-located, with only changed files rewritten by the table format.
+# Fixture roles are carved deterministically from `documents`:
+#   corpus  = doc_id % 10 != 0   (current state)
+#   updates = doc_id % 5 == 0    (batch: % 10 == 5 revises an existing
+#                                 doc, % 10 == 0 is a new insert)
+# Updates revise the text (tagged prefix), so changed rows are
+# observable via md5.
+
+_UPSERT_SPARK = """
+WITH corpus AS (
+  SELECT doc_id, text FROM {docs} WHERE doc_id % 10 != 0
+),
+updates AS (
+  SELECT doc_id, concat('v2 ', text) AS text FROM {docs} WHERE doc_id % 5 = 0
+)
+SELECT coalesce(c.doc_id, u.doc_id) AS doc_id,
+       CASE WHEN c.doc_id IS NULL THEN 'insert'
+            WHEN u.doc_id IS NULL THEN 'keep'
+            ELSE 'update' END AS action,
+       md5(coalesce(u.text, c.text)) AS text_md5
+FROM corpus c FULL OUTER JOIN updates u ON c.doc_id = u.doc_id
+"""
+
+_UPSERT_DUCK = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 10 != 0
+),
+updates AS (
+  SELECT doc_id, concat('v2 ', text) AS text FROM documents WHERE doc_id % 5 = 0
+)
+SELECT coalesce(c.doc_id, u.doc_id) AS doc_id,
+       CASE WHEN c.doc_id IS NULL THEN 'insert'
+            WHEN u.doc_id IS NULL THEN 'keep'
+            ELSE 'update' END AS action,
+       md5(coalesce(u.text, c.text)) AS text_md5
+FROM corpus c FULL OUTER JOIN updates u ON c.doc_id = u.doc_id
+"""
+
+
+def curate_corpus_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_view(spark, sf_dir, "__docs_upsert")
+    return spark.sql(_UPSERT_SPARK.format(docs=docs))
+
+
 QUERIES = {
     "curate_train_split": curate_train_split,
+    "curate_corpus_upsert": curate_corpus_upsert,
     "curate_quality_filter": curate_quality_filter,
     "curate_stratified_sample": curate_stratified_sample,
     "curate_pack_sequences": curate_pack_sequences,
@@ -225,6 +279,7 @@ QUERIES = {
 
 ORACLE = {
     "curate_train_split": _SPLIT_DUCK,
+    "curate_corpus_upsert": _UPSERT_DUCK,
     "curate_quality_filter": _FILTER_DUCK,
     "curate_stratified_sample": _SAMPLE_DUCK,
     "curate_pack_sequences": _PACK_DUCK,
