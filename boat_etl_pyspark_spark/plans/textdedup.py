@@ -149,11 +149,14 @@ sig AS (
   FROM hashed
 )
 SELECT doc_id, b.band_idx, b.band_key
-FROM sig
-LATERAL VIEW explode(transform(sequence(0, 3),
-    j -> struct(j AS band_idx,
-                md5(concat_ws(',', transform(slice(mh, j * 3 + 1, 3),
-                                             v -> CAST(v AS STRING)))) AS band_key))) t AS b
+FROM (
+  SELECT doc_id,
+         explode(transform(sequence(0, 3),
+             j -> struct(j AS band_idx,
+                         md5(concat_ws(',', transform(slice(mh, j * 3 + 1, 3),
+                                                      v -> CAST(v AS STRING)))) AS band_key))) AS b
+  FROM sig
+)
 """
 
 _MINHASH_DUCK = f"""
@@ -236,16 +239,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # N-gram Jaccard near-dup via shared-5-gram inverted index (df cap = 20)
 # ---------------------------------------------------------------------------
 
+# NOTE: generator stays INLINE in the projection — `LATERAL VIEW
+# explode(expensive_expr)` re-evaluates the expression per OUTPUT row
+# (measured 8.3s vs 0.3s on this exact query at sf0.1); the inline
+# form evaluates it once per input row.
 _NGRAM_INV_SPARK = """
-WITH g5 AS (
-  SELECT doc_id,
-         array_distinct(transform(sequence(1, greatest(size(t) - 4, 1)),
-             i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1), element_at(t, i + 2),
-                                 element_at(t, i + 3), element_at(t, i + 4)))) AS s5
-  FROM (SELECT doc_id, split(text, ' ') AS t FROM {docs})
-)
-SELECT g.doc_id, gram
-FROM g5 g LATERAL VIEW explode(g.s5) e AS gram
+SELECT doc_id,
+       explode(array_distinct(transform(sequence(1, greatest(size(t) - 4, 1)),
+           i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1), element_at(t, i + 2),
+                               element_at(t, i + 3), element_at(t, i + 4))))) AS gram
+FROM (SELECT doc_id, split(text, ' ') AS t FROM {docs})
 """
 
 _NGRAM_DUCK = """
@@ -280,17 +283,25 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     skewed join key) -> candidate pairs -> exact 3-gram Jaccard over
     the session-shared shingle sets."""
     docs = _docs_wide_view(spark, sf_dir, "__docs_ng")
-    inv = _cached(
-        spark, sf_dir, "ngram_inv",
-        lambda: spark.sql(_NGRAM_INV_SPARK.format(docs=docs)),
-    )
-    rare = inv.groupBy("gram").count().where(F.col("count") <= 20).select("gram")
+    # ONE shuffle: group the inverted index into per-gram postings,
+    # keep buckets with 2..20 docs (the df cap), and emit candidate
+    # pairs directly from each tiny bucket with an expression-level
+    # pair comprehension. df=1 grams (the vast majority) die in the
+    # aggregation; no index self-join, no second shuffle of the index.
     cand = (
-        inv.alias("a")
-        .join(rare, "gram")
-        .join(inv.alias("b"), "gram")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        spark.sql(_NGRAM_INV_SPARK.format(docs=docs))
+        .groupBy("gram")
+        .agg(F.collect_list("doc_id").alias("ds"))
+        .where((F.size("ds") >= 2) & (F.size("ds") <= 20))
+        .select(
+            F.explode(
+                F.expr(
+                    "filter(flatten(transform(ds, a -> transform(ds, b -> struct(a, b)))),"
+                    " p -> p.a < p.b)"
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .distinct()
     )
     sh = _shingle_sets(spark, sf_dir)
