@@ -369,7 +369,7 @@ GROUP BY doc_id
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs_view(spark, sf_dir, "__docs_sh")
+    docs = _docs_wide_view(spark, sf_dir, "__docs_sh")
     return spark.sql(_SIMHASH_SPARK.format(docs=docs))
 
 

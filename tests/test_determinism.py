@@ -17,6 +17,10 @@ FLOAT_QUERIES = [
     "agg_qty_price_correlation",
     "sim_bruteforce_topk",
     "date_daily_event_stats",
+    # cosine verify path over LSH candidates (stage caches are shared
+    # across the two runs; the candidate join + integer dot re-execute
+    # at each width)
+    "dedup_embedding_cosine",
 ]
 
 
