@@ -351,12 +351,12 @@ def window_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     masked = ev.select(
         "event_id",
         "user_id",
-        F.col("ts").alias("ts_ns"),
+        F.col("ts").alias("ts_us"),
         F.when(F.col("event_type") != "click", F.col("value")).alias("v"),
     )
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts_ns", "event_id")
+        .orderBy("ts_us", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return masked.select(
@@ -371,10 +371,13 @@ _LOCF_SQL = """
 SELECT event_id, user_id,
        v IS NULL AS was_gap,
        LAST_VALUE(v IGNORE NULLS) OVER (
-         PARTITION BY user_id ORDER BY ts_ns, event_id
+         PARTITION BY user_id ORDER BY ts_us, event_id
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
 FROM (
-  SELECT event_id, user_id, epoch_ns(ts) AS ts_ns,
+  -- epoch_us, not epoch_ns: Spark orders by its micro-truncated
+  -- timestamp, so the oracle must collapse sub-microsecond ties the
+  -- same way (event_id then breaks them identically in both engines)
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
          CASE WHEN event_type != 'click' THEN value END AS v
   FROM events
 )
