@@ -708,11 +708,13 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         f"""
         WITH tok AS (
-          SELECT doc_id, tok FROM {docs}
-          LATERAL VIEW explode(split(text, ' ')) e AS tok
+          SELECT doc_id, explode(split(text, ' ')) AS tok FROM {docs}
         ),
         tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY doc_id, tok),
-        df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY tok),
+        -- df derives from tf (one row per (doc, term)), not from tok:
+        -- a second pass over the raw token stream would re-tokenize
+        -- every document (CTEs are not materialized)
+        df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
         n AS (SELECT COUNT(*) AS n_docs FROM {docs}),
         scored AS (
           SELECT tf.doc_id, tf.tok AS term, tf.tf, df.df,
@@ -824,7 +826,7 @@ _EMBCOS_DIMS_SPARK = """
 SELECT doc_id,
        CAST(conv(substr(md5(tok), 1, 6), 16, 10) AS BIGINT) % 512 AS d,
        COUNT(*) AS c
-FROM {docs} LATERAL VIEW explode(split(text, ' ')) t AS tok
+FROM (SELECT doc_id, explode(split(text, ' ')) AS tok FROM {docs})
 WHERE tok != ''
 GROUP BY 1, 2
 """
