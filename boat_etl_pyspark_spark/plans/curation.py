@@ -269,9 +269,66 @@ def curate_corpus_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_UPSERT_SPARK.format(docs=docs))
 
 
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: train/eval n-gram overlap
+# ---------------------------------------------------------------------------
+# The standard contamination check before training: flag corpus
+# documents sharing any 8-gram with an evaluation set (the fixture
+# carves doc_id % 11 == 0 as the "benchmark" — sized so overlaps exist
+# at every test scale, keeping the oracle check non-vacuous). Both sides reduce to
+# distinct 8-gram hashes BEFORE the join, so the join ships 16-byte
+# hashes, never text; the eval side is tiny by nature and broadcasts.
+# At 100 TB the eval-gram table is a few MB against any corpus size —
+# the check stays one broadcast-join map pass over the corpus grams.
+
+_CONTAM_GRAMS = """
+  SELECT doc_id,
+         explode(array_distinct(transform(sequence(1, greatest(size(t) - 7, 1)),
+             i -> md5(concat_ws(' ', slice(t, i, 8)))))) AS g
+  FROM (SELECT doc_id, split(text, ' ') AS t FROM {src})
+"""
+
+_CONTAM_SPARK = f"""
+WITH corpus_grams AS ({_CONTAM_GRAMS.format(src="(SELECT * FROM {docs} WHERE doc_id % 11 != 0)")}),
+eval_grams AS ({_CONTAM_GRAMS.format(src="(SELECT * FROM {docs} WHERE doc_id % 11 = 0)")})
+SELECT c.doc_id,
+       e.doc_id AS eval_doc_id,
+       COUNT(*) AS shared_8grams
+FROM corpus_grams c
+JOIN eval_grams e ON c.g = e.g
+GROUP BY c.doc_id, e.doc_id
+"""
+
+_CONTAM_GRAMS_DUCK = """
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, greatest(len(t) - 7, 1) + 1),
+             i -> md5(array_to_string(t[i : i + 7], ' '))))) AS g
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM {src})
+"""
+
+_CONTAM_DUCK = f"""
+WITH corpus_grams AS ({_CONTAM_GRAMS_DUCK.format(src="(SELECT * FROM documents WHERE doc_id % 11 != 0)")}),
+eval_grams AS ({_CONTAM_GRAMS_DUCK.format(src="(SELECT * FROM documents WHERE doc_id % 11 = 0)")})
+SELECT c.doc_id,
+       e.doc_id AS eval_doc_id,
+       COUNT(*) AS shared_8grams
+FROM corpus_grams c
+JOIN eval_grams e ON c.g = e.g
+GROUP BY c.doc_id, e.doc_id
+"""
+
+
+def curate_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .textdedup import _docs_wide_view
+
+    docs = _docs_wide_view(spark, sf_dir, "__docs_contam")
+    return spark.sql(_CONTAM_SPARK.format(docs=docs))
+
+
 QUERIES = {
     "curate_train_split": curate_train_split,
     "curate_corpus_upsert": curate_corpus_upsert,
+    "curate_contamination_check": curate_contamination_check,
     "curate_quality_filter": curate_quality_filter,
     "curate_stratified_sample": curate_stratified_sample,
     "curate_pack_sequences": curate_pack_sequences,
@@ -280,6 +337,7 @@ QUERIES = {
 ORACLE = {
     "curate_train_split": _SPLIT_DUCK,
     "curate_corpus_upsert": _UPSERT_DUCK,
+    "curate_contamination_check": _CONTAM_DUCK,
     "curate_quality_filter": _FILTER_DUCK,
     "curate_stratified_sample": _SAMPLE_DUCK,
     "curate_pack_sequences": _PACK_DUCK,
