@@ -4,13 +4,14 @@ training-data pipeline makes before a corpus reaches the trainer
 the reference, src/pipeline_pyspark.py, has no sampling/split surface
 at all).
 
-Three decision ops, distinct from the scoring ops in ``textdedup``:
+Decision ops, distinct from the scoring ops in ``textdedup``:
 
   * ``curate_train_split`` — deterministic train/val/test assignment
     by content-independent hash of the document key. Hash-based (not
     ``rand()``-based) so the split is reproducible across runs,
     engines, and repartitionings, and stable under corpus growth: a
-    document's split never changes when other documents are added.
+    document's split never changes when other documents are added
+    (pinned by tests/test_curation_properties.py).
   * ``curate_quality_filter`` — reason-coded C4-style heuristic
     filter: every document gets a keep/drop verdict plus the first
     failing rule, so downstream can audit drop rates per rule.
@@ -19,11 +20,17 @@ Three decision ops, distinct from the scoring ops in ``textdedup``:
     Equivalent to a uniform random sample per stratum (the hash is
     uncorrelated with any document property) but reproducible and
     oracle-checkable, unlike ``TABLESAMPLE``/``rand()``.
+  * ``curate_pack_sequences`` — concat-then-chunk sequence packing
+    into fixed token blocks (the LLM pretraining layout).
+  * ``curate_corpus_upsert`` — MERGE INTO semantics (update/insert/
+    keep) as a plain full-outer join.
+  * ``curate_contamination_check`` — train/eval 8-gram overlap
+    (benchmark decontamination).
 
-Scale posture: all three are map-side except the sample's per-stratum
-window (a shuffle on (lang, source) — bounded cardinality, no skew
-since strata are hash-ranked, not value-ranked); the filter and split
-never shuffle at all.
+Scale posture: filter and split are pure map passes (audited: zero
+Exchange); the sample and packing shuffle once on bounded-cardinality
+strata; upsert is one co-locatable key join; contamination ships only
+16-byte gram hashes with a broadcast-sized eval side.
 """
 
 from __future__ import annotations
