@@ -116,3 +116,47 @@ def decode_features(with_payload: DataFrame, dim: int = 8) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "feature": feats})
 
     return with_payload.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = (
+    "doc_id BIGINT, src_len BIGINT, out_w INT, out_h INT, "
+    "out_len BIGINT, scale_num BIGINT"
+)
+
+
+def resize(with_payload: DataFrame, out_w: int = 64, out_h: int = 64) -> DataFrame:
+    """Resize each payload to a fixed (w, h): the canonical image
+    normalization step before feature extraction. The pixel resample
+    itself needs a decoder (absent by design — see ``decode_features``);
+    the deterministic fake keeps the exact production plumbing:
+    per-row variable input -> fixed-size output descriptor, Arrow
+    batches, no shuffle, no driver. ``scale_num`` stands in for the
+    resample ratio (source bytes per output cell, floor) so the
+    output is a checkable function of the input."""
+    try:  # pragma: no cover - decoder libs absent by design
+        import PIL  # noqa: F401
+
+        raise NotImplementedError(
+            "real image resize is stubbed in this environment; "
+            "plug a PIL.Image.resize into `batches` below"
+        )
+    except ImportError:
+        pass
+
+    cells = out_w * out_h
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            lens = pdf["payload"].map(len)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "src_len": lens,
+                    "out_w": out_w,
+                    "out_h": out_h,
+                    "out_len": cells * 3,  # RGB bytes
+                    "scale_num": [n // cells for n in lens],
+                }
+            )
+
+    return with_payload.mapInPandas(batches, RESIZE_SCHEMA)

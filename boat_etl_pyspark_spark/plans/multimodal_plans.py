@@ -73,14 +73,36 @@ FROM b
 """
 
 
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import resize
+
+    docs = load_table(spark, sf_dir, "documents")
+    return resize(attach_binary(docs), out_w=64, out_h=64)
+
+
+# out_len = 64*64*3 RGB bytes; scale_num = source bytes per output
+# cell (floor) — the deterministic stand-in for the resample ratio
+_RESIZE_SQL = """
+SELECT doc_id,
+       octet_length(encode(text)) AS src_len,
+       CAST(64 AS INT) AS out_w,
+       CAST(64 AS INT) AS out_h,
+       CAST(64 * 64 * 3 AS BIGINT) AS out_len,
+       octet_length(encode(text)) // (64 * 64) AS scale_num
+FROM documents
+"""
+
+
 QUERIES = {
     "multimodal_binary_meta": multimodal_binary_meta,
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_decode_features": multimodal_decode_features,
+    "multimodal_resize": multimodal_resize,
 }
 
 ORACLE = {
     "multimodal_binary_meta": _META_SQL,
     "multimodal_frame_sample": _FRAME_SQL,
     "multimodal_decode_features": _FEATURES_SQL,
+    "multimodal_resize": _RESIZE_SQL,
 }
