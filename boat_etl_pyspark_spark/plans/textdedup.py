@@ -580,10 +580,20 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .persist()
     )
+    # Seed with round one's result directly: from identity labels the
+    # first propagation yields min(node, min(neighbors)), computable
+    # as ONE aggregation over the (bidirectional) edge list — no join,
+    # no convergence count. Near-dup components are mostly cliques, so
+    # this alone converges them and the loop usually runs one confirm
+    # round. (Any upper-bound seeding is sound: propagation is
+    # monotone toward the component minimum.)
     labels = (
-        edges.select(F.col("doc_a").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+        edges.groupBy("doc_a")
+        .agg(F.min("doc_b").alias("nb"))
+        .select(
+            F.col("doc_a").alias("node"),
+            F.least(F.col("doc_a"), F.col("nb")).alias("label"),
+        )
         .persist()
     )
     # Size the loop's shuffle width to the GRAPH, not the session
