@@ -370,10 +370,30 @@ def main() -> None:
     p.add_argument("-o", "--output", required=True, help="parquet output path")
     p.add_argument("-s", "--summary", required=True, help="summary CSV path")
     p.add_argument("--current-year", type=int, default=2025)
+    p.add_argument(
+        "--no-spark",
+        action="store_true",
+        help="dry run, reference-CLI compatible (src/pipeline_pyspark.py:383-384):"
+        " clean + transform + validate only, write no outputs; exit status"
+        " reports validity. (This engine still uses a local Spark session"
+        " for the validation pass — 'no-spark' keeps the reference's"
+        " observable contract, not its implementation.)",
+    )
     args = p.parse_args()
     spark = get_spark("boat-etl")
-    run_pipeline(spark, args.input, args.output, args.summary, args.current_year)
-    spark.stop()
+    try:
+        if args.no_spark:
+            df = transform(
+                parse_csv(clean_lines(read_raw_lines(spark, args.input))),
+                args.current_year,
+            )
+            assert_valid(df, args.current_year)
+        else:
+            run_pipeline(
+                spark, args.input, args.output, args.summary, args.current_year
+            )
+    finally:
+        spark.stop()
 
 
 if __name__ == "__main__":
