@@ -1,0 +1,46 @@
+"""Driver-contract hygiene: guards against registry/doc drift that
+the per-query oracle tests can't see."""
+
+from __future__ import annotations
+
+import re
+
+import __spark_entry__ as M
+
+
+def test_every_query_has_an_oracle():
+    qs, osql = set(M.queries()), set(M.oracle_sql())
+    assert qs == osql, (
+        f"queries without oracle: {sorted(qs - osql)}; "
+        f"oracles without query: {sorted(osql - qs)}"
+    )
+
+
+def test_coverage_doc_matches_registry():
+    cov = open("COVERAGE.md").read()
+    qs = set(M.queries())
+    missing = sorted(q for q in qs if q not in cov)
+    assert not missing, f"queries not documented in COVERAGE.md: {missing}"
+    # names that look like query identifiers but aren't registered
+    prefixes = (
+        "q1", "q2", "q3", "q4", "q5", "q6", "q7", "q8", "q9",
+        "agg_", "join_", "window_", "text_", "dedup_", "sim_", "stream_",
+        "curate_", "date_", "json_", "map_", "sort_", "union_", "setops_",
+        "pivot_", "subquery_", "multimodal_", "events_", "cohort_",
+        "string_", "unpivot_",
+    )
+    mentioned = set(re.findall(r"`([a-z0-9_]+)`", cov))
+    ghosts = sorted(
+        m for m in mentioned
+        if m.startswith(prefixes) and "." not in m and m not in qs
+    )
+    assert not ghosts, f"COVERAGE.md mentions unregistered queries: {ghosts}"
+
+
+def test_declared_count_is_current():
+    cov = open("COVERAGE.md").read()
+    m = re.search(r"All (\d+) `queries\(\)` entries", cov)
+    assert m, "COVERAGE.md should state the total query count"
+    assert int(m.group(1)) == len(M.queries()), (
+        f"COVERAGE.md says {m.group(1)} queries, registry has {len(M.queries())}"
+    )
