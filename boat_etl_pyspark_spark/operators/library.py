@@ -94,3 +94,46 @@ def sessionize(
         "session_id",
         F.sum(new_s).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
     )
+
+
+def locf_fill(
+    df: DataFrame, key: str, order_by: list[str], value: str
+) -> DataFrame:
+    """Last-observation-carried-forward gap fill: NULLs in ``value``
+    take the most recent non-null observation within the key's ordered
+    stream (``last(..., ignorenulls)`` over a running frame). One
+    shuffle on the key; O(1) state per row. Adds ``<value>_filled``."""
+    w = (
+        Window.partitionBy(key)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(
+        f"{value}_filled", F.last(value, ignorenulls=True).over(w)
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    stream_col: str,
+    order_col: str,
+    token_col: str,
+    budget: int,
+) -> DataFrame:
+    """Concat-then-chunk sequence packing (the LLM pretraining layout):
+    rows are concatenated per ``stream_col`` in ``order_col`` order and
+    the token stream is cut into ``budget``-sized blocks; each row gets
+    the ``seq_id`` of the block where it starts. One window cumsum per
+    stream; at scale the per-stream prefix sum composes from partition
+    subtotals."""
+    w = (
+        Window.partitionBy(stream_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum(token_col).over(w) - F.col(token_col)
+    # decimal, not double, division: the cumulative token count of a
+    # large stream exceeds 2^53 and float division would misplace
+    # block boundaries
+    seq = F.floor(start.cast("decimal(38,0)") / F.lit(budget)).cast("bigint")
+    return df.withColumn("seq_id", seq)

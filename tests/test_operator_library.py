@@ -66,3 +66,48 @@ def test_sessionize_matches_streaming_session_windows(spark):
         for r in m.queries()["stream_session_windows"](spark, SF_SMOKE).collect()
     )
     assert got == want
+
+
+def test_locf_fill_matches_contract_query(spark):
+    import __spark_entry__ as m
+
+    from boat_etl_pyspark_spark.operators.library import locf_fill
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    masked = ev.select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("ts_us"),
+        F.when(F.col("event_type") != "click", F.col("value")).alias("v"),
+    )
+    lib = locf_fill(masked, key="user_id", order_by=["ts_us", "event_id"], value="v")
+    got = sorted(
+        (r["event_id"], r["v_filled"]) for r in lib.collect()
+    )
+    want = sorted(
+        (r["event_id"], r["filled"])
+        for r in m.queries()["window_locf_fill"](spark, SF_SMOKE).collect()
+    )
+    assert got == want
+
+
+def test_pack_sequences_matches_contract_query(spark):
+    import __spark_entry__ as m
+
+    from boat_etl_pyspark_spark.operators.library import pack_sequences
+
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "lang", F.size(F.split("text", " ")).cast("bigint").alias("n_tok")
+    )
+    lib = pack_sequences(
+        docs, stream_col="lang", order_col="doc_id", token_col="n_tok", budget=512
+    )
+    agg = lib.groupBy("lang", "seq_id").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens")
+    )
+    got = sorted(map(tuple, agg.collect()))
+    want = sorted(
+        (r["lang"], r["seq_id"], r["n_docs"], r["n_tokens"])
+        for r in m.queries()["curate_pack_sequences"](spark, SF_SMOKE).collect()
+    )
+    assert got == want
