@@ -42,6 +42,13 @@ def main() -> None:
     queries["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+    # warm-up: Python worker pool (Arrow path) — otherwise the first
+    # mapInPandas query's number includes one-time worker spawn
+    import pandas as _pd  # noqa: F401
+
+    spark.range(32).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in sorted(queries):
