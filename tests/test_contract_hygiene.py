@@ -3,9 +3,12 @@ the per-query oracle tests can't see."""
 
 from __future__ import annotations
 
+import os
 import re
 
 import __spark_entry__ as M
+
+_COV = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "COVERAGE.md")
 
 
 def test_every_query_has_an_oracle():
@@ -17,7 +20,7 @@ def test_every_query_has_an_oracle():
 
 
 def test_coverage_doc_matches_registry():
-    cov = open("COVERAGE.md").read()
+    cov = open(_COV).read()
     qs = set(M.queries())
     missing = sorted(q for q in qs if q not in cov)
     assert not missing, f"queries not documented in COVERAGE.md: {missing}"
@@ -38,7 +41,7 @@ def test_coverage_doc_matches_registry():
 
 
 def test_declared_count_is_current():
-    cov = open("COVERAGE.md").read()
+    cov = open(_COV).read()
     m = re.search(r"All (\d+) `queries\(\)` entries", cov)
     assert m, "COVERAGE.md should state the total query count"
     assert int(m.group(1)) == len(M.queries()), (
