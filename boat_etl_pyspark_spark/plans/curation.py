@@ -191,6 +191,16 @@ SELECT lang, seq_id,
        MAX(doc_id) AS last_doc
 """
 
+# DuckDB promotes SUM(BIGINT) to HUGEINT (float64 in pandas); cast back
+# so the oracle hash matches Spark's bigint.
+_PACK_BODY_DUCK = """
+SELECT lang, seq_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+"""
+
 # seq_id uses each dialect's INTEGER division (Spark DIV, DuckDB //);
 # plain `/` is float division in both.
 _PACK_SPARK = f"""
@@ -206,10 +216,10 @@ GROUP BY lang, seq_id
 """
 
 _PACK_DUCK = f"""
-{_PACK_BODY}
+{_PACK_BODY_DUCK}
 FROM (
   SELECT doc_id, lang, n_tok,
-         (SUM(n_tok) OVER w - n_tok) // {_PACK_BUDGET} AS seq_id
+         CAST((SUM(n_tok) OVER w - n_tok) // {_PACK_BUDGET} AS BIGINT) AS seq_id
   FROM (SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents)
   WINDOW w AS (PARTITION BY lang ORDER BY doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)

@@ -30,6 +30,14 @@ def values_equal(a, b) -> bool:
     if a is None and b is None:
         return True
     if isinstance(a, float) or isinstance(b, float):
+        # The driver hashes FORMATTED values, so int 3431 vs float 3431.0
+        # is a mismatch there (DuckDB HUGEINT->float64 drift). Mirror it:
+        # an int on one side and a float on the other is a failure even
+        # when numerically equal.
+        a_int = isinstance(a, int) and not isinstance(a, bool)
+        b_int = isinstance(b, int) and not isinstance(b, bool)
+        if a_int != b_int and (a_int or b_int):
+            return False
         fa, fb = float(a), float(b)
         if math.isnan(fa) and math.isnan(fb):
             return True
