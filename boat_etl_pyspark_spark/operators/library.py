@@ -23,45 +23,56 @@ def asof_join(
 
     Implemented as a tagged union + one ordered window over the key —
     a single shuffle and linear work, never an N x M expansion (the
-    scalable alternative to per-key merge_asof).
+    scalable alternative to per-key merge_asof). The full left row
+    rides through the union, so the output is structurally one row per
+    left row (no join-back that would multiply duplicate (by, ts)
+    left rows) and the whole operator is a single exchange.
     Right-side values arrive via a max-of-struct so ties on the
     timestamp resolve to the greatest value tuple (deterministic).
     """
     value_cols = value_cols or []
+    payload = F.struct(
+        F.col(right_ts).alias("__rts"), *[F.col(c) for c in value_cols]
+    )
     rtag = right.select(
         F.col(by).alias("__k"),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__kind"),
-        F.struct(F.col(right_ts).alias("__rts"), *[F.col(c) for c in value_cols]).alias("__payload"),
+        payload.alias("__payload"),
+    )
+    payload_t = rtag.schema["__payload"].dataType
+    # right rows carry NULLs for the left columns; left rows carry a
+    # NULL payload (max() ignores nulls, so only right rows can match)
+    rtag = rtag.select(
+        "__k",
+        "__ts",
+        "__kind",
+        "__payload",
+        *[F.lit(None).cast(f.dataType).alias(f.name) for f in left.schema.fields],
     )
     ltag = left.select(
         F.col(by).alias("__k"),
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__kind"),
-        F.lit(None).cast(rtag.schema["__payload"].dataType).alias("__payload"),
+        F.lit(None).cast(payload_t).alias("__payload"),
         "*",
-    )
-    unioned = rtag.select("__k", "__ts", "__kind", "__payload").unionByName(
-        ltag.select("__k", "__ts", "__kind", "__payload")
     )
     w = (
         Window.partitionBy("__k")
         .orderBy("__ts", "__kind")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    matched = (
-        unioned.withColumn("__match", F.max("__payload").over(w))
+    out = (
+        rtag.unionByName(ltag)
+        .withColumn("__match", F.max("__payload").over(w))
         .where(F.col("__kind") == 1)
-        .select("__k", "__ts", "__match")
+        .select(
+            *[F.col(f.name) for f in left.schema.fields],
+            F.col("__match.__rts").alias("asof_ts"),
+            *[F.col(f"__match.{c}").alias(f"asof_{c}") for c in value_cols],
+        )
     )
-    out = left.join(
-        matched,
-        (left[by] == matched["__k"]) & (left[left_ts] == matched["__ts"]),
-    ).drop("__k", "__ts")
-    out = out.withColumn("asof_ts", F.col("__match.__rts"))
-    for c in value_cols:
-        out = out.withColumn(f"asof_{c}", F.col(f"__match.{c}"))
-    return out.drop("__match")
+    return out
 
 
 def topk_per_group(

@@ -2,11 +2,19 @@
 
 Image/audio/video payloads are carried as opaque ``binary`` columns
 with typed metadata, processed by Arrow-batched ``mapInPandas``
-operators. The *decode* step (PIL/librosa/ffmpeg) is stubbed — those
-libraries aren't in this container — behind an import-try that raises
-``NotImplementedError``, with a deterministic fake used to exercise
-the real Spark plumbing: schema declaration, Arrow batch iteration,
-row explosion (frame sampling), and partition-preserving execution.
+operators — schema declaration, Arrow batch iteration, row explosion
+(frame sampling), and partition-preserving execution are exactly the
+production shapes.
+
+The *decode* step is a real, pure-numpy raster decode: a payload is
+interpreted as a grayscale image with fixed row stride ``RASTER_W``
+(the "raw frame" layout), the tail row zero-padded. ``resize`` then
+performs a true nearest-neighbor resample of that raster and
+``decode_features`` extracts an intensity-band profile — all exact
+integer math over the actual bytes, reproduced bit-for-bit by the
+DuckDB oracles. A container with PIL/librosa/ffmpeg would swap the
+raster decode for a codec decode; every other line (schemas, Arrow
+batching, partitioning) is unchanged.
 
 The fixture has no binary table, so ``attach_binary`` manufactures a
 payload column from ``documents.text`` (UTF-8 bytes). At production
@@ -18,6 +26,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -27,6 +36,12 @@ FRAME_SCHEMA = "doc_id BIGINT, frame_idx BIGINT, frame_len BIGINT"
 FEATURE_SCHEMA = "doc_id BIGINT, feature ARRAY<DOUBLE>"
 
 _KINDS = ["image", "audio", "video", "blob"]
+
+# Fixed row stride of the raw-raster decode. A power of two, so the
+# oracle's index arithmetic stays exact integer math (no sqrt — float
+# sqrt of a perfect square can land on either side of the integer in
+# different engines).
+RASTER_W = 128
 
 
 def attach_binary(docs: DataFrame) -> DataFrame:
@@ -46,8 +61,6 @@ def binary_metadata(with_payload: DataFrame) -> DataFrame:
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
         for pdf in it:
             lens = pdf["payload"].map(len)
             yield pd.DataFrame(
@@ -74,18 +87,20 @@ def frame_sample(
     """Sample every ``stride``-th fixed-size chunk ("frame") of each
     payload — the row-exploding shape of video frame extraction. Each
     input row yields a variable number of output rows; mapInPandas
-    keeps it Arrow-batched and partition-local (no shuffle)."""
+    keeps it Arrow-batched and partition-local (no shuffle). The chunk
+    math is whole-batch numpy (repeat + cumulative offsets), no
+    per-payload Python loop."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            ids, idxs, lens = [], [], []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                n = len(payload)
-                n_frames = (n + chunk - 1) // chunk
-                for i in range(0, n_frames, stride):
-                    ids.append(doc_id)
-                    idxs.append(i)
-                    lens.append(min(chunk, n - i * chunk))
+            n = pdf["payload"].map(len).to_numpy(dtype=np.int64)
+            n_frames = (n + chunk - 1) // chunk
+            counts = (n_frames + stride - 1) // stride  # sampled per row
+            total = int(counts.sum())
+            ids = np.repeat(pdf["doc_id"].to_numpy(dtype=np.int64), counts)
+            starts = np.cumsum(counts) - counts
+            idxs = (np.arange(total) - np.repeat(starts, counts)) * stride
+            lens = np.minimum(chunk, np.repeat(n, counts) - idxs * chunk)
             yield pd.DataFrame(
                 {"doc_id": ids, "frame_idx": idxs, "frame_len": lens}
             )
@@ -94,68 +109,86 @@ def frame_sample(
 
 
 def decode_features(with_payload: DataFrame, dim: int = 8) -> DataFrame:
-    """Decode + feature-extract. The real decoder needs image/audio
-    libraries that aren't in this container; the deterministic fake
-    exercises identical plumbing (schema, batching, output shape)."""
-    try:  # pragma: no cover - decoder libs absent by design
-        import PIL  # noqa: F401
-
-        raise NotImplementedError(
-            "real image decode is stubbed in this environment; "
-            "plug a PIL/librosa decoder into `batches` below"
-        )
-    except ImportError:
-        pass
+    """Decode + feature-extract: the payload's byte stream is split
+    into ``dim`` equal index bands and each feature is the band's mean
+    intensity (the coarse profile a downsampled grayscale decode
+    yields). Real math over the real bytes, vectorized across the
+    whole Arrow batch: one concatenated buffer + ``np.add.reduceat``
+    on per-row band boundaries — no per-payload Python loop."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            feats = [
-                [float((len(b) * (j + 1)) % 997) for j in range(dim)]
-                for b in pdf["payload"]
-            ]
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "feature": feats})
+            if not len(pdf):
+                continue
+            payloads = pdf["payload"].tolist()
+            n = np.array([len(b) for b in payloads], dtype=np.int64)
+            # one zero sentinel byte: every band boundary (including a
+            # trailing empty payload's offset == total length) is then
+            # a valid reduceat index, and the sentinel adds 0 to the
+            # final band's sum
+            flat = np.frombuffer(b"".join(payloads) + b"\x00", dtype=np.uint8)
+            off = np.cumsum(n) - n
+            j = np.arange(dim, dtype=np.int64)
+            # band j of row i covers [j*n_i//dim, (j+1)*n_i//dim);
+            # bands tile each row contiguously, so the lo boundaries
+            # alone partition the concatenated buffer
+            lo = off[:, None] + (j[None, :] * n[:, None]) // dim
+            hi = off[:, None] + ((j[None, :] + 1) * n[:, None]) // dim
+            cnt = (hi - lo).astype(np.float64)
+            sums = np.add.reduceat(flat.astype(np.int64), lo.ravel()).astype(
+                np.float64
+            )
+            # reduceat yields arr[lo] for empty segments; zero them
+            sums[(hi - lo).ravel() == 0] = 0.0
+            sums = sums.reshape(lo.shape)
+            feats = np.divide(sums, cnt, out=np.zeros_like(sums), where=cnt > 0)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "feature": list(feats)}
+            )
 
     return with_payload.mapInPandas(batches, FEATURE_SCHEMA)
 
 
 RESIZE_SCHEMA = (
-    "doc_id BIGINT, src_len BIGINT, out_w INT, out_h INT, "
-    "out_len BIGINT, scale_num BIGINT"
+    "doc_id BIGINT, src_len BIGINT, src_w INT, src_h INT, out_w INT, "
+    "out_h INT, checksum BIGINT"
 )
 
 
 def resize(with_payload: DataFrame, out_w: int = 64, out_h: int = 64) -> DataFrame:
-    """Resize each payload to a fixed (w, h): the canonical image
-    normalization step before feature extraction. The pixel resample
-    itself needs a decoder (absent by design — see ``decode_features``);
-    the deterministic fake keeps the exact production plumbing:
-    per-row variable input -> fixed-size output descriptor, Arrow
-    batches, no shuffle, no driver. ``scale_num`` stands in for the
-    resample ratio (source bytes per output cell, floor) so the
-    output is a checkable function of the input."""
-    try:  # pragma: no cover - decoder libs absent by design
-        import PIL  # noqa: F401
-
-        raise NotImplementedError(
-            "real image resize is stubbed in this environment; "
-            "plug a PIL.Image.resize into `batches` below"
-        )
-    except ImportError:
-        pass
-
-    cells = out_w * out_h
+    """Nearest-neighbor resize of the raster decode to ``(out_w,
+    out_h)`` — the canonical image normalization step before feature
+    extraction, computed for real: payload bytes -> (h, RASTER_W)
+    grayscale raster (tail zero-padded) -> index-mapped resample ->
+    checksum of the resampled pixels. Arrow batches, no shuffle, no
+    driver; a codec container would replace the raster step only."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sx = (np.arange(out_w, dtype=np.int64) * RASTER_W) // out_w
         for pdf in it:
-            lens = pdf["payload"].map(len)
+            out = []
+            lens = []
+            heights = []
+            for b in pdf["payload"]:
+                n = len(b)
+                h = max(1, (n + RASTER_W - 1) // RASTER_W)
+                arr = np.zeros(h * RASTER_W, dtype=np.uint8)
+                arr[:n] = np.frombuffer(b, dtype=np.uint8)
+                raster = arr.reshape(h, RASTER_W)
+                sy = (np.arange(out_h, dtype=np.int64) * h) // out_h
+                resampled = raster[np.ix_(sy, sx)]
+                out.append(int(resampled.astype(np.int64).sum()))
+                lens.append(n)
+                heights.append(h)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "src_len": lens,
+                    "src_w": RASTER_W,
+                    "src_h": heights,
                     "out_w": out_w,
                     "out_h": out_h,
-                    "out_len": cells * 3,  # RGB bytes
-                    "scale_num": [n // cells for n in lens],
+                    "checksum": out,
                 }
             )
 

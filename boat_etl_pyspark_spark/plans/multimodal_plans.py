@@ -2,7 +2,9 @@
 
 The payloads are UTF-8 bytes of ``documents.text`` (stand-in for real
 image/audio columns); the DuckDB oracle reproduces the byte math via
-``hex(encode(text))`` so the checks hold for any byte content.
+``hex(encode(text))`` so the checks hold for any byte content. The
+decode/resize/feature steps are real pure-numpy raster math (see
+``operators.multimodal``) — nothing in the checked path is stubbed.
 """
 
 from __future__ import annotations
@@ -64,12 +66,26 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# band j of a payload covers byte indexes [j*n//8, (j+1)*n//8); the
+# feature is the band's mean byte value (0.0 for an empty band)
 _FEATURES_SQL = """
-WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
-SELECT doc_id,
-       CAST(unnest(range(0, 8)) AS INT) AS j,
-       CAST((n * (unnest(range(0, 8)) + 1)) % 997 AS DOUBLE) AS value
-FROM b
+WITH b AS (
+  SELECT doc_id, octet_length(encode(text)) AS n, hex(encode(text)) AS hx
+  FROM documents
+),
+e AS (SELECT doc_id, n, hx, unnest(range(0, 8)) AS j FROM b),
+s AS (
+  SELECT doc_id, CAST(j AS INT) AS j, hx,
+         (j * n) // 8 AS lo, ((j + 1) * n) // 8 AS hi
+  FROM e
+)
+SELECT doc_id, j,
+       CASE WHEN hi > lo THEN
+         CAST(list_sum(list_transform(range(lo, hi),
+              i -> CAST(concat('0x', substring(hx, CAST(i * 2 + 1 AS INT), 2)) AS BIGINT)))
+           AS DOUBLE) / (hi - lo)
+       ELSE 0.0 END AS value
+FROM s
 """
 
 
@@ -80,16 +96,29 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize(attach_binary(docs), out_w=64, out_h=64)
 
 
-# out_len = 64*64*3 RGB bytes; scale_num = source bytes per output
-# cell (floor) — the deterministic stand-in for the resample ratio
+# real nearest-neighbor resample of the stride-128 raster decode:
+# output cell (x, y) reads source pixel (sy, sx) with sy=(y*h)//64,
+# sx=(x*128)//64, byte index sy*128+sx (zero beyond the payload —
+# the padded tail row); checksum = sum of the 64x64 resampled bytes
 _RESIZE_SQL = """
+WITH b AS (
+  SELECT doc_id, octet_length(encode(text)) AS n, hex(encode(text)) AS hx
+  FROM documents
+),
+d AS (SELECT doc_id, n, hx, greatest(1, (n + 127) // 128) AS h FROM b)
 SELECT doc_id,
-       octet_length(encode(text)) AS src_len,
+       n AS src_len,
+       CAST(128 AS INT) AS src_w,
+       CAST(h AS INT) AS src_h,
        CAST(64 AS INT) AS out_w,
        CAST(64 AS INT) AS out_h,
-       CAST(64 * 64 * 3 AS BIGINT) AS out_len,
-       octet_length(encode(text)) // (64 * 64) AS scale_num
-FROM documents
+       CAST(list_sum(list_transform(range(0, 64 * 64),
+            c -> CASE WHEN ((c // 64) * h) // 64 * 128 + ((c % 64) * 128) // 64 < n
+                 THEN CAST(concat('0x', substring(hx,
+                      CAST((((c // 64) * h) // 64 * 128 + ((c % 64) * 128) // 64) * 2 + 1 AS INT),
+                      2)) AS BIGINT)
+                 ELSE 0 END)) AS BIGINT) AS checksum
+FROM d
 """
 
 

@@ -175,7 +175,8 @@ def stream_static_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket dimension (broadcast on every micro-batch), then an
     event-time-independent aggregation in complete mode."""
     ev = read_events_stream(spark, sf_dir)
-    buckets = spark.createDataFrame(
+    # static side must come from the stream's isolated session
+    buckets = ev.sparkSession.createDataFrame(
         [(float(lo), float(lo + 70)) for lo in range(0, 350, 70)],
         "lo double, hi double",
     )
@@ -208,9 +209,9 @@ def stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermarks so the join state is bounded (views older than the
     interval + watermark are evicted) — the canonical attribution
     shape on unbounded streams."""
+    ev = read_events_stream(spark, sf_dir)
     views = (
-        read_events_stream(spark, sf_dir)
-        .where(F.col("event_type") == "view")
+        ev.where(F.col("event_type") == "view")
         .select(
             F.col("event_id").alias("view_id"),
             F.col("user_id").alias("v_user"),
@@ -219,7 +220,8 @@ def stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withWatermark("v_time", "30 minutes")
     )
     purchases = (
-        read_events_stream(spark, sf_dir)
+        # second leg of the stream-stream join: same isolated session
+        read_events_stream(ev.sparkSession, sf_dir, reuse_session=True)
         .where(F.col("event_type") == "purchase")
         .select(
             F.col("event_id").alias("purchase_id"),

@@ -594,53 +594,56 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_a").alias("node"),
             F.least(F.col("doc_a"), F.col("nb")).alias("label"),
         )
-        .persist()
     )
     # Size the loop's shuffle width to the GRAPH, not the session
     # default: the near-dup graph is orders of magnitude smaller than
     # the corpus (it holds only verified near-dup pairs), and every
-    # round pays per-partition scheduling on 3 shuffles. ~50k edges
+    # round pays per-partition scheduling on its shuffles. ~50k edges
     # per partition, floor 4; a billion-edge graph on a real cluster
-    # still widens to the session default. (Measured 7.1s -> 5.0s at
-    # sf0.1; results are width-independent, pinned by
-    # tests/test_determinism.)
+    # still widens to the session default. The width is applied with
+    # EXPLICIT repartition() on the loop DataFrames (never by mutating
+    # session conf, which a concurrent query on the same session would
+    # observe); AQE coalesces the remaining aggregate exchanges.
+    # Results are width-independent, pinned by tests/test_determinism.
     n_edges = edges.count()
     default_width = int(spark.conf.get("spark.sql.shuffle.partitions"))
     loop_width = max(4, min(default_width, n_edges // 50_000 + 4))
-    spark.conf.set("spark.sql.shuffle.partitions", str(loop_width))
+    edges_r = edges.repartition(loop_width, "doc_b").persist()
+    edges_r.count()
+    edges.unpersist()
+    edges = edges_r
+    labels = labels.repartition(loop_width, "node").persist()
     prev_cached = labels
-    try:
-        for _ in range(20):  # >> diameter of any dedup component
-            neighbor_min = (
-                edges.join(labels, edges.doc_b == labels.node)
-                .groupBy(F.col("doc_a").alias("node"))
-                .agg(F.min("label").alias("nbr_label"))
+    for _ in range(20):  # >> diameter of any dedup component
+        neighbor_min = (
+            edges.join(labels, edges.doc_b == labels.node)
+            .groupBy(F.col("doc_a").alias("node"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        # the convergence flag rides along in the same pass, so
+        # each round costs ONE action (the count materializes the
+        # persisted round result) instead of a second old-vs-new
+        # join job
+        stepped = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("new_label"),
+                (
+                    F.coalesce(F.col("nbr_label"), F.col("label")) < F.col("label")
+                ).alias("changed"),
             )
-            # the convergence flag rides along in the same pass, so
-            # each round costs ONE action (the count materializes the
-            # persisted round result) instead of a second old-vs-new
-            # join job
-            stepped = (
-                labels.join(neighbor_min, "node", "left")
-                .select(
-                    "node",
-                    F.least(
-                        F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                    ).alias("new_label"),
-                    (
-                        F.coalesce(F.col("nbr_label"), F.col("label")) < F.col("label")
-                    ).alias("changed"),
-                )
-                .persist()
-            )
-            changed = stepped.where("changed").count()
-            prev_cached.unpersist()
-            prev_cached = stepped
-            labels = stepped.select("node", F.col("new_label").alias("label"))
-            if changed == 0:
-                break
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", str(default_width))
+            .repartition(loop_width, "node")
+            .persist()
+        )
+        changed = stepped.where("changed").count()
+        prev_cached.unpersist()
+        prev_cached = stepped
+        labels = stepped.select("node", F.col("new_label").alias("label"))
+        if changed == 0:
+            break
     clusters = labels.groupBy("label").agg(
         F.count("*").alias("cluster_size"), F.min("node").alias("keeper_doc_id")
     )

@@ -49,6 +49,23 @@ def tune(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def isolated_session(spark: SparkSession, confs: dict[str, str] | None = None) -> SparkSession:
+    """Clone ``spark`` into a session with isolated SQL conf (shared
+    SparkContext and cached data), apply the standard tuning, then any
+    ``confs`` overrides.
+
+    Used wherever a plan needs a non-default conf (e.g. a streaming
+    query's state-store partition count, which is baked into the
+    checkpoint at first start): setting it on a clone leaves the shared
+    session untouched, so concurrent queries on the caller's session
+    never observe another query's width."""
+    s = spark.newSession()
+    tune(s)
+    for k, v in (confs or {}).items():
+        s.conf.set(k, v)
+    return s
+
+
 def get_spark(app_name: str = "boat-etl-pyspark-spark",
               cpus: int | None = None,
               shuffle_partitions: int | None = None) -> SparkSession:

@@ -73,6 +73,8 @@ def read_events_stream(
     *,
     dir_override: str | None = None,
     max_files_per_trigger: int | None = None,
+    state_partitions: int = 8,
+    reuse_session: bool = False,
 ) -> DataFrame:
     """File-source stream of events with a proper event-time column.
 
@@ -80,8 +82,32 @@ def read_events_stream(
     (used by the watermark tests to feed files in event-time order);
     ``max_files_per_trigger`` bounds each micro-batch so the watermark
     advances between batches.
+
+    The stream is built on an ISOLATED session clone pinned to
+    ``state_partitions`` shuffle partitions: every stateful operator
+    keeps one state store per shuffle partition per micro-batch, so the
+    batch-oriented session default (32 here) multiplies state-store
+    maintenance ~4x beyond the fixture's key cardinality (measured
+    15.2s -> 3.3s on the stream-stream join at sf0.1), and the width is
+    baked into the checkpoint at first start — it must be an explicit
+    per-stream choice. The clone leaves the caller's session conf
+    untouched for concurrent queries. Results are partition-count
+    independent (pinned by tests/test_determinism). Downstream static
+    DataFrames joined to the stream must come from
+    ``stream_df.sparkSession``; a second stream joined to the first
+    (stream-stream join) must pass ``reuse_session=True`` with the
+    first stream's session so both sides share one plan context.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from ..session import isolated_session
+
+    if not reuse_session:
+        spark = isolated_session(
+            spark,
+            {
+                "spark.sql.shuffle.partitions": str(state_partitions),
+                "spark.sql.legacy.parquet.nanosAsLong": "true",
+            },
+        )
     reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
@@ -122,38 +148,25 @@ def run_stream_to_memory(
     result: DataFrame,
     output_mode: str = "complete",
     timeout_sec: int = 300,
-    state_partitions: int = 8,
 ) -> DataFrame:
     """Run a finite (availableNow) streaming query into a memory sink
     and return the final table as a batch DataFrame.
 
-    ``state_partitions`` pins ``spark.sql.shuffle.partitions`` for the
-    stream's lifetime: every stateful operator keeps one state store
-    PER shuffle partition PER micro-batch, so the batch-oriented
-    default (32 here) multiplies state-store maintenance ~4x beyond
-    what the fixture's key cardinality needs (measured 15.2s -> 3.3s
-    on the stream-stream join at sf0.1). Size it to expected state
-    volume, not to batch shuffle width — it is baked into the
-    checkpoint at first start anyway, so it must be an explicit
-    choice, not an inherited session default. Results are
-    partition-count independent (pinned by tests/test_determinism)."""
+    The state-store partition width is a property of the stream's
+    (isolated) session — pinned in ``read_events_stream`` — so nothing
+    here touches shared conf."""
     spark = result.sparkSession
     name = f"__stream_sink_{next(_SINK_IDS)}"
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
     try:
-        q = (
-            result.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(output_mode)
-            .trigger(availableNow=True)
-            .start()
-        )
-        try:
-            q.awaitTermination(timeout_sec)
-        finally:
-            if q.isActive:
-                q.stop()
+        q.awaitTermination(timeout_sec)
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return result.sparkSession.table(name)
+        if q.isActive:
+            q.stop()
+    return spark.table(name)

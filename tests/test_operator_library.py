@@ -32,6 +32,26 @@ def test_asof_join_matches_contract_query(spark):
     assert got == want
 
 
+def test_asof_join_duplicate_left_keys_not_multiplied(spark):
+    # Regression: duplicate (by, left_ts) left rows used to be rejoined
+    # on (key, ts) equality, multiplying N dups into N^2 output rows.
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 10, "b"), (1, 10, "c"), (2, 5, "d")],
+        "k int, ts int, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 7, 100), (1, 9, 200), (2, 9, 300)], "k int, ts int, v int"
+    )
+    out = asof_join(left, right, by="k", left_ts="ts", right_ts="ts", value_cols=["v"])
+    rows = sorted((r["k"], r["ts"], r["tag"], r["asof_v"]) for r in out.collect())
+    assert rows == [
+        (1, 10, "a", 200),
+        (1, 10, "b", 200),
+        (1, 10, "c", 200),
+        (2, 5, "d", None),
+    ]
+
+
 def test_topk_matches_contract_query(spark):
     import __spark_entry__ as m
 
