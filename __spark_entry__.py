@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from boat_etl_pyspark_spark.plans import collect_registries
 from boat_etl_pyspark_spark.plans import (
     analytics,
+    boat_plan,
     curation,
     multimodal_plans,
     relational,
@@ -34,6 +35,7 @@ from boat_etl_pyspark_spark.plans import (
 from boat_etl_pyspark_spark.session import tune
 
 _PLAN_MODULES = (
+    boat_plan,
     analytics,
     curation,
     relational,
@@ -54,10 +56,13 @@ _QUERIES, _ORACLE = collect_registries(*_PLAN_MODULES)
 # core; round 2 front-loads the families the driver has not yet checked
 # (dedup, similarity, text, streaming, multimodal, TPC-H q6-q22
 # remainder) plus the two round-1 hash failures whose oracles were fixed
-# (q12_priority_by_ship_year, curate_pack_sequences). Two cents-pattern
-# queries sharing machinery with already-green siblings
-# (q14_promo_revenue_share, q18_large_orders) wait for round 3.
+# (q12_priority_by_ship_year, curate_pack_sequences). Three queries
+# sharing machinery with already-green siblings
+# (q14_promo_revenue_share, q18_large_orders, window_locf_fill) wait
+# for round 3.
 _CHECK_FIRST = (
+    # the full boat ETL (SURVEY §2.1-2.8) as one driver row
+    "boat_pipeline_summary",
     # round-1 hash failures, oracles fixed this round
     "q12_priority_by_ship_year",
     "curate_pack_sequences",
@@ -113,7 +118,6 @@ _CHECK_FIRST = (
     "agg_approx_sketches",
     "text_chunking",
     "unpivot_customer_metrics",
-    "window_locf_fill",
 )
 
 
