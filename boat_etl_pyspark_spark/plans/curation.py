@@ -177,19 +177,20 @@ def curate_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a deterministic order (per lang stream, by doc_id) and the token
 # stream is cut into fixed-size blocks; a document belongs to the
 # block where it starts (long docs straddle into following blocks).
-# One window cumsum per lang = one shuffle; block stats aggregate on
-# (lang, seq_id). At scale the lang partition is the parallelism unit
-# and the cumsum is a prefix-sum over pre-aggregated partition totals.
+#
+# The naive plan is one window cumsum PARTITION BY lang — parallelism
+# = #languages, a single-digit number, so one straggler core owns the
+# biggest language at any scale. Implemented instead as the classic
+# distributed prefix-sum: range-partition the stream on (lang,
+# doc_id) into #cores splits, cumsum locally per split, and lift the
+# local sums to global ones by adding per-(split, lang) offsets
+# computed from a tiny totals table (#splits x #langs rows). The big
+# data is touched by exactly two exchanges (the range partition and
+# the final (lang, seq_id) aggregate); the offsets table is
+# broadcast. Parallelism = #splits regardless of how skewed the
+# language mix is.
 
 _PACK_BUDGET = 512
-
-_PACK_BODY = """
-SELECT lang, seq_id,
-       COUNT(*) AS n_docs,
-       SUM(n_tok) AS n_tokens,
-       MIN(doc_id) AS first_doc,
-       MAX(doc_id) AS last_doc
-"""
 
 # DuckDB promotes SUM(BIGINT) to HUGEINT (float64 in pandas); cast back
 # so the oracle hash matches Spark's bigint.
@@ -199,20 +200,6 @@ SELECT lang, seq_id,
        CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
        MIN(doc_id) AS first_doc,
        MAX(doc_id) AS last_doc
-"""
-
-# seq_id uses each dialect's INTEGER division (Spark DIV, DuckDB //);
-# plain `/` is float division in both.
-_PACK_SPARK = f"""
-{_PACK_BODY}
-FROM (
-  SELECT doc_id, lang, n_tok,
-         (SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-          - n_tok) DIV {_PACK_BUDGET} AS seq_id
-  FROM (SELECT doc_id, lang, CAST(size(split(text, ' ')) AS BIGINT) AS n_tok FROM {{docs}})
-)
-GROUP BY lang, seq_id
 """
 
 _PACK_DUCK = f"""
@@ -229,8 +216,64 @@ GROUP BY lang, seq_id
 
 
 def curate_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs_view(spark, sf_dir, "__docs_pack")
-    return spark.sql(_PACK_SPARK.format(docs=docs))
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
+    )
+    n_splits = spark.sparkContext.defaultParallelism
+    # Persisted so the totals pass and the main pass see the SAME split
+    # assignment (range boundaries come from sampling; recomputing the
+    # exchange twice is both wasted IO and a determinism hazard).
+    split_docs = (
+        docs.repartitionByRange(n_splits, "lang", "doc_id")
+        .withColumn("split_id", F.spark_partition_id())
+        .persist()
+    )
+    # Tiny: #splits x #langs rows. The window below runs on it, not on
+    # the corpus.
+    w_prev = (
+        Window.partitionBy("lang")
+        .orderBy("split_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        split_docs.groupBy("split_id", "lang")
+        .agg(F.sum("n_tok").alias("split_tok"))
+        .select(
+            "split_id",
+            "lang",
+            F.coalesce(F.sum("split_tok").over(w_prev), F.lit(0)).alias("offset"),
+        )
+    )
+    # Local cumsum per (split, lang) + broadcast offset = global cumsum
+    # in (lang, doc_id) order: range partitioning guarantees every
+    # same-lang row in an earlier split precedes every row in a later
+    # one.
+    w_local = (
+        Window.partitionBy("split_id", "lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    packed = (
+        split_docs.join(F.broadcast(offsets), ["split_id", "lang"])
+        .withColumn(
+            "start_tok",
+            F.sum("n_tok").over(w_local) + F.col("offset") - F.col("n_tok"),
+        )
+        # integer DIV, not floor(double /): token totals at corpus scale
+        # overflow double's 2^53 exact-integer range
+        .withColumn("seq_id", F.expr(f"start_tok DIV {_PACK_BUDGET}"))
+    )
+    return packed.groupBy("lang", "seq_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
 
 
 # ---------------------------------------------------------------------------
