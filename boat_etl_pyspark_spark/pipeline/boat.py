@@ -160,16 +160,18 @@ def parse_csv(cleaned: DataFrame) -> DataFrame:
     lines (5 in the reference data); pandas' document-level parser
     rejoins them implicitly. Line-wise, a record boundary is where the
     running count of quote chars is even — computed with one ordered
-    window. Note the global window: multi-line quoted CSV is
-    inherently sequential per file (Spark's own multiLine reader makes
-    files non-splittable for the same reason); ingest parallelism at
-    scale comes from many files, not from splitting one.
+    window PER FILE: multi-line quoted CSV is inherently sequential
+    within a file (Spark's own multiLine reader makes files
+    non-splittable for the same reason), so the window partitions on
+    ``input_file_name()`` and ingest parallelism at scale comes from
+    many files. Each file's header row is dropped independently.
     """
     header = ",".join(CSV_COLUMNS)
     quotes = F.length(F.col("line")) - F.length(F.regexp_replace("line", '"', ""))
-    w = Window.orderBy("line_id")
+    w = Window.partitionBy("fname").orderBy("line_id")
     lines = (
-        cleaned.withColumn("line_id", F.monotonically_increasing_id())
+        cleaned.withColumn("fname", F.input_file_name())
+        .withColumn("line_id", F.monotonically_increasing_id())
         .withColumn("q", quotes)
         .withColumn(
             "parity_before",
@@ -187,7 +189,7 @@ def parse_csv(cleaned: DataFrame) -> DataFrame:
         )
     )
     records = (
-        lines.groupBy("record_id")
+        lines.groupBy("fname", "record_id")
         .agg(F.array_sort(F.collect_list(F.struct("line_id", "line"))).alias("parts"))
         .select(
             F.concat_ws(

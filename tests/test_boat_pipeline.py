@@ -99,3 +99,40 @@ def test_golden_quirks(pipeline_output, spark):
             "slovak republic"} <= countries
     # bare-fuel rows: fuel lands in Type, Power = None
     assert df.where((F.col("Type") == "Diesel") & (F.col("Power") == "None")).count() > 0
+
+
+def test_multi_file_ingest_parity(spark, tmp_path):
+    """Ingest parallelism at scale comes from many files: the record
+    reassembly windows partition per input file, so a directory of
+    header-bearing CSV shards parses to exactly the single-file result
+    (each shard's header dropped independently)."""
+    from boat_etl_pyspark_spark.pipeline.boat import (
+        clean_lines,
+        parse_csv,
+        read_raw_lines,
+    )
+
+    # split on \n ONLY: str.splitlines() also breaks on \x85/
+    # separators that Spark's (and pandas') line reader treats as
+    # in-line characters — the reference data contains one such line
+    raw = open(INPUT, encoding="utf-8", newline="").read().split("\n")
+    if raw and raw[-1] == "":
+        raw.pop()
+    header, body = raw[0], raw[1:]
+    # split at a record boundary: running quote parity is even there,
+    # so neither shard cuts a multi-line quoted record
+    cut = len(body) // 2
+    while sum(line.count('"') for line in body[:cut]) % 2 != 0:
+        cut += 1
+    shards = tmp_path / "shards"
+    shards.mkdir()
+    (shards / "part-000.csv").write_text("\n".join([header] + body[:cut]) + "\n")
+    (shards / "part-001.csv").write_text("\n".join([header] + body[cut:]) + "\n")
+
+    single = parse_csv(clean_lines(read_raw_lines(spark, INPUT))).toPandas()
+    multi = parse_csv(clean_lines(read_raw_lines(spark, str(shards)))).toPandas()
+    assert len(multi) == len(single) == 9888
+    cols = list(single.columns)
+    s = single.sort_values(cols, na_position="last").reset_index(drop=True)
+    m = multi[cols].sort_values(cols, na_position="last").reset_index(drop=True)
+    pd.testing.assert_frame_equal(s, m)

@@ -122,10 +122,22 @@ def test_curation_filter_and_split_are_map_only(spark, queries):
         assert plan.count("Exchange") == 0, f"{name} should be map-only"
 
 
-def test_pack_sequences_single_window_shuffle(spark, queries):
+def test_pack_sequences_prefix_sum_plan(spark, queries):
+    """Packing must NOT window PARTITION BY lang (parallelism would be
+    #languages): the plan is the distributed prefix-sum — a range
+    partition into #cores splits, a per-(split, lang) local window,
+    and a broadcast of the tiny offsets table. Only bounded-width
+    exchanges beyond those may appear (the offsets-side aggregates)."""
     plan = plan_of(queries["curate_pack_sequences"](spark, SF_SMOKE), "simple")
-    # one hash partition by lang for the cumsum window; the block
-    # aggregation reuses that partitioning (lang is a prefix of the
-    # grouping key) — no second full shuffle of the doc stream
-    assert plan.count("Exchange") <= 2
-    assert plan.count("Window") == 1
+    assert "rangepartitioning(lang" in plan
+    assert "hashpartitioning(split_id" in plan
+    assert plan.count("BroadcastExchange") == 1
+    # no corpus-wide window keyed on lang alone (the skewed form);
+    # the lang-only hash partition appears ONLY under the tiny
+    # offsets-table window
+    heavy = [
+        ln
+        for ln in plan.splitlines()
+        if "hashpartitioning(lang#" in ln and "seq_id" not in ln
+    ]
+    assert len(heavy) <= 1  # the offsets window, #splits x #langs rows
