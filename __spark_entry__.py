@@ -22,12 +22,14 @@ from boat_etl_pyspark_spark.plans import (
     analytics,
     boat_plan,
     curation,
+    io_plans,
     multimodal_plans,
     relational,
     relational2,
     relational3,
     relational4,
     relational5,
+    sessionize,
     similarity,
     streaming_plans,
     textdedup,
@@ -47,6 +49,8 @@ _PLAN_MODULES = (
     similarity,
     streaming_plans,
     multimodal_plans,
+    sessionize,
+    io_plans,
 )
 
 _QUERIES, _ORACLE = collect_registries(*_PLAN_MODULES)

@@ -1,0 +1,208 @@
+"""Source/sink round-trips as driver-checked queries.
+
+The write side of the engine (SURVEY.md §2.7) so far lived only in
+pytest (tests/test_sinks.py); these queries put it under the DuckDB
+CORRECTNESS gate. Each query writes a fixture table out through a
+format, reads it back, and aggregates the read-back copy; the oracle
+aggregates the ORIGINAL parquet — so a hash match proves the format
+round-trip was lossless, not merely that the aggregate is right.
+
+- ``io_csv_roundtrip``: the document text is first DECORATED with a
+  quote, a comma, and an embedded newline so the CSV writer is forced
+  to quote/escape and the reader to reassemble multi-line records
+  (RFC-4180 doubled quotes via ``escape='"'``; ``multiLine`` scan on
+  read). The fixture text is CSV-benign, so without the decoration
+  this would prove nothing.
+- ``io_json_roundtrip``: JSON-lines with an explicit read schema and a
+  pinned microsecond timestamp format (the default format truncates to
+  millis — a silent-corruption trap at any scale).
+- ``io_partitioned_scan``: writes events partitioned by
+  ``event_type``, reads back ONE partition and aggregates it. The
+  predicate lands in ``PartitionFilters`` (audited in
+  tests/test_io_plans.py) — at 100 TB this is the difference between
+  listing one directory and scanning the table.
+
+Temp outputs go under the system temp dir keyed by the sf dir (same
+convention as the streaming checkpoints, streaming/events.py:61) and
+are rewritten per run with ``mode("overwrite")``.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.numeric import cents, money_sum
+from ..sources.readers import load_table
+
+
+def _tmp(kind: str, sf_dir: str) -> str:
+    key = re.sub(r"\W+", "_", sf_dir.strip("/"))
+    return os.path.join(tempfile.gettempdir(), f"spark_graft_io_{kind}_{key}")
+
+
+# --- CSV ------------------------------------------------------------------
+
+# Forces quoting (comma), escaping (double quote), and multi-line
+# record reassembly (newline) through the round-trip. The newline is
+# NOT the final character: univocity's multiLine parser swallows a
+# field-trailing newline that abuts the closing quote + record
+# terminator (verified empirically), which is a writer/reader asymmetry
+# we document rather than fight — real corpora are decorated
+# mid-field here exactly so the check still proves newline handling.
+_DECORATION = '",\n|'
+
+_DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def io_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "text", F.concat(F.col("text"), F.lit(_DECORATION))
+    )
+    out = _tmp("csv", sf_dir)
+    (
+        docs.write.mode("overwrite")
+        .options(header=True, quote='"', escape='"')
+        .csv(out)
+    )
+    back = (
+        spark.read.schema(_DOC_SCHEMA)
+        .options(header=True, quote='"', escape='"', multiLine=True)
+        .csv(out)
+    )
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text")).alias("sum_chars"),
+        F.countDistinct(F.md5("text")).alias("n_distinct_texts"),
+        F.sum("n_chars").alias("sum_n_chars"),
+    )
+
+
+_CSV_SQL = """
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(LENGTH(text || '",' || chr(10) || '|')) AS BIGINT) AS sum_chars,
+       CAST(COUNT(DISTINCT md5(text || '",' || chr(10) || '|')) AS BIGINT) AS n_distinct_texts,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars
+FROM documents
+GROUP BY lang
+"""
+
+# --- JSON -----------------------------------------------------------------
+
+_ORDERS_SCHEMA = T.StructType(
+    [
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_custkey", T.LongType()),
+        T.StructField("o_orderstatus", T.StringType()),
+        T.StructField("o_totalprice", T.DoubleType()),
+        T.StructField("o_orderdate", T.TimestampNTZType()),
+        T.StructField("o_orderpriority", T.StringType()),
+    ]
+)
+
+# Micros-precision format: Spark's default JSON format keeps only
+# millis, which would silently corrupt sub-milli timestamps. The
+# fixture's o_orderdate is parquet TIMESTAMP(isAdjustedToUTC=false) →
+# Spark TIMESTAMP_NTZ, which the JSON codec formats via
+# ``timestampNTZFormat`` — the plain ``timestampFormat`` option is
+# silently IGNORED for NTZ columns (verified empirically; all dates
+# came back NULL under the mismatched reader format).
+_TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+
+
+def io_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    out = _tmp("json", sf_dir)
+    orders.write.mode("overwrite").option("timestampNTZFormat", _TS_FMT).json(out)
+    back = (
+        spark.read.schema(_ORDERS_SCHEMA)
+        .option("timestampNTZFormat", _TS_FMT)
+        .json(out)
+    )
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(cents(F.col("o_totalprice"))).alias("total_cents"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("first_day"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("last_day"),
+    )
+
+
+_JSON_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+       strftime(MIN(o_orderdate), '%Y-%m-%d') AS first_day,
+       strftime(MAX(o_orderdate), '%Y-%m-%d') AS last_day
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+# --- partitioned parquet sink + pruned scan --------------------------------
+
+# Explicit read-back schema (partition column last, matching layout):
+# schema inference would crash on a zero-row write (the partitioned dir
+# then contains no data files at all), and at 100 TB inference is a
+# full file listing you never want on the hot path anyway.
+_EVENTS_BACK_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+        T.StructField("event_type", T.StringType()),
+    ]
+)
+
+
+def io_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = _tmp("part", sf_dir)
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    back = spark.read.schema(_EVENTS_BACK_SCHEMA).parquet(out).where(
+        F.col("event_type") == "purchase"
+    )
+    return back.groupBy(
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count("*").alias("n_purchases"),
+        F.countDistinct("user_id").alias("n_users"),
+        money_sum(F.col("value")).alias("value_sum"),
+    )
+
+
+_PART_SQL = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       COUNT(*) AS n_purchases,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS value_sum
+FROM events
+WHERE event_type = 'purchase'
+GROUP BY 1
+"""
+
+QUERIES = {
+    "io_csv_roundtrip": io_csv_roundtrip,
+    "io_json_roundtrip": io_json_roundtrip,
+    "io_partitioned_scan": io_partitioned_scan,
+}
+
+ORACLE = {
+    "io_csv_roundtrip": _CSV_SQL,
+    "io_json_roundtrip": _JSON_SQL,
+    "io_partitioned_scan": _PART_SQL,
+}
