@@ -195,14 +195,125 @@ WHERE event_type = 'purchase'
 GROUP BY 1
 """
 
+# --- z-order layout --------------------------------------------------------
+
+_ZBITS = 16
+
+
+def _zvalue(a, b):
+    """Interleave the low 16 bits of two columns into a 32-bit Morton
+    (z-order) value — pure codegen-able bit arithmetic, no UDF. Sorting
+    or range-partitioning files by this key clusters BOTH dimensions,
+    so min/max file statistics prune selective predicates on either
+    column — the multi-dimension data-skipping layout (Delta/Iceberg
+    OPTIMIZE ZORDER) expressed as plain Spark expressions."""
+    import functools
+
+    a = a.cast("long")
+    b = b.cast("long")
+    terms = []
+    for i in range(_ZBITS):
+        terms.append(F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i))
+        terms.append(F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+    return functools.reduce(lambda x, y: x.bitwiseOR(y), terms)
+
+
+def layout_zorder_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order key over (customer, order-day): the driver-checked half
+    is the exact Morton value; the file-layout half (range-partitioned
+    write → non-overlapping per-file z-ranges) is audited by
+    tests/test_io_plans.py."""
+    orders = load_table(spark, sf_dir, "orders")
+    x = F.col("o_custkey").bitwiseAND(F.lit(0xFFFF))
+    y = F.datediff(F.col("o_orderdate"), F.to_date(F.lit("1995-01-01"))).bitwiseAND(
+        F.lit(0xFFFF)
+    )
+    z = orders.select("o_orderkey", _zvalue(x, y).alias("zvalue"))
+    return z.orderBy("zvalue", "o_orderkey").limit(100)
+
+
+def _z_sql(xe: str, ye: str) -> str:
+    # Every term fully parenthesized: DuckDB gives <<, >>, &, | EQUAL
+    # precedence (left-assoc), so an unparenthesized `a << 0 | b << 1`
+    # chain compounds the shifts and overflows.
+    parts = [f"(((({xe}) >> {i}) & 1) << {2 * i})" for i in range(_ZBITS)]
+    parts += [f"(((({ye}) >> {i}) & 1) << {2 * i + 1})" for i in range(_ZBITS)]
+    return " | ".join(parts)
+
+
+_ZORDER_SQL = f"""
+SELECT o_orderkey,
+       {_z_sql("o_custkey & 65535",
+               "date_diff('day', DATE '1995-01-01', o_orderdate) & 65535")} AS zvalue
+FROM orders
+ORDER BY zvalue, o_orderkey
+LIMIT 100
+"""
+
+# --- bucketed co-located join ----------------------------------------------
+
+
+def io_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-table join: both fact tables are written bucketed (and
+    sorted) on the join key, so the sort-merge join reads co-located
+    buckets with NO exchange on either side (audited by
+    tests/test_io_plans.py). At 100 TB this is the layout that
+    amortizes the orders⋈lineitem shuffle across every query that
+    joins on the key. The pre-write ``repartition(8, key)`` aligns
+    task hashing with bucket hashing so each bucket is one file. The
+    MERGE hint pins the join strategy — at fixture scale the tables
+    would otherwise broadcast, and the point is the exchange-free SMJ
+    shape."""
+    key = re.sub(r"\W+", "_", sf_dir.strip("/"))
+    t_orders, t_li = f"b_orders_{key}", f"b_lineitem_{key}"
+    base = _tmp("bucketed", sf_dir)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    for df, name, col in ((orders, t_orders, "o_orderkey"), (li, t_li, "l_orderkey")):
+        (
+            df.repartition(8, F.col(col))
+            .write.mode("overwrite")
+            .option("path", os.path.join(base, name))
+            .bucketBy(8, col)
+            .sortBy(col)
+            .saveAsTable(name)
+        )
+    j = spark.table(t_orders).hint("merge").join(
+        spark.table(t_li), F.col("o_orderkey") == F.col("l_orderkey")
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_items"),
+        F.sum(cents(F.col("l_quantity"))).alias("qty_cents"),
+        F.sum(cents(F.col("l_extendedprice"), 1)).alias("price_units"),
+    )
+
+
+_BUCKETED_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents,
+       CAST(SUM(CAST(ROUND(l_extendedprice) AS BIGINT)) AS BIGINT) AS price_units
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+"""
+
 QUERIES = {
     "io_csv_roundtrip": io_csv_roundtrip,
     "io_json_roundtrip": io_json_roundtrip,
     "io_partitioned_scan": io_partitioned_scan,
+    "layout_zorder_orders": layout_zorder_orders,
+    "io_bucketed_join": io_bucketed_join,
 }
 
 ORACLE = {
     "io_csv_roundtrip": _CSV_SQL,
     "io_json_roundtrip": _JSON_SQL,
     "io_partitioned_scan": _PART_SQL,
+    "layout_zorder_orders": _ZORDER_SQL,
+    "io_bucketed_join": _BUCKETED_SQL,
 }

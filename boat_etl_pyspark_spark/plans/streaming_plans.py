@@ -12,7 +12,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.numeric import cents
-from ..streaming.events import read_events_stream, run_stream_to_memory
+from ..streaming.events import (
+    read_events_stream,
+    run_stream_to_memory,
+    stream_dir_multi,
+)
 
 _GAP_US = 30 * 60 * 1_000_000  # 30-minute session gap
 
@@ -291,8 +295,96 @@ GROUP BY 1, 2
 """
 
 
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-BOUNDED streaming dedup (dropDuplicatesWithinWatermark):
+    unlike plain dropDuplicates, whose key state grows forever, a key's
+    state is evicted once the watermark passes it — the only dedup that
+    survives an unbounded stream. The backlog is replayed as three
+    event-time-ordered micro-batches so the watermark genuinely
+    advances across batches; the delay is set beyond the fixture's span
+    so no key is evicted mid-replay and the result equals batch
+    DISTINCT (production sizes the delay to its dedup horizon)."""
+    ev = read_events_stream(
+        spark,
+        sf_dir,
+        dir_override=stream_dir_multi(sf_dir, 3),
+        max_files_per_trigger=1,
+    )
+    deduped = (
+        ev.withWatermark("ev_time", "2000 days")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return run_stream_to_memory(deduped, "append")
+
+
+_STREAM_DEDUP_WM_SQL = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
+def stream_foreachbatch_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch sink: each micro-batch APPENDS its partial
+    per-type aggregate (mergeable integer-cents partials) to a parquet
+    accumulator; the final answer re-aggregates the partials. This is
+    the idempotent-merge sink pattern for feeding a warehouse table
+    from a stream — append-only partials, no read-modify-write race —
+    and the replay runs as three real micro-batches."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    ev = read_events_stream(
+        spark,
+        sf_dir,
+        dir_override=stream_dir_multi(sf_dir, 3),
+        max_files_per_trigger=1,
+    )
+    session = ev.sparkSession
+    acc = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_febatch_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
+    )
+    shutil.rmtree(acc, ignore_errors=True)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.groupBy("event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(cents(F.col("value"))).alias("value_cents"),
+            )
+            .write.mode("append")
+            .parquet(acc)
+        )
+
+    q = ev.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    try:
+        q.awaitTermination(300)
+    finally:
+        if q.isActive:
+            q.stop()
+    partials = session.read.parquet(acc)
+    return partials.groupBy("event_type").agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("value_cents").alias("value_cents"),
+    )
+
+
+_FOREACHBATCH_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "stream_stream_attribution": stream_stream_attribution,
+    "stream_dedup_within_watermark": stream_dedup_within_watermark,
+    "stream_foreachbatch_totals": stream_foreachbatch_totals,
     "stream_kafka_roundtrip": stream_kafka_roundtrip,
     "stream_dedup_user_event_types": stream_dedup_user_event_types,
     "stream_static_value_buckets": stream_static_value_buckets,
@@ -304,6 +396,8 @@ QUERIES = {
 
 ORACLE = {
     "stream_stream_attribution": _STREAM_STREAM_SQL,
+    "stream_dedup_within_watermark": _STREAM_DEDUP_WM_SQL,
+    "stream_foreachbatch_totals": _FOREACHBATCH_SQL,
     "stream_kafka_roundtrip": _KAFKA_ROUNDTRIP_SQL,
     "stream_dedup_user_event_types": _STREAM_DEDUP_SQL,
     "stream_static_value_buckets": _STREAM_STATIC_SQL,

@@ -67,6 +67,39 @@ def _stream_dir_for(sf_dir: str) -> str:
     return d
 
 
+def stream_dir_multi(sf_dir: str, n: int = 3) -> str:
+    """Split the single-file fixture into ``n`` event-time-ordered
+    parquet files so ``availableNow`` + ``maxFilesPerTrigger=1`` yields
+    ``n`` micro-batches — the shape that exercises cross-batch state
+    (foreachBatch accumulation, watermark advancement) that a
+    single-file backlog cannot. Built once per (sf_dir, n) in the temp
+    dir; the build is staged in a pid-suffixed dir and renamed so a
+    concurrent builder can never observe a half-written directory."""
+    import shutil
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    key = hashlib.md5(f"{sf_dir}:{n}".encode()).hexdigest()[:12]
+    d = os.path.join(tempfile.gettempdir(), f"spark_graft_streamN_{key}")
+    if os.path.isdir(d):
+        return d
+    stage = f"{d}.build.{os.getpid()}"
+    os.makedirs(stage, exist_ok=True)
+    table = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+    table = table.take(pc.sort_indices(table, sort_keys=[("ts", "ascending")]))
+    step = (table.num_rows + n - 1) // n
+    for i in range(n):
+        pq.write_table(
+            table.slice(i * step, step), os.path.join(stage, f"events_{i}.parquet")
+        )
+    try:
+        os.rename(stage, d)
+    except OSError:
+        shutil.rmtree(stage, ignore_errors=True)  # another builder won
+    return d
+
+
 def read_events_stream(
     spark: SparkSession,
     sf_dir: str,

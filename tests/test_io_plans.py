@@ -15,6 +15,7 @@ from boat_etl_pyspark_spark.plans.io_plans import (
     io_partitioned_scan,
 )
 from boat_etl_pyspark_spark.plans.sessionize import _GAP_US, events_sessionize
+from boat_etl_pyspark_spark.sources.readers import load_table
 from tests.conftest import SF_SMOKE
 
 
@@ -45,6 +46,52 @@ def test_csv_roundtrip_is_content_sensitive(spark):
     ).collect()[0]
     assert out.docs > 0
     assert out.texts > 0
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    from boat_etl_pyspark_spark.plans.io_plans import io_bucketed_join
+
+    df = io_bucketed_join(spark, SF_SMOKE)
+    plan = plan_of(df)
+    # Bucketed co-located layout: nothing shuffles BELOW the join (the
+    # formatted tree prints children underneath, so the join's subtree
+    # is everything after the SortMergeJoin line down to the scans; the
+    # post-join aggregation's exchange sits ABOVE it and is expected).
+    tree = plan.split("\n\n", 1)[0]
+    assert "SortMergeJoin" in tree
+    subtree = tree.split("SortMergeJoin", 1)[1]
+    pre_join = [ln for ln in subtree.splitlines() if "Exchange" in ln]
+    assert not pre_join, f"exchange below bucketed SMJ: {pre_join}"
+    assert "Bucketed: true" in plan
+
+
+def test_zorder_files_do_not_overlap(spark, tmp_path):
+    """Range-partitioning by the Morton key yields files whose z-ranges
+    are disjoint — the property min/max statistics pruning needs."""
+    from boat_etl_pyspark_spark.plans.io_plans import _zvalue
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    z = orders.select(
+        "o_orderkey",
+        _zvalue(
+            F.col("o_custkey").bitwiseAND(F.lit(0xFFFF)),
+            F.datediff(F.col("o_orderdate"), F.to_date(F.lit("1995-01-01"))).bitwiseAND(
+                F.lit(0xFFFF)
+            ),
+        ).alias("zvalue"),
+    )
+    out = str(tmp_path / "zorders")
+    z.repartitionByRange(4, "zvalue").write.mode("overwrite").parquet(out)
+    ranges = (
+        spark.read.parquet(out)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("zvalue").alias("lo"), F.max("zvalue").alias("hi"))
+        .collect()
+    )
+    spans = sorted((r.lo, r.hi) for r in ranges)
+    assert len(spans) > 1
+    for (_, prev_hi), (lo, _) in zip(spans, spans[1:]):
+        assert lo > prev_hi, f"overlapping z-ranges: {spans}"
 
 
 def test_sessionize_invariants(spark):
