@@ -29,6 +29,7 @@ from boat_etl_pyspark_spark.plans import (
     relational3,
     relational4,
     relational5,
+    relational6,
     sessionize,
     similarity,
     streaming_plans,
@@ -51,6 +52,7 @@ _PLAN_MODULES = (
     multimodal_plans,
     sessionize,
     io_plans,
+    relational6,
 )
 
 _QUERIES, _ORACLE = collect_registries(*_PLAN_MODULES)
