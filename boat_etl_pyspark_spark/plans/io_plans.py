@@ -195,6 +195,50 @@ WHERE event_type = 'purchase'
 GROUP BY 1
 """
 
+# --- XML ------------------------------------------------------------------
+
+# Forces entity escaping (< & >), attribute-quote handling, and an
+# embedded newline through the XML round-trip; ends with a non-space
+# character so whitespace-trimming readers can't silently pass.
+_XML_DECORATION = '<&>\n"x'
+
+
+def io_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 built-in XML source/sink round-trip (same lossless-proof
+    shape as the CSV/JSON queries: the oracle aggregates the ORIGINAL
+    parquet, so a hash match proves the writer escaped and the reader
+    unescaped every entity)."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "text", F.concat(F.col("text"), F.lit(_XML_DECORATION))
+    )
+    out = _tmp("xml", sf_dir)
+    docs.write.mode("overwrite").format("xml").options(
+        rootTag="docs", rowTag="doc"
+    ).save(out)
+    back = (
+        spark.read.schema(_DOC_SCHEMA)
+        .format("xml")
+        .option("rowTag", "doc")
+        .load(out)
+    )
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text")).alias("sum_chars"),
+        F.countDistinct(F.md5("text")).alias("n_distinct_texts"),
+        F.sum("n_chars").alias("sum_n_chars"),
+    )
+
+
+_XML_SQL = """
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(LENGTH(text || '<&>' || chr(10) || '"x')) AS BIGINT) AS sum_chars,
+       CAST(COUNT(DISTINCT md5(text || '<&>' || chr(10) || '"x')) AS BIGINT) AS n_distinct_texts,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars
+FROM documents
+GROUP BY lang
+"""
+
 # --- z-order layout --------------------------------------------------------
 
 _ZBITS = 16
@@ -305,6 +349,7 @@ GROUP BY o_orderpriority
 QUERIES = {
     "io_csv_roundtrip": io_csv_roundtrip,
     "io_json_roundtrip": io_json_roundtrip,
+    "io_xml_roundtrip": io_xml_roundtrip,
     "io_partitioned_scan": io_partitioned_scan,
     "layout_zorder_orders": layout_zorder_orders,
     "io_bucketed_join": io_bucketed_join,
@@ -313,6 +358,7 @@ QUERIES = {
 ORACLE = {
     "io_csv_roundtrip": _CSV_SQL,
     "io_json_roundtrip": _JSON_SQL,
+    "io_xml_roundtrip": _XML_SQL,
     "io_partitioned_scan": _PART_SQL,
     "layout_zorder_orders": _ZORDER_SQL,
     "io_bucketed_join": _BUCKETED_SQL,
