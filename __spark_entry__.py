@@ -62,10 +62,17 @@ _QUERIES, _ORACLE = collect_registries(*_PLAN_MODULES)
 # core; round 2 front-loads the families the driver has not yet checked
 # (dedup, similarity, text, streaming, multimodal, TPC-H q6-q22
 # remainder) plus the two round-1 hash failures whose oracles were fixed
-# (q12_priority_by_ship_year, curate_pack_sequences). Three queries
-# sharing machinery with already-green siblings
-# (q14_promo_revenue_share, q18_large_orders, window_locf_fill) wait
-# for round 3.
+# (q12_priority_by_ship_year, curate_pack_sequences).
+#
+# ROUND 3 TODO (reorder at round start, AFTER CORRECTNESS_r02 lands):
+# replace _CHECK_FIRST with the queries still lacking a driver row —
+# the three deferred siblings (q14_promo_revenue_share,
+# q18_large_orders, window_locf_fill) plus everything registered in
+# round 2 (events_sessionize, agg_incremental_mv_merge, io_*,
+# layout_zorder_orders, stream_dedup_within_watermark,
+# stream_foreachbatch_totals, lateral_top2_orders_per_customer,
+# json_variant_nested, array_hof_quantity_profile, and any round-3
+# additions) — then backfill with round-1 greens.
 _CHECK_FIRST = (
     # the full boat ETL (SURVEY §2.1-2.8) as one driver row
     "boat_pipeline_summary",
