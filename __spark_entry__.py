@@ -58,79 +58,32 @@ _PLAN_MODULES = (
 _QUERIES, _ORACLE = collect_registries(*_PLAN_MODULES)
 
 # The driver's correctness gate checks the FIRST 50 registry entries in
-# order. Round 1 banked green rows for the relational/analytics/curation
-# core; round 2 front-loads the families the driver has not yet checked
-# (dedup, similarity, text, streaming, multimodal, TPC-H q6-q22
-# remainder) plus the two round-1 hash failures whose oracles were fixed
-# (q12_priority_by_ship_year, curate_pack_sequences).
-#
-# ROUND 3 TODO (reorder at round start, AFTER CORRECTNESS_r02 lands):
-# replace _CHECK_FIRST with the queries still lacking a driver row —
-# the three deferred siblings (q14_promo_revenue_share,
-# q18_large_orders, window_locf_fill) plus everything registered in
-# round 2 (events_sessionize, agg_incremental_mv_merge, io_*,
-# layout_zorder_orders, stream_dedup_within_watermark,
-# stream_foreachbatch_totals, lateral_top2_orders_per_customer,
-# json_variant_nested, array_hof_quantity_profile, and any round-3
-# additions) — then backfill with round-1 greens.
+# order. Rounds 1+2 banked green rows for 98 distinct queries (r01: the
+# relational/analytics/curation core; r02: dedup/sim/text/stream/
+# multimodal + TPC-H remainder — all 50 passed). Round 3 front-loads
+# the 16 queries still lacking ANY driver row (round-2 additions plus
+# the three deferred siblings), then every round-3 addition; the
+# remainder of the 50-row window backfills from registration order,
+# which re-confirms round-1 greens.
 _CHECK_FIRST = (
-    # the full boat ETL (SURVEY §2.1-2.8) as one driver row
-    "boat_pipeline_summary",
-    # round-1 hash failures, oracles fixed this round
-    "q12_priority_by_ship_year",
-    "curate_pack_sequences",
-    # textdedup family
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_incremental",
-    "dedup_clusters",
-    "dedup_embedding_cosine",
-    "text_token_stats",
-    "text_quality_score",
-    "text_language_id",
-    "text_fingerprints",
-    "text_stopword_removal",
-    "text_tfidf_top_terms",
-    "text_keyword_spans",
-    # similarity family
-    "sim_bruteforce_topk",
-    "sim_ivf_topk",
-    "sim_norm_stats",
-    "sim_rp_lsh_buckets",
-    # streaming family
-    "stream_tumbling_6h",
-    "stream_sliding_6h_3h",
-    "stream_session_windows",
-    "stream_stateful_user_totals",
-    "stream_stream_attribution",
-    "stream_dedup_user_event_types",
-    "stream_static_value_buckets",
-    "stream_kafka_roundtrip",
-    # multimodal family
-    "multimodal_binary_meta",
-    "multimodal_frame_sample",
-    "multimodal_decode_features",
-    "multimodal_resize",
-    # TPC-H remainder + relational5 extras
-    "q6_forecast_revenue",
-    "q7_nation_trade_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_item_customers",
-    "q11_important_stock",
-    "q13_order_count_histogram",
-    "q15_top_suppliers",
-    "q16_parts_supplier_variety",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue",
-    "q20_excess_stock_suppliers",
-    "q21_sole_delaying_supplier",
-    "q22_dormant_positive_customers",
-    "agg_approx_sketches",
-    "text_chunking",
-    "unpivot_customer_metrics",
+    # --- no driver row yet (registered in round 2 after the cutoff) ---
+    "q14_promo_revenue_share",
+    "q18_large_orders",
+    "window_locf_fill",
+    "events_sessionize",
+    "agg_incremental_mv_merge",
+    "io_csv_roundtrip",
+    "io_json_roundtrip",
+    "io_xml_roundtrip",
+    "io_partitioned_scan",
+    "layout_zorder_orders",
+    "io_bucketed_join",
+    "stream_dedup_within_watermark",
+    "stream_foreachbatch_totals",
+    "lateral_top2_orders_per_customer",
+    "json_variant_nested",
+    "array_hof_quantity_profile",
+    # --- round-3 additions (appended as implemented) ---
 )
 
 

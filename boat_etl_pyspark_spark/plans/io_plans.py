@@ -29,8 +29,10 @@ are rewritten per run with ``mode("overwrite")``.
 
 from __future__ import annotations
 
+import itertools
 import os
 import re
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -41,9 +43,30 @@ from ..functions.numeric import cents, money_sum
 from ..sources.readers import load_table
 
 
+_TMP_SEQ = itertools.count()
+_TMP_PREV: dict[str, str] = {}
+
+
 def _tmp(kind: str, sf_dir: str) -> str:
+    """Per-invocation unique output dir. The path embeds the pid and a
+    process-local counter so two concurrent executions of the same
+    query (e.g. a bench run racing a correctness run) can never
+    overwrite / rmtree each other's output between write and read-back.
+    The PREVIOUS dir for the same (kind, sf_dir) in this process is
+    removed lazily on the next call — it can't be removed eagerly
+    because the returned DataFrame reads the files only when the caller
+    finally executes it."""
     key = re.sub(r"\W+", "_", sf_dir.strip("/"))
-    return os.path.join(tempfile.gettempdir(), f"spark_graft_io_{kind}_{key}")
+    slot = f"{kind}_{key}"
+    prev = _TMP_PREV.pop(slot, None)
+    if prev is not None:
+        shutil.rmtree(prev, ignore_errors=True)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_io_{slot}_{os.getpid()}_{next(_TMP_SEQ)}",
+    )
+    _TMP_PREV[slot] = path
+    return path
 
 
 # --- CSV ------------------------------------------------------------------
@@ -296,6 +319,8 @@ LIMIT 100
 
 # --- bucketed co-located join ----------------------------------------------
 
+_BUCKETED_PREV: dict[str, tuple[str, ...]] = {}
+
 
 def io_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed-table join: both fact tables are written bucketed (and
@@ -307,9 +332,18 @@ def io_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     task hashing with bucket hashing so each bucket is one file. The
     MERGE hint pins the join strategy — at fixture scale the tables
     would otherwise broadcast, and the point is the exchange-free SMJ
-    shape."""
+    shape.
+
+    Catalog hygiene: table names are unique per invocation, and the
+    PREVIOUS invocation's tables are dropped here (they can't be
+    dropped on return — the result DataFrame reads them lazily), so
+    repeated registry sweeps don't accumulate catalog entries."""
     key = re.sub(r"\W+", "_", sf_dir.strip("/"))
-    t_orders, t_li = f"b_orders_{key}", f"b_lineitem_{key}"
+    for stale in _BUCKETED_PREV.pop(key, ()):
+        spark.sql(f"DROP TABLE IF EXISTS {stale}")
+    uniq = f"{key}_{os.getpid()}_{next(_TMP_SEQ)}"
+    t_orders, t_li = f"b_orders_{uniq}", f"b_lineitem_{uniq}"
+    _BUCKETED_PREV[key] = (t_orders, t_li)
     base = _tmp("bucketed", sf_dir)
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority"

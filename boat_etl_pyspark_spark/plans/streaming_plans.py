@@ -324,12 +324,16 @@ SELECT DISTINCT user_id, event_type FROM events
 
 
 def stream_foreachbatch_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """foreachBatch sink: each micro-batch APPENDS its partial
-    per-type aggregate (mergeable integer-cents partials) to a parquet
-    accumulator; the final answer re-aggregates the partials. This is
-    the idempotent-merge sink pattern for feeding a warehouse table
-    from a stream — append-only partials, no read-modify-write race —
-    and the replay runs as three real micro-batches."""
+    """foreachBatch sink: each micro-batch writes its partial per-type
+    aggregate (mergeable integer-cents partials) into the accumulator
+    partition ``batch_id=<N>`` with DYNAMIC partition overwrite; the
+    final answer re-aggregates the partials. Keying the write by
+    ``batch_id`` is what makes it idempotent under micro-batch retry:
+    a replayed batch overwrites ITS OWN partition instead of appending
+    a duplicate partial (blind append would double-count on retry).
+    This is the exactly-once merge-sink pattern for feeding a warehouse
+    table from a stream, and the replay runs as three real
+    micro-batches."""
     import hashlib
     import os
     import shutil
@@ -344,7 +348,8 @@ def stream_foreachbatch_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     session = ev.sparkSession
     acc = os.path.join(
         tempfile.gettempdir(),
-        f"spark_graft_febatch_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
+        f"spark_graft_febatch_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
+        f"_{os.getpid()}",
     )
     shutil.rmtree(acc, ignore_errors=True)
 
@@ -355,7 +360,10 @@ def stream_foreachbatch_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.count("*").alias("n_events"),
                 F.sum(cents(F.col("value"))).alias("value_cents"),
             )
-            .write.mode("append")
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
             .parquet(acc)
         )
 

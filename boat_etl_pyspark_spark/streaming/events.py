@@ -25,6 +25,7 @@ import hashlib
 import itertools
 import os
 import tempfile
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -72,27 +73,37 @@ def stream_dir_multi(sf_dir: str, n: int = 3) -> str:
     parquet files so ``availableNow`` + ``maxFilesPerTrigger=1`` yields
     ``n`` micro-batches — the shape that exercises cross-batch state
     (foreachBatch accumulation, watermark advancement) that a
-    single-file backlog cannot. Built once per (sf_dir, n) in the temp
-    dir; the build is staged in a pid-suffixed dir and renamed so a
+    single-file backlog cannot. Built once per (sf_dir, n, source
+    mtime) in the temp dir — the source's mtime is part of the cache
+    key, so a regenerated fixture invalidates the split instead of
+    silently reusing stale data. Each split file's mtime is set
+    strictly increasing in event-time order: the file stream source
+    orders micro-batches by modification time, so without the explicit
+    ``os.utime`` the near-simultaneous writes would leave batch order
+    (and hence watermark advancement) to timestamp-granularity luck.
+    The build is staged in a pid-suffixed dir and renamed so a
     concurrent builder can never observe a half-written directory."""
     import shutil
 
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    key = hashlib.md5(f"{sf_dir}:{n}".encode()).hexdigest()[:12]
+    src = os.path.join(sf_dir, "events.parquet")
+    src_mtime = os.stat(src).st_mtime_ns
+    key = hashlib.md5(f"{sf_dir}:{n}:{src_mtime}".encode()).hexdigest()[:12]
     d = os.path.join(tempfile.gettempdir(), f"spark_graft_streamN_{key}")
     if os.path.isdir(d):
         return d
     stage = f"{d}.build.{os.getpid()}"
     os.makedirs(stage, exist_ok=True)
-    table = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+    table = pq.read_table(src)
     table = table.take(pc.sort_indices(table, sort_keys=[("ts", "ascending")]))
     step = (table.num_rows + n - 1) // n
+    base = time.time()
     for i in range(n):
-        pq.write_table(
-            table.slice(i * step, step), os.path.join(stage, f"events_{i}.parquet")
-        )
+        path = os.path.join(stage, f"events_{i}.parquet")
+        pq.write_table(table.slice(i * step, step), path)
+        os.utime(path, (base + i, base + i))
     try:
         os.rename(stage, d)
     except OSError:
