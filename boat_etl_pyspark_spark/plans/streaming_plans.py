@@ -373,7 +373,15 @@ def stream_foreachbatch_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         if q.isActive:
             q.stop()
-    partials = session.read.parquet(acc)
+    # Cold-start/empty stream: zero micro-batches fired, so the
+    # accumulator dir was never created — the merged table is empty.
+    acc_schema = "event_type string, n_events bigint, value_cents bigint, batch_id int"
+    if os.path.isdir(acc):
+        # Explicit schema: an all-empty replay leaves the accumulator
+        # with no data files, where inference would fail.
+        partials = session.read.schema(acc_schema).parquet(acc)
+    else:
+        partials = session.createDataFrame([], acc_schema)
     return partials.groupBy("event_type").agg(
         F.sum("n_events").alias("n_events"),
         F.sum("value_cents").alias("value_cents"),

@@ -37,6 +37,43 @@ _RUNTIME_CONFS = {
 }
 
 
+_SHIPPED: set[str] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make ``boat_etl_pyspark_spark`` importable on executor Python
+    workers regardless of the hosting driver's cwd/PYTHONPATH.
+
+    Pandas UDFs defined at module level are cloudpickled BY REFERENCE,
+    so the worker must be able to ``import boat_etl_pyspark_spark``. A
+    driver launched from another directory (workers inherit the JVM's
+    env, fixed at JVM start) would otherwise fail with
+    ModuleNotFoundError. ``addPyFile`` of a package zip is the
+    cluster-correct answer: the zip ships with the app and lands on
+    every worker's sys.path — same mechanism as ``--py-files``."""
+    sc = spark.sparkContext
+    if sc.applicationId in _SHIPPED:
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    fd, zpath = tempfile.mkstemp(
+        prefix="boat_etl_pyspark_spark_", suffix=".zip"
+    )
+    os.close(fd)
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for fn in files:
+                if not fn.endswith(".py"):
+                    continue
+                full = os.path.join(root, fn)
+                rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                z.write(full, rel)
+    sc.addPyFile(zpath)
+    _SHIPPED.add(sc.applicationId)
+
+
 def tune(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable tuning to an existing session (idempotent)."""
     for k, v in _RUNTIME_CONFS.items():
@@ -46,6 +83,12 @@ def tune(spark: SparkSession) -> SparkSession:
             # Some confs may be fixed by the hosting driver; never fail
             # a query because a tuning knob was locked.
             pass
+    try:
+        _ship_package(spark)
+    except Exception:
+        # Shipping is best-effort: if the context refuses addPyFile the
+        # in-repo launch path (cwd importable) still works.
+        pass
     return spark
 
 

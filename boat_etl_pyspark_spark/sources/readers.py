@@ -40,6 +40,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = df.withColumn(
             "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
         )
+    # Parquet written without isAdjustedToUTC (e.g. rewritten by Arrow)
+    # reads back as TIMESTAMP_NTZ; normalize to session-tz TimestampType
+    # so downstream unix_micros/window ops see one timestamp semantic.
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

@@ -37,18 +37,39 @@ from pyspark.sql.types import (
     StructType,
 )
 
-# events.parquet physical schema: ts is parquet TIMESTAMP(NANOS) which
-# Spark reads as long under nanosAsLong (see sources.readers).
-EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+def _events_schema_and_time(src_file: str):
+    """Schema + event-time builder matched to the fixture's physical
+    timestamp unit. The generator has shipped ``ts`` both as parquet
+    TIMESTAMP(NANOS) (Spark: long under nanosAsLong) and as
+    TIMESTAMP(MICROS, isAdjustedToUTC=false) (Spark: TIMESTAMP_NTZ) —
+    a hardcoded schema silently mis-scales one of them, so probe the
+    footer and build accordingly."""
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import TimestampNTZType
+
+    t = pq.ParquetFile(src_file).schema_arrow.field("ts").type
+    unit = getattr(t, "unit", None)
+    if unit == "ns":
+        ts_field, ev = (
+            StructField("ts", LongType()),
+            F.timestamp_micros(F.expr("ts DIV 1000")),
+        )
+    else:  # us (or ms) timestamps read natively as NTZ
+        ts_field, ev = (
+            StructField("ts", TimestampNTZType()),
+            F.col("ts").cast("timestamp"),
+        )
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            ts_field,
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+    return schema, ev
 
 _SINK_IDS = itertools.count()
 
@@ -152,11 +173,16 @@ def read_events_stream(
                 "spark.sql.legacy.parquet.nanosAsLong": "true",
             },
         )
-    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    src_dir = dir_override or _stream_dir_for(sf_dir)
+    probe = sorted(
+        f for f in os.listdir(src_dir) if f.endswith(".parquet")
+    )
+    schema, ev_time = _events_schema_and_time(os.path.join(src_dir, probe[0]))
+    reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    raw = reader.parquet(dir_override or _stream_dir_for(sf_dir))
-    return raw.withColumn("ev_time", F.timestamp_micros(F.expr("ts DIV 1000")))
+    raw = reader.parquet(src_dir)
+    return raw.withColumn("ev_time", ev_time)
 
 
 def stateful_user_totals(stream_df: DataFrame) -> DataFrame:
