@@ -30,9 +30,11 @@ from boat_etl_pyspark_spark.plans import (
     relational4,
     relational5,
     relational6,
+    relational7,
     sessionize,
     similarity,
     streaming_plans,
+    textcuration,
     textdedup,
 )
 from boat_etl_pyspark_spark.session import tune
@@ -53,6 +55,8 @@ _PLAN_MODULES = (
     sessionize,
     io_plans,
     relational6,
+    relational7,
+    textcuration,
 )
 
 _QUERIES, _ORACLE = collect_registries(*_PLAN_MODULES)
@@ -84,6 +88,18 @@ _CHECK_FIRST = (
     "json_variant_nested",
     "array_hof_quantity_profile",
     # --- round-3 additions (appended as implemented) ---
+    "window_percent_rank_cume",
+    "gaps_islands_user_streaks",
+    "scd2_customer_order_history",
+    "join_salted_revenue",
+    "agg_equidepth_histogram",
+    "graph_pagerank_nations",
+    "text_pii_redaction",
+    "text_repetition_stats",
+    "text_chunk_dedup",
+    "text_normalize_unicode",
+    "text_vocab_stats",
+    "sim_blocked_matmul_topk",
 )
 
 

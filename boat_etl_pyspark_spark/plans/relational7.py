@@ -1,0 +1,427 @@
+"""Round-3 relational/warehouse extensions.
+
+Five surfaces a reference user migrating a warehouse workload expects
+(SURVEY.md §2.9 window/join/agg categories) plus one iterative graph
+algorithm:
+
+  * distribution window functions (percent_rank / cume_dist),
+  * gaps-and-islands (consecutive-day activity streaks),
+  * SCD2 interval construction (validity ranges from an event log),
+  * a salted join (the manual skew weapon, proven result-identical to
+    the plain join),
+  * an equi-depth histogram via a DISTRIBUTED global rank (range
+    partition + per-partition offsets — no single-partition window),
+  * fixed-point integer PageRank (deterministic iterative algorithm
+    with an exact SQL oracle).
+
+Determinism posture: every fraction is scaled to integer ppm with
+``floor(x * 1e6 + 0.5)`` (exact IEEE ops, no engine ROUND
+tie-breaking), money goes through integer cents, and every window
+order has a unique tiebreak key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.numeric import cents
+from ..sources.readers import load_table
+
+
+# ---------------------------------------------------------------------------
+# Distribution window functions
+# ---------------------------------------------------------------------------
+
+
+def window_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist of customer balance within market
+    segment. Both are rank arithmetic over one hash-partitioned sort
+    (segments are parallel across executors); the order key includes
+    c_custkey so ties can't reorder between engines."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        cents(F.col("c_acctbal")).alias("acctbal_cents"),
+        F.floor(F.percent_rank().over(w) * 1000000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("pr_ppm"),
+        F.floor(F.cume_dist().over(w) * 1000000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cd_ppm"),
+    )
+
+
+_PERCENT_RANK_SQL = """
+SELECT c_custkey,
+       c_mktsegment,
+       CAST(ROUND(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+       CAST(FLOOR(percent_rank() OVER w * 1000000 + 0.5) AS BIGINT) AS pr_ppm,
+       CAST(FLOOR(cume_dist() OVER w * 1000000 + 0.5) AS BIGINT) AS cd_ppm
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Gaps and islands: consecutive-day activity streaks
+# ---------------------------------------------------------------------------
+
+
+def gaps_islands_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user consecutive-day activity islands via the classic
+    date-minus-row_number grouping key. Work is partitioned by user
+    (distinct + two shuffles on user_id); nothing global. Emits one row
+    per island with start/end/length."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    grp = days.withColumn(
+        "grp", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    return (
+        grp.groupBy("user_id", "grp")
+        .agg(
+            F.date_format(F.min("day"), "yyyy-MM-dd").alias("streak_start"),
+            F.date_format(F.max("day"), "yyyy-MM-dd").alias("streak_end"),
+            F.count("*").alias("streak_days"),
+        )
+        .drop("grp")
+    )
+
+
+_GAPS_ISLANDS_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), grp AS (
+  SELECT user_id, day,
+         day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS INTEGER) AS g
+  FROM days
+)
+SELECT user_id,
+       strftime(MIN(day), '%Y-%m-%d') AS streak_start,
+       strftime(MAX(day), '%Y-%m-%d') AS streak_end,
+       COUNT(*) AS streak_days
+FROM grp
+GROUP BY user_id, g
+"""
+
+
+# ---------------------------------------------------------------------------
+# SCD2: validity intervals from an event log
+# ---------------------------------------------------------------------------
+
+
+def scd2_customer_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 construction: each order is a
+    change event to the customer's cumulative spend; lead() closes the
+    validity interval, the open row gets the sentinel end date. This is
+    the standard merge-free SCD2 build — one window per customer
+    partition, no self-join."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("valid_from"),
+        F.lead(F.date_format("o_orderdate", "yyyy-MM-dd"), 1, "9999-12-31")
+        .over(w)
+        .alias("valid_to"),
+        F.row_number().over(w).alias("n_orders_to_date"),
+        F.sum(cents(F.col("o_totalprice")))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum_spend_cents"),
+    )
+
+
+_SCD2_SQL = """
+SELECT o_custkey AS custkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+       COALESCE(
+         LEAD(strftime(o_orderdate, '%Y-%m-%d'))
+           OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+         '9999-12-31') AS valid_to,
+       CAST(ROW_NUMBER()
+         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         AS INTEGER) AS n_orders_to_date,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS cum_spend_cents
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# Salted join: the manual skew weapon
+# ---------------------------------------------------------------------------
+
+_SALT_N = 8
+
+
+def join_salted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted equi-join, result-identical to the plain join (the
+    oracle IS the plain join). The build side replicates each row
+    across ``_SALT_N`` salts; the probe side assigns one deterministic
+    salt per row; joining on (key, salt) splits a hot key's rows across
+    ``_SALT_N`` reducers. AQE's skew-join handles most cases at runtime
+    — manual salting remains the tool when stats are unavailable
+    (stream-static joins) or a single key exceeds one executor even
+    after AQE splitting. Cost: build-side rows x ``_SALT_N`` (so salt
+    only the skewed keys in production; here every key is salted to
+    keep the plan assertable)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount", "l_linenumber"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    salted_orders = orders.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(_SALT_N)]))
+    )
+    salted_li = li.withColumn(
+        "salt", F.pmod(F.col("l_linenumber"), F.lit(_SALT_N)).cast("int")
+    )
+    joined = salted_li.join(
+        salted_orders,
+        (salted_li.l_orderkey == salted_orders.o_orderkey)
+        & (salted_li.salt == salted_orders.salt),
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_items"),
+        F.sum(
+            cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        ).alias("revenue_cents"),
+    )
+
+
+_SALTED_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+            AS BIGINT) AS revenue_cents
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth histogram over a DISTRIBUTED global rank
+# ---------------------------------------------------------------------------
+
+_HIST_BUCKETS = 8
+
+
+def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-count) histogram of order totals. The global
+    rank is computed WITHOUT a single-partition window: range-partition
+    on the sort key, number rows inside each partition in parallel,
+    then add broadcast per-partition offsets (the same distributed
+    prefix-sum shape as sequence packing). At 100 TB this is the only
+    viable exact global-order primitive — rank = partition offset +
+    local row_number, one range exchange total."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", cents(F.col("o_totalprice")).alias("price_cents")
+    )
+    n_total = orders.count()  # bounded scalar (single long)
+    parts = max(1, min(32, n_total // 1000 or 1))
+    ranged = orders.repartitionByRange(parts, "price_cents", "o_orderkey")
+    pid = ranged.withColumn("pid", F.spark_partition_id())
+    # per-partition row counts -> broadcastable offsets (<= #partitions rows)
+    offsets = (
+        pid.groupBy("pid")
+        .count()
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("count").over(
+                    Window.orderBy("pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("pid", "offset")
+    )
+    w_local = Window.partitionBy("pid").orderBy("price_cents", "o_orderkey")
+    ranked = (
+        pid.withColumn("local_rn", F.row_number().over(w_local))
+        .join(F.broadcast(offsets), "pid")
+        .withColumn("rank", F.col("offset") + F.col("local_rn"))
+    )
+    bucketed = ranked.withColumn(
+        "bucket",
+        F.expr(f"(rank - 1) * {_HIST_BUCKETS} DIV {n_total}").cast("bigint"),
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count("*").alias("n_orders"),
+        F.min("price_cents").alias("lo_cents"),
+        F.max("price_cents").alias("hi_cents"),
+    )
+
+
+_EQUIDEPTH_SQL = f"""
+WITH ranked AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents,
+         ROW_NUMBER() OVER (ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT),
+                            o_orderkey) AS rank
+  FROM orders
+), n AS (SELECT COUNT(*) AS n_total FROM orders)
+SELECT CAST(((rank - 1) * {_HIST_BUCKETS}) // n_total AS BIGINT) AS bucket,
+       COUNT(*) AS n_orders,
+       MIN(price_cents) AS lo_cents,
+       MAX(price_cents) AS hi_cents
+FROM ranked, n
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Fixed-point integer PageRank (3 iterations) over the nation trade graph
+# ---------------------------------------------------------------------------
+
+_PR_SCALE = 1_000_000_000  # rank fixed-point scale
+_PR_ITERS = 3
+
+
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed nation->nation edges weighted by lineitem count
+    (supplier nation ships to customer nation). Heavy side is one
+    shuffle of lineitem on orderkey; nation/supplier/customer keys ride
+    along via broadcast joins."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .agg(F.count("*").alias("w"))
+    )
+
+
+def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank, 3 unrolled iterations, ENTIRELY in int64
+    fixed-point (scale 1e9): per-edge contribution is
+    ``rank * w DIV out_w`` and the damping update is
+    ``0.15*SCALE + 85*sum DIV 100`` — every operation is associative
+    integer arithmetic, so the result is bit-identical at any
+    parallelism and in any engine (the float formulation would not
+    hash-match under different summation orders). Each iteration is
+    one broadcast join (25 nations) + one aggregation over edges;
+    at real graph scale the same loop shuffles edges on dst, and
+    rounds scale with graph diameter, not size. Nodes without
+    out-edges leak their damped mass (documented classic simplification
+    — identical in the oracle)."""
+    edges = _trade_edges(spark, sf_dir).persist()
+    out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
+    e = edges.join(out_w, "src").select("src", "dst", "w", "out_w")
+    nodes = (
+        edges.select(F.col("src").alias("nation"))
+        .union(edges.select(F.col("dst")))
+        .distinct()
+    )
+    n_nodes = nodes.count()  # bounded scalar (#nations)
+    if n_nodes == 0:  # empty graph (fully-filtered / cold-start input)
+        return spark.createDataFrame([], "nation string, rank_units bigint")
+    init = _PR_SCALE // n_nodes
+    rank = nodes.withColumn("rank", F.lit(init).cast("bigint"))
+    base = _PR_SCALE * 15 // 100
+    for _ in range(_PR_ITERS):
+        contribs = (
+            e.join(F.broadcast(rank), e.src == rank.nation)
+            .select(
+                "dst",
+                F.expr("rank * w DIV out_w").alias("contrib"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("in_sum"))
+        )
+        rank = (
+            nodes.join(contribs, nodes.nation == contribs.dst, "left")
+            .select(
+                "nation",
+                (
+                    F.lit(base)
+                    + F.expr("85 * coalesce(in_sum, 0) DIV 100")
+                ).alias("rank"),
+            )
+        )
+    nation_names = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    out = (
+        rank.join(F.broadcast(nation_names), rank.nation == nation_names.n_nationkey)
+        .select(F.col("n_name").alias("nation"), F.col("rank").alias("rank_units"))
+    )
+    edges.unpersist()
+    return out
+
+
+def _pagerank_sql() -> str:
+    base = _PR_SCALE * 15 // 100
+    iters = []
+    prev = "r0"
+    for i in range(1, _PR_ITERS + 1):
+        iters.append(
+            f"""r{i} AS (
+  SELECT n.nation,
+         CAST({base} + 85 * COALESCE(c.in_sum, 0) // 100 AS BIGINT) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst, SUM({prev}.rank * e.w // e.out_w) AS in_sum
+    FROM e JOIN {prev} ON e.src = {prev}.nation
+    GROUP BY e.dst
+  ) c ON n.nation = c.dst
+)"""
+        )
+        prev = f"r{i}"
+    return f"""
+WITH edges AS (
+  SELECT s.s_nationkey AS src, c.c_nationkey AS dst, COUNT(*) AS w
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+), out_w AS (
+  SELECT src, SUM(w) AS out_w FROM edges GROUP BY src
+), e AS (
+  SELECT edges.src, edges.dst, edges.w, out_w.out_w
+  FROM edges JOIN out_w ON edges.src = out_w.src
+), nodes AS (
+  SELECT DISTINCT src AS nation FROM edges
+  UNION SELECT DISTINCT dst FROM edges
+), n_nodes AS (SELECT COUNT(*) AS n FROM nodes),
+r0 AS (
+  SELECT nation, CAST({_PR_SCALE} // (SELECT n FROM n_nodes) AS BIGINT) AS rank
+  FROM nodes
+),
+{",".join(iters)}
+SELECT nn.n_name AS nation, {prev}.rank AS rank_units
+FROM {prev} JOIN nation nn ON {prev}.nation = nn.n_nationkey
+"""
+
+
+QUERIES = {
+    "window_percent_rank_cume": window_percent_rank_cume,
+    "gaps_islands_user_streaks": gaps_islands_user_streaks,
+    "scd2_customer_order_history": scd2_customer_order_history,
+    "join_salted_revenue": join_salted_revenue,
+    "agg_equidepth_histogram": agg_equidepth_histogram,
+    "graph_pagerank_nations": graph_pagerank_nations,
+}
+
+ORACLE = {
+    "window_percent_rank_cume": _PERCENT_RANK_SQL,
+    "gaps_islands_user_streaks": _GAPS_ISLANDS_SQL,
+    "scd2_customer_order_history": _SCD2_SQL,
+    "join_salted_revenue": _SALTED_SQL,
+    "agg_equidepth_histogram": _EQUIDEPTH_SQL,
+    "graph_pagerank_nations": _pagerank_sql(),
+}
