@@ -31,6 +31,7 @@ from boat_etl_pyspark_spark.plans import (
     relational5,
     relational6,
     relational7,
+    relational8,
     sessionize,
     similarity,
     streaming_plans,
@@ -56,6 +57,7 @@ _PLAN_MODULES = (
     io_plans,
     relational6,
     relational7,
+    relational8,
     textcuration,
 )
 
@@ -100,6 +102,10 @@ _CHECK_FIRST = (
     "text_normalize_unicode",
     "text_vocab_stats",
     "sim_blocked_matmul_topk",
+    "join_bloom_prefilter",
+    "agg_mode_per_group",
+    "interp_linear_fill",
+    "stream_append_mode_windows",
 )
 
 

@@ -148,3 +148,79 @@ def pack_sequences(
     # block boundaries
     seq = F.floor(start.cast("decimal(38,0)") / F.lit(budget)).cast("bigint")
     return df.withColumn("seq_id", seq)
+
+
+def global_rank(
+    df: DataFrame, order_by: list[str], partitions: int = 32
+) -> DataFrame:
+    """Exact global rank (1-based) over ``order_by`` with ONE fact
+    exchange and NO global window: range partition (partitions are
+    globally ordered), sort within each partition, read (partition,
+    local offset) off ``monotonically_increasing_id``'s bit layout,
+    then add broadcast per-partition offsets (a 1-row-per-partition
+    relation). Adds a ``rank`` column. Include a unique tiebreaker in
+    ``order_by`` for determinism. This is the scalable primitive
+    behind equi-depth histograms, exact percentiles and pagination —
+    a plain ``Window.orderBy`` would serialize the table through one
+    task."""
+    numbered = (
+        df.repartitionByRange(partitions, *[F.col(c) for c in order_by])
+        .sortWithinPartitions(*order_by)
+        .withColumn("__mid", F.monotonically_increasing_id())
+        .withColumn("__pid", F.expr("CAST(__mid DIV 8589934592 AS INT)"))
+        .withColumn("__lrn", F.expr("__mid % 8589934592 + 1"))
+    )
+    offsets = (
+        numbered.groupBy("__pid")
+        .count()
+        .withColumn(
+            "__off",
+            F.coalesce(
+                F.sum("count").over(
+                    Window.orderBy("__pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("__pid", "__off")
+    )
+    return (
+        numbered.join(F.broadcast(offsets), "__pid")
+        .withColumn("rank", F.col("__off") + F.col("__lrn"))
+        .drop("__mid", "__pid", "__lrn", "__off")
+    )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    salt: int = 8,
+    left_salt_col: str | None = None,
+) -> DataFrame:
+    """Skew-salted inner equi-join: replicate the (smaller) ``right``
+    side across ``salt`` salts and give each ``left`` row one
+    deterministic salt, so a hot key's rows spread over ``salt``
+    reducers. ``left_salt_col`` picks the salting column — it must
+    VARY WITHIN a key (a line number, a row id…), never derive from
+    the key itself (that would map a hot key's rows to one salt and
+    change nothing). The default uses ``monotonically_increasing_id``;
+    the salt assignment then depends on input partitioning, which is
+    fine: ANY per-row salt yields the identical join result (each left
+    row matches exactly its one salted replica). Reach for this when
+    AQE's skew-join can't see the skew (stream-static joins, missing
+    stats) or one key exceeds an executor even after splitting."""
+    sexpr = (
+        F.pmod(F.col(left_salt_col), F.lit(salt)).cast("int")
+        if left_salt_col
+        else F.pmod(F.monotonically_increasing_id(), F.lit(salt)).cast("int")
+    )
+    l_s = left.withColumn("__salt", sexpr)
+    r_s = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    cond = (l_s[left_key] == r_s[right_key]) & (l_s["__salt"] == r_s["__salt"])
+    return l_s.join(r_s, cond).drop("__salt")

@@ -225,12 +225,24 @@ def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", cents(F.col("o_totalprice")).alias("price_cents")
     )
     n_total = orders.count()  # bounded scalar (single long)
-    parts = max(1, min(32, n_total // 1000 or 1))
-    ranged = orders.repartitionByRange(parts, "price_cents", "o_orderkey")
-    pid = ranged.withColumn("pid", F.spark_partition_id())
-    # per-partition row counts -> broadcastable offsets (<= #partitions rows)
+    parts = min(32, max(2, n_total // 1000))
+    # ONE fact exchange: range partition (partitions are globally
+    # ordered), sort inside each partition, then read (pid, local row
+    # number) off monotonically_increasing_id's bit layout — NO window
+    # over the fact, so no second hashpartitioning(pid) shuffle. The
+    # global rank is exact for ANY sampled range boundaries because
+    # total order = (partition order, within-partition sort).
+    numbered = (
+        orders.repartitionByRange(parts, "price_cents", "o_orderkey")
+        .sortWithinPartitions("price_cents", "o_orderkey")
+        .withColumn("mid", F.monotonically_increasing_id())
+        .withColumn("pid", F.expr("CAST(mid DIV 8589934592 AS INT)"))  # id >> 33
+        .withColumn("local_rn", F.expr("mid % 8589934592 + 1"))
+    )
+    # per-partition row counts -> broadcastable offsets (<= #partitions
+    # rows; the SinglePartition window below runs on that bounded side)
     offsets = (
-        pid.groupBy("pid")
+        numbered.groupBy("pid")
         .count()
         .withColumn(
             "offset",
@@ -245,11 +257,8 @@ def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("pid", "offset")
     )
-    w_local = Window.partitionBy("pid").orderBy("price_cents", "o_orderkey")
-    ranked = (
-        pid.withColumn("local_rn", F.row_number().over(w_local))
-        .join(F.broadcast(offsets), "pid")
-        .withColumn("rank", F.col("offset") + F.col("local_rn"))
+    ranked = numbered.join(F.broadcast(offsets), "pid").withColumn(
+        "rank", F.col("offset") + F.col("local_rn")
     )
     bucketed = ranked.withColumn(
         "bucket",
@@ -319,13 +328,17 @@ def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds scale with graph diameter, not size. Nodes without
     out-edges leak their damped mass (documented classic simplification
     — identical in the oracle)."""
-    edges = _trade_edges(spark, sf_dir).persist()
+    edges = _trade_edges(spark, sf_dir)
     out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
-    e = edges.join(out_w, "src").select("src", "dst", "w", "out_w")
+    # persist the JOINED edge relation — it is scanned once per
+    # iteration; persisting only the raw edges would re-run the
+    # out-weight join every round
+    e = edges.join(out_w, "src").select("src", "dst", "w", "out_w").persist()
     nodes = (
-        edges.select(F.col("src").alias("nation"))
-        .union(edges.select(F.col("dst")))
+        e.select(F.col("src").alias("nation"))
+        .union(e.select(F.col("dst")))
         .distinct()
+        .persist()
     )
     n_nodes = nodes.count()  # bounded scalar (#nations)
     if n_nodes == 0:  # empty graph (fully-filtered / cold-start input)
@@ -356,12 +369,10 @@ def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation_names = load_table(spark, sf_dir, "nation").select(
         "n_nationkey", "n_name"
     )
-    out = (
+    return (
         rank.join(F.broadcast(nation_names), rank.nation == nation_names.n_nationkey)
         .select(F.col("n_name").alias("nation"), F.col("rank").alias("rank_units"))
     )
-    edges.unpersist()
-    return out
 
 
 def _pagerank_sql() -> str:

@@ -21,6 +21,12 @@ FLOAT_QUERIES = [
     # across the two runs; the candidate join + integer dot re-execute
     # at each width)
     "dedup_embedding_cosine",
+    # round-3 integer fixed-point paths: interpolation, PageRank,
+    # blocked-matmul scores, distributed global rank
+    "interp_linear_fill",
+    "graph_pagerank_nations",
+    "sim_blocked_matmul_topk",
+    "agg_equidepth_histogram",
 ]
 
 

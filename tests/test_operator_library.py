@@ -131,3 +131,75 @@ def test_pack_sequences_matches_contract_query(spark):
         for r in m.queries()["curate_pack_sequences"](spark, SF_SMOKE).collect()
     )
     assert got == want
+
+
+def test_global_rank_matches_window_row_number(spark):
+    from boat_etl_pyspark_spark.operators.library import global_rank
+
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    lib = {
+        (r["o_orderkey"], r["rank"])
+        for r in global_rank(
+            orders, ["o_totalprice", "o_orderkey"], partitions=7
+        ).collect()
+    }
+    from pyspark.sql import Window
+
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    want = {
+        (r["o_orderkey"], r["rank"])
+        for r in orders.withColumn(
+            "rank", F.row_number().over(w).cast("long")
+        ).collect()
+    }
+    assert lib == want
+
+
+def test_salted_join_matches_plain_join(spark):
+    from boat_etl_pyspark_spark.operators.library import salted_join
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_linenumber"
+    )
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    lib = sorted(
+        map(
+            tuple,
+            salted_join(
+                li, orders, "l_orderkey", "o_orderkey", salt=4,
+                left_salt_col="l_linenumber",
+            ).collect(),
+        )
+    )
+    plain = sorted(
+        map(
+            tuple,
+            li.join(orders, li.l_orderkey == orders.o_orderkey).collect(),
+        )
+    )
+    assert lib == plain
+
+
+def test_salted_join_default_salt_spreads_hot_key(spark):
+    # one hot key, default (row-varying) salt: every salt value must
+    # receive some of the hot key's rows — the property a key-derived
+    # salt would break
+    from boat_etl_pyspark_spark.operators.library import salted_join
+
+    left = spark.range(0, 400).select(F.lit(1).alias("k"), "id")
+    right = spark.createDataFrame([(1, "x")], "k2 int, v string")
+    joined = salted_join(left, right, "k", "k2", salt=4)
+    assert joined.count() == 400
+    n_salts = (
+        left.withColumn(
+            "s", F.pmod(F.monotonically_increasing_id(), F.lit(4))
+        )
+        .select("s")
+        .distinct()
+        .count()
+    )
+    assert n_salts > 1

@@ -141,3 +141,55 @@ def test_pack_sequences_prefix_sum_plan(spark, queries):
         if "hashpartitioning(lang#" in ln and "seq_id" not in ln
     ]
     assert len(heavy) <= 1  # the offsets window, #splits x #langs rows
+
+
+def test_equidepth_rank_is_distributed(spark, queries):
+    """The exact global rank must be the range-partition + broadcast-
+    offsets prefix sum. A SinglePartition exchange may appear only on
+    the bounded per-partition-counts side (<= #partitions rows), never
+    on the fact stream: the fact-side window is partitioned by pid."""
+    plan = plan_of(queries["agg_equidepth_histogram"](spark, SF_SMOKE), "simple")
+    assert "rangepartitioning(price_cents" in plan
+    assert "BroadcastExchange" in plan  # tiny offsets table
+    assert "monotonically_increasing_id" in plan  # exchange-free numbering
+    # no fact-side window keyed on pid (that shape would re-shuffle
+    # the whole fact stream); the only pid-keyed exchange is the
+    # bounded partial-counts aggregation (1 row per partition)
+    fact_window = [
+        ln
+        for ln in plan.splitlines()
+        if "windowspecdefinition" in ln and "price_cents" in ln
+    ]
+    assert not fact_window, fact_window
+    assert plan.count("hashpartitioning(pid") <= 1
+
+
+def test_bloom_prefilter_ends_in_broadcast_semi(spark, queries):
+    """The bloom probe is a pure filter on the fact scan; the exact
+    finish is a broadcast LEFT SEMI join (no fact shuffle)."""
+    plan = plan_of(queries["join_bloom_prefilter"](spark, SF_SMOKE), "simple")
+    assert "LeftSemi" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "xxhash64" in plan  # bitmap probe survived into codegen
+
+
+def test_blocked_matmul_is_single_python_stage(spark, queries):
+    """One MapInPandas stage computes all block scores; only the tiny
+    per-block top-k partials reach the window shuffle."""
+    plan = plan_of(queries["sim_blocked_matmul_topk"](spark, SF_SMOKE), "simple")
+    assert plan.count("MapInPandas") == 1
+
+
+def test_chunk_dedup_shuffles_hashes_not_text(spark, queries):
+    """The corpus-wide first-occurrence window must key on the 32-byte
+    md5, so chunk text never crosses the wire."""
+    plan = plan_of(queries["text_chunk_dedup"](spark, SF_SMOKE), "simple")
+    assert "hashpartitioning(h#" in plan
+
+
+def test_pagerank_iterations_broadcast_rank(spark, queries):
+    """Each of the 3 unrolled iterations broadcasts the (bounded)
+    rank relation into the edge join — the edge set itself is never
+    re-shuffled per round."""
+    plan = plan_of(queries["graph_pagerank_nations"](spark, SF_SMOKE), "simple")
+    assert plan.count("BroadcastHashJoin") >= 3
