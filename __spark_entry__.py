@@ -32,6 +32,7 @@ from boat_etl_pyspark_spark.plans import (
     relational6,
     relational7,
     relational8,
+    relational9,
     sessionize,
     similarity,
     streaming_plans,
@@ -58,6 +59,7 @@ _PLAN_MODULES = (
     relational6,
     relational7,
     relational8,
+    relational9,
     textcuration,
 )
 
@@ -106,6 +108,10 @@ _CHECK_FIRST = (
     "agg_mode_per_group",
     "interp_linear_fill",
     "stream_append_mode_windows",
+    "agg_hll_partition_merge",
+    "io_schema_evolution",
+    "stream_chained_agg",
+    "agg_exact_median_distributed",
 )
 
 

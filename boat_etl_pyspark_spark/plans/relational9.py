@@ -1,0 +1,270 @@
+"""Round-3 batch 3: sketch mergeability, schema evolution, chained
+streaming aggregations, and exact distributed median.
+
+  * ``agg_hll_partition_merge`` — HLL sketches built per month and
+    UNION-MERGED into quarterly distinct-count estimates (Spark 4
+    ``hll_sketch_agg`` / ``hll_union_agg``): the mergeable-partial
+    property that lets a warehouse maintain distinct counts
+    incrementally instead of rescanning. Checked against the exact
+    count within the sketch's error bound.
+  * ``io_schema_evolution`` — parquet ``mergeSchema`` read over
+    batches written with DIFFERENT schemas (a column added later):
+    the evolution path every long-lived table hits. Old rows surface
+    NULL for the new column; the oracle reproduces the same split
+    from the original table.
+  * ``stream_chained_agg`` — TWO stateful aggregations chained in one
+    streaming query (Spark 4 multi-stateful support): per-(window,
+    user) counts feeding a per-window distinct-user rollup, append
+    mode, watermark-closed emission — checked numerically.
+  * ``agg_exact_median_distributed`` — exact median via the library's
+    ``global_rank`` (range partition + offsets; no single-partition
+    window), doubled to stay in integers for even row counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import cents
+from ..operators.library import global_rank
+from ..sources.readers import load_table
+from ..streaming.events import (
+    read_events_stream,
+    run_stream_to_memory,
+    stream_dir_multi,
+)
+from .io_plans import _tmp
+
+# ---------------------------------------------------------------------------
+# HLL sketch merge (incremental distinct maintenance)
+# ---------------------------------------------------------------------------
+
+
+def agg_hll_partition_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct customers per quarter, computed by MERGING per-month
+    HLL sketches (never re-scanning months): the partial-aggregation
+    contract (sketch(A ∪ B) = merge(sketch(A), sketch(B))) that powers
+    incremental materialized views and cross-partition rollups of
+    distinct counts. At 100 TB each month's sketch is a few KB — the
+    merge is free while the exact recount would re-shuffle the year.
+    The driver-checked output keeps the exact count and pins the
+    estimate inside the sketch's error envelope (booleans), since the
+    estimate itself is legitimately approximate."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("quarter", "o_orderdate").alias("quarter"),
+        F.date_trunc("month", "o_orderdate").alias("month"),
+    ).agg(F.expr("hll_sketch_agg(o_custkey, 14)").alias("sk"))
+    merged = monthly.groupBy("quarter").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("approx_customers")
+    )
+    exact = orders.groupBy(
+        F.date_trunc("quarter", "o_orderdate").alias("quarter")
+    ).agg(F.countDistinct("o_custkey").alias("exact_customers"))
+    return (
+        exact.join(merged, "quarter")
+        .select(
+            F.date_format("quarter", "yyyy-MM").alias("quarter"),
+            "exact_customers",
+            (
+                F.abs(F.col("approx_customers") - F.col("exact_customers"))
+                <= 0.05 * F.col("exact_customers")
+            ).alias("merged_hll_within_5pct"),
+        )
+    )
+
+
+_HLL_MERGE_SQL = """
+SELECT strftime(date_trunc('quarter', o_orderdate), '%Y-%m') AS quarter,
+       COUNT(DISTINCT o_custkey) AS exact_customers,
+       TRUE AS merged_hll_within_5pct
+FROM orders
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution (mergeSchema over heterogeneous batches)
+# ---------------------------------------------------------------------------
+
+_EVO_CUTOFF = "1996-01-01"
+
+
+def io_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A long-lived table whose writer later ADDED a column: early
+    batches carry (orderkey, price), later batches also carry the
+    priority. ``mergeSchema`` unifies the footers at read time; old
+    rows surface NULL for the new column and flow through a COALESCE
+    bucket. Parquet stores schema per file, so evolution is free at
+    write time and one footer-merge at planning time — no rewrite of
+    historical data (the property that matters when 'historical' is
+    90 of the 100 TB)."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = _tmp("schema_evo", sf_dir)
+    old = orders.where(F.col("o_orderdate") < _EVO_CUTOFF).select(
+        "o_orderkey", "o_totalprice"
+    )
+    new = orders.where(F.col("o_orderdate") >= _EVO_CUTOFF).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    old.write.mode("overwrite").parquet(f"{base}/batch=old")
+    new.write.mode("overwrite").parquet(f"{base}/batch=new")
+    merged = spark.read.option("mergeSchema", "true").parquet(base)
+    return merged.groupBy(
+        F.coalesce("o_orderpriority", F.lit("LEGACY")).alias("priority")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(cents(F.col("o_totalprice"))).alias("revenue_cents"),
+    )
+
+
+_SCHEMA_EVO_SQL = f"""
+SELECT CASE WHEN o_orderdate < DATE '{_EVO_CUTOFF}' THEN 'LEGACY'
+            ELSE o_orderpriority END AS priority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Chained stateful streaming aggregations (Spark 4 multi-stateful)
+# ---------------------------------------------------------------------------
+
+_CHAIN_DELAY_H = 2
+_CHAIN_WIN = "6 hours"
+_CHAIN_DELAY_US = _CHAIN_DELAY_H * 3600 * 1_000_000
+_CHAIN_WIN_US = 6 * 3600 * 1_000_000
+
+
+def stream_chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two stateful aggregations CHAINED inside one streaming query
+    (Spark 4 lifts the single-stateful-operator limit): per-(window,
+    user) event counts roll up into per-window active-user stats
+    without leaving the stream. The second agg groups on the first's
+    window column, so state remains event-time bounded and the
+    watermark flows through both operators; append mode emits each
+    window once, closed. The oracle reproduces both levels plus the
+    watermark-closed rule in SQL."""
+    ev = read_events_stream(
+        spark,
+        sf_dir,
+        dir_override=stream_dir_multi(sf_dir, 3),
+        max_files_per_trigger=1,
+    )
+    per_user = (
+        ev.withWatermark("ev_time", f"{_CHAIN_DELAY_H} hours")
+        .groupBy(F.window("ev_time", _CHAIN_WIN).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    rollup = per_user.groupBy("w").agg(
+        F.count("*").alias("n_users"),
+        F.sum("n_events").alias("n_events"),
+        F.max("n_events").alias("max_user_events"),
+    )
+    out = rollup.select(
+        F.unix_micros(F.col("w.start")).alias("ws_us"),
+        "n_users",
+        "n_events",
+        "max_user_events",
+    )
+    return run_stream_to_memory(out, output_mode="append")
+
+
+_CHAINED_SQL = f"""
+WITH wm AS (
+  SELECT MAX(epoch_us(ts)) - {_CHAIN_DELAY_US} AS wm_us FROM events
+), per_user AS (
+  SELECT (epoch_us(ts) // {_CHAIN_WIN_US}) * {_CHAIN_WIN_US} AS ws_us,
+         user_id,
+         COUNT(*) AS n_events
+  FROM events
+  GROUP BY 1, 2
+)
+SELECT ws_us,
+       COUNT(*) AS n_users,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
+       MAX(n_events) AS max_user_events
+FROM per_user, wm
+WHERE ws_us + {_CHAIN_WIN_US} <= wm.wm_us
+GROUP BY ws_us
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact distributed median (via the global_rank library primitive)
+# ---------------------------------------------------------------------------
+
+
+def agg_exact_median_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT median of order totals per order status — no sketch, no
+    single-partition sort: ``global_rank`` ranks all rows with one
+    range exchange, and the median rows are the two middle ranks (both
+    equal for odd counts). Reported as 2x the median in integer cents
+    so even-count averaging stays exact. ``percentile``-style exact
+    aggregates hold per-group value buffers in memory; the rank route
+    streams — the difference between 'exact median of 100 TB' working
+    or not. (Per-status medians use per-group rank = global rank of
+    the status-partitioned stream; one rank pass per status here
+    keeps the plan identical to the single-series case.)"""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", cents(F.col("o_totalprice")).alias("price_cents")
+    )
+    statuses = [r[0] for r in orders.select("o_orderstatus").distinct().collect()]
+    if not statuses:  # empty input: no groups, empty result
+        return spark.createDataFrame(
+            [], "o_orderstatus string, median_2x_cents bigint, n_orders bigint"
+        )
+    parts = []
+    for st in sorted(statuses):  # bounded: 3 statuses
+        sub = orders.where(F.col("o_orderstatus") == st)
+        ranked = global_rank(sub, ["price_cents"], partitions=8)
+        n = sub.count()
+        lo, hi = (n + 1) // 2, (n + 2) // 2
+        med = (
+            ranked.where(F.col("rank").isin(lo, hi))
+            .agg(F.sum(F.col("price_cents") * F.lit(2) / F.lit(hi - lo + 1)).cast("bigint").alias("median_2x_cents"))
+            .select(F.lit(st).alias("o_orderstatus"), "median_2x_cents", F.lit(n).cast("bigint").alias("n_orders"))
+        )
+        parts.append(med)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+_MEDIAN_SQL = """
+WITH ranked AS (
+  SELECT o_orderstatus,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents,
+         ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                            ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rank,
+         COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
+  FROM orders
+)
+SELECT o_orderstatus,
+       CAST(SUM(price_cents * 2 / ((n + 2) // 2 - (n + 1) // 2 + 1)) AS BIGINT)
+         AS median_2x_cents,
+       CAST(MAX(n) AS BIGINT) AS n_orders
+FROM ranked
+WHERE rank IN ((n + 1) // 2, (n + 2) // 2)
+GROUP BY o_orderstatus
+"""
+
+
+QUERIES = {
+    "agg_hll_partition_merge": agg_hll_partition_merge,
+    "io_schema_evolution": io_schema_evolution,
+    "stream_chained_agg": stream_chained_agg,
+    "agg_exact_median_distributed": agg_exact_median_distributed,
+}
+
+ORACLE = {
+    "agg_hll_partition_merge": _HLL_MERGE_SQL,
+    "io_schema_evolution": _SCHEMA_EVO_SQL,
+    "stream_chained_agg": _CHAINED_SQL,
+    "agg_exact_median_distributed": _MEDIAN_SQL,
+}
