@@ -22,6 +22,7 @@ from boat_etl_pyspark_spark.plans import (
     analytics,
     boat_plan,
     curation,
+    curation2,
     io_plans,
     multimodal_plans,
     relational,
@@ -60,6 +61,7 @@ _PLAN_MODULES = (
     relational7,
     relational8,
     relational9,
+    curation2,
     textcuration,
 )
 
@@ -112,6 +114,9 @@ _CHECK_FIRST = (
     "io_schema_evolution",
     "stream_chained_agg",
     "agg_exact_median_distributed",
+    "events_markov_transitions",
+    "curate_weighted_sample",
+    "text_containment_dedup",
 )
 
 
