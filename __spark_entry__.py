@@ -71,10 +71,14 @@ _QUERIES, _ORACLE = collect_registries(*_PLAN_MODULES)
 # order. Rounds 1+2 banked green rows for 98 distinct queries (r01: the
 # relational/analytics/curation core; r02: dedup/sim/text/stream/
 # multimodal + TPC-H remainder — all 50 passed). Round 3 front-loads
-# the 16 queries still lacking ANY driver row (round-2 additions plus
-# the three deferred siblings), then every round-3 addition; the
-# remainder of the 50-row window backfills from registration order,
-# which re-confirms round-1 greens.
+# the 16 round-2 additions that still lack ANY driver row, then the 25
+# round-3 additions (window distributions, gaps-islands, SCD2, salted
+# join, equi-depth rank, PageRank, PII/repetition/chunk-dedup/NFC/
+# vocab, blocked-matmul ANN, bloom prefilter, mode, interpolation,
+# append-mode + chained streaming, HLL merge, schema evolution, exact
+# median, Markov, weighted sample, containment, cluster reps); the
+# remaining 9 slots backfill from registration order, re-confirming
+# round-1 greens.
 _CHECK_FIRST = (
     # --- no driver row yet (registered in round 2 after the cutoff) ---
     "q14_promo_revenue_share",
@@ -117,6 +121,7 @@ _CHECK_FIRST = (
     "events_markov_transitions",
     "curate_weighted_sample",
     "text_containment_dedup",
+    "curate_cluster_representatives",
 )
 
 

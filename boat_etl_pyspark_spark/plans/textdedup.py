@@ -985,9 +985,71 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def curate_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The last stage of the dedup pipeline: elect ONE survivor per
+    near-dup cluster by QUALITY (longest document, doc_id tiebreak)
+    instead of the arbitrary min-id keeper, and emit the drop
+    decision per clustered doc. One broadcastable join of cluster
+    labels (|clustered docs|, tiny vs corpus) against the doc-stats
+    projection, one max(struct) fold per cluster — the pattern that
+    turns pairwise near-dup detection into an actual curated corpus."""
+    labels = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    stats = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    joined = labels.join(stats, "doc_id")
+    reps = joined.groupBy("cluster_id").agg(
+        F.max(F.struct("n_chars", "doc_id")).alias("m")
+    )
+    return (
+        joined.join(F.broadcast(reps), "cluster_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            F.col("m.doc_id").alias("rep_doc_id"),
+            (F.col("doc_id") != F.col("m.doc_id")).alias("drop"),
+        )
+    )
+
+
+_CLUSTER_REPS_SQL = """
+WITH RECURSIVE pairs AS (
+  {minhash_pairs}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(node, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, reach.r
+  FROM edges e JOIN reach ON e.dst = reach.node
+),
+labels AS (
+  SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
+),
+joined AS (
+  SELECT l.doc_id, l.cluster_id, d.n_chars
+  FROM labels l JOIN documents d ON l.doc_id = d.doc_id
+),
+reps AS (
+  SELECT cluster_id, doc_id AS rep_doc_id
+  FROM (
+    SELECT cluster_id, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY cluster_id
+                              ORDER BY n_chars DESC, doc_id DESC) AS rn
+    FROM joined
+  ) WHERE rn = 1
+)
+SELECT j.doc_id, j.cluster_id, r.rep_doc_id, j.doc_id <> r.rep_doc_id AS drop
+FROM joined j JOIN reps r ON j.cluster_id = r.cluster_id
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "curate_cluster_representatives": curate_cluster_representatives,
     "dedup_incremental": dedup_incremental,
     "dedup_clusters": dedup_clusters,
     "text_stopword_removal": text_stopword_removal,
@@ -1007,6 +1069,9 @@ ORACLE = {
     "dedup_embedding_cosine": _EMBCOS_DUCK,
     "dedup_incremental": _DEDUP_INCR_SQL,
     "dedup_clusters": _DEDUP_CLUSTERS_SQL.format(
+        minhash_pairs=_MINHASH_DUCK.format(shingles=_DUCK_SHINGLES)
+    ),
+    "curate_cluster_representatives": _CLUSTER_REPS_SQL.format(
         minhash_pairs=_MINHASH_DUCK.format(shingles=_DUCK_SHINGLES)
     ),
     "text_stopword_removal": _STOPWORD_SQL,
