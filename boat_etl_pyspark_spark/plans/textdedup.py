@@ -569,7 +569,14 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation, all distributed; rounds ~ graph diameter, which for
     dedup graphs is tiny). Output: every clustered doc with its
     cluster id (= min doc_id in the component) and the elected keeper
-    — the stage that turns pairwise dedup into actual row removal."""
+    — the stage that turns pairwise dedup into actual row removal.
+    The result is session-cached: downstream consumers (representative
+    election) and repeated sweeps reuse one propagation run — the
+    result is partition-count independent, so caching is sound."""
+    return _cached(spark, sf_dir, "cluster_labels", lambda: _dedup_clusters_build(spark, sf_dir))
+
+
+def _dedup_clusters_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     edges = (
         pairs.unionByName(
