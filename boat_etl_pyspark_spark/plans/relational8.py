@@ -90,9 +90,15 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_suppkey", "l_extendedprice", "l_discount"
     )
+    # the bit test is `& 1`, NOT `% 2`: shiftrightunsigned by 0 keeps
+    # the sign bit, and Spark's % takes the dividend's sign, so a word
+    # with bit 63 set would probe (-odd) % 2 = -1 and read as ABSENT —
+    # a false negative that only appears once the bitmap is dense
+    # enough to co-locate bit 63 with a probed bit (bit at sf0.1,
+    # invisible at sf0.01)
     probe_sql = (
         "(shiftrightunsigned(element_at(bm, CAST({b} DIV 64 AS INT) + 1),"
-        " CAST({b} % 64 AS INT)) % 2) = 1"
+        " CAST({b} % 64 AS INT)) & 1) = 1"
     )
     lb1 = f"pmod(xxhash64(l_suppkey), {_BLOOM_BITS})"
     lb2 = f"pmod(xxhash64(l_suppkey) DIV {_BLOOM_BITS}, {_BLOOM_BITS})"
