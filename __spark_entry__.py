@@ -122,6 +122,7 @@ _CHECK_FIRST = (
     "curate_weighted_sample",
     "text_containment_dedup",
     "curate_cluster_representatives",
+    "agg_customer_ltv_deciles",
 )
 
 

@@ -255,7 +255,64 @@ GROUP BY o_orderstatus
 """
 
 
+def agg_customer_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer lifetime-value deciles: rank every customer by total
+    spend with the distributed ``global_rank`` (one range exchange, no
+    global window), cut into 10 equal-count bands, and report each
+    band's population and value share. The second production use of
+    the rank primitive (after the equi-depth histogram) — decile/
+    percentile banding is the standard shape for LTV, credit and
+    engagement scoring at warehouse scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(cents(F.col("o_totalprice"))).alias("spend_cents")
+    )
+    n = spend.count()  # bounded scalar
+    if n == 0:
+        return spark.createDataFrame(
+            [], "decile bigint, n_customers bigint, "
+                "decile_spend_cents bigint, min_spend_cents bigint, "
+                "max_spend_cents bigint"
+        )
+    ranked = global_rank(spend, ["spend_cents", "o_custkey"], partitions=8)
+    return (
+        ranked.withColumn(
+            "decile", F.expr(f"(rank - 1) * 10 DIV {n}").cast("bigint")
+        )
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("spend_cents").alias("decile_spend_cents"),
+            F.min("spend_cents").alias("min_spend_cents"),
+            F.max("spend_cents").alias("max_spend_cents"),
+        )
+    )
+
+
+_LTV_DECILES_SQL = """
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS spend_cents
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT spend_cents,
+         ROW_NUMBER() OVER (ORDER BY spend_cents, o_custkey) AS rank,
+         COUNT(*) OVER () AS n
+  FROM spend
+)
+SELECT CAST((rank - 1) * 10 // n AS BIGINT) AS decile,
+       COUNT(*) AS n_customers,
+       CAST(SUM(spend_cents) AS BIGINT) AS decile_spend_cents,
+       MIN(spend_cents) AS min_spend_cents,
+       MAX(spend_cents) AS max_spend_cents
+FROM ranked
+GROUP BY 1
+"""
+
+
 QUERIES = {
+    "agg_customer_ltv_deciles": agg_customer_ltv_deciles,
     "agg_hll_partition_merge": agg_hll_partition_merge,
     "io_schema_evolution": io_schema_evolution,
     "stream_chained_agg": stream_chained_agg,
@@ -263,6 +320,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "agg_customer_ltv_deciles": _LTV_DECILES_SQL,
     "agg_hll_partition_merge": _HLL_MERGE_SQL,
     "io_schema_evolution": _SCHEMA_EVO_SQL,
     "stream_chained_agg": _CHAINED_SQL,
