@@ -123,6 +123,7 @@ _CHECK_FIRST = (
     "text_containment_dedup",
     "curate_cluster_representatives",
     "agg_customer_ltv_deciles",
+    "text_symbol_stats",
 )
 
 

@@ -382,12 +382,67 @@ FROM r WHERE rn <= {_MM_TOPK}
 """
 
 
+def text_symbol_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class quality signals (the rest of the Gopher rule
+    inputs): digit / uppercase / symbol(non-alnum-non-space) counts
+    and their ppm share of characters, plus the alphabetic-word share
+    of tokens. Pure regexp_count projections — codegen, no shuffle.
+    High symbol or digit share flags markup/tables/code; low alpha-word
+    share flags delimiter soup."""
+    docs = load_table(spark, sf_dir, "documents")
+    counted = docs.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(r"[0-9]"))
+        .cast("bigint")
+        .alias("n_digits"),
+        F.regexp_count(F.col("text"), F.lit(r"[A-Z]"))
+        .cast("bigint")
+        .alias("n_upper"),
+        F.regexp_count(F.col("text"), F.lit(r"[^A-Za-z0-9 ]"))
+        .cast("bigint")
+        .alias("n_symbols"),
+        F.length("text").cast("bigint").alias("n_chars_measured"),
+        F.expr("size(filter(split(text, ' '), w -> w rlike '^[A-Za-z]+$'))")
+        .cast("bigint")
+        .alias("__alpha_words"),
+        F.size(F.split("text", " ")).cast("bigint").alias("__n_words"),
+    )
+    # integer DIV in BOTH engines: Spark's double-cast truncates while
+    # DuckDB's CAST(double AS BIGINT) rounds — float division here
+    # would hash-mismatch on half-ppm boundaries
+    return counted.select(
+        "doc_id",
+        "n_digits",
+        "n_upper",
+        "n_symbols",
+        "n_chars_measured",
+        F.expr("__alpha_words * 1000000 DIV __n_words").alias("alpha_word_ppm"),
+        F.expr("n_symbols * 1000000 DIV n_chars_measured").alias("symbol_ppm"),
+    )
+
+
+_SYMBOL_SQL = """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digits,
+       CAST(len(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS n_upper,
+       CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS BIGINT) AS n_symbols,
+       CAST(length(text) AS BIGINT) AS n_chars_measured,
+       CAST(CAST(len(list_filter(string_split(text, ' '),
+                                 w -> regexp_full_match(w, '[A-Za-z]+'))) AS BIGINT)
+            * 1000000 // len(string_split(text, ' ')) AS BIGINT) AS alpha_word_ppm,
+       CAST(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS BIGINT)
+            * 1000000 // length(text) AS BIGINT) AS symbol_ppm
+FROM documents
+"""
+
+
 QUERIES = {
     "text_pii_redaction": text_pii_redaction,
     "text_repetition_stats": text_repetition_stats,
     "text_chunk_dedup": text_chunk_dedup,
     "text_normalize_unicode": text_normalize_unicode,
     "text_vocab_stats": text_vocab_stats,
+    "text_symbol_stats": text_symbol_stats,
     "sim_blocked_matmul_topk": sim_blocked_matmul_topk,
 }
 
@@ -397,5 +452,6 @@ ORACLE = {
     "text_chunk_dedup": _CHUNK_DEDUP_SQL,
     "text_normalize_unicode": _NFC_SQL,
     "text_vocab_stats": _VOCAB_SQL,
+    "text_symbol_stats": _SYMBOL_SQL,
     "sim_blocked_matmul_topk": _MM_SQL,
 }

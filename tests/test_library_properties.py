@@ -1,0 +1,70 @@
+"""Property tests for the distributed-primitive library: on arbitrary
+small inputs, global_rank must equal a single-partition row_number and
+salted_join must equal the plain join — the invariants that make them
+safe drop-in replacements at scale."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from boat_etl_pyspark_spark.operators.library import global_rank, salted_join
+
+_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=-1000, max_value=1000),
+        st.integers(min_value=0, max_value=5),
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_rows)
+def test_global_rank_equals_window_rank(spark, rows):
+    df = spark.createDataFrame(
+        [(i, v) for i, (v, _) in enumerate(rows)], "id long, v long"
+    )
+    got = {
+        (r["id"], r["rank"])
+        for r in global_rank(df, ["v", "id"], partitions=3).collect()
+    }
+    w = Window.orderBy("v", "id")
+    want = {
+        (r["id"], r["rank"])
+        for r in df.withColumn(
+            "rank", F.row_number().over(w).cast("long")
+        ).collect()
+    }
+    assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_rows, _rows)
+def test_salted_join_equals_plain_join(spark, left_rows, right_rows):
+    left = spark.createDataFrame(
+        [(k, i) for i, (_, k) in enumerate(left_rows)], "k long, lid long"
+    )
+    right = spark.createDataFrame(
+        [(k, i) for i, (_, k) in enumerate(right_rows)], "k2 long, rid long"
+    )
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in salted_join(left, right, "k", "k2", salt=3).collect()
+    )
+    want = sorted(
+        (r["lid"], r["rid"])
+        for r in left.join(right, left.k == right.k2).collect()
+    )
+    assert got == want
