@@ -68,62 +68,69 @@ _PLAN_MODULES = (
 _QUERIES, _ORACLE = collect_registries(*_PLAN_MODULES)
 
 # The driver's correctness gate checks the FIRST 50 registry entries in
-# order. Rounds 1+2 banked green rows for 98 distinct queries (r01: the
-# relational/analytics/curation core; r02: dedup/sim/text/stream/
-# multimodal + TPC-H remainder — all 50 passed). Round 3 front-loads
-# the 16 round-2 additions that still lack ANY driver row, then the 25
-# round-3 additions (window distributions, gaps-islands, SCD2, salted
-# join, equi-depth rank, PageRank, PII/repetition/chunk-dedup/NFC/
-# vocab, blocked-matmul ANN, bloom prefilter, mode, interpolation,
-# append-mode + chained streaming, HLL merge, schema evolution, exact
-# median, Markov, weighted sample, containment, cluster reps); the
-# remaining 9 slots backfill from registration order, re-confirming
-# round-1 greens.
+# order. After round 3 every one of the 140 registered queries has a
+# green driver row (r01: 50, r02: 49 more, r03: the final 41 + 9
+# re-confirms). Round 4 rotates the window to the STALEST greens —
+# verification freshness, per round-3 verdict item 2: all 41 queries
+# whose latest row is r01, plus the 8 streaming queries last checked in
+# r02 (their events fixture was regenerated between r02 and r03, so
+# their green predates the data they now run on), plus
+# agg_exact_median_distributed, whose plan was rewritten single-pass
+# this round (41 + 8 + 1 = 50).
 _CHECK_FIRST = (
-    # --- no driver row yet (registered in round 2 after the cutoff) ---
-    "q14_promo_revenue_share",
-    "q18_large_orders",
-    "window_locf_fill",
-    "events_sessionize",
-    "agg_incremental_mv_merge",
-    "io_csv_roundtrip",
-    "io_json_roundtrip",
-    "io_xml_roundtrip",
-    "io_partitioned_scan",
-    "layout_zorder_orders",
-    "io_bucketed_join",
-    "stream_dedup_within_watermark",
-    "stream_foreachbatch_totals",
-    "lateral_top2_orders_per_customer",
-    "json_variant_nested",
-    "array_hof_quantity_profile",
-    # --- round-3 additions (appended as implemented) ---
-    "window_percent_rank_cume",
-    "gaps_islands_user_streaks",
-    "scd2_customer_order_history",
-    "join_salted_revenue",
-    "agg_equidepth_histogram",
-    "graph_pagerank_nations",
-    "text_pii_redaction",
-    "text_repetition_stats",
-    "text_chunk_dedup",
-    "text_normalize_unicode",
-    "text_vocab_stats",
-    "sim_blocked_matmul_topk",
-    "join_bloom_prefilter",
-    "agg_mode_per_group",
-    "interp_linear_fill",
-    "stream_append_mode_windows",
-    "agg_hll_partition_merge",
-    "io_schema_evolution",
-    "stream_chained_agg",
+    # --- latest driver row is r01 (41) ---
+    "curate_corpus_upsert",
+    "curate_contamination_check",
+    "curate_quality_filter",
+    "curate_stratified_sample",
+    "q1_pricing_summary",
+    "q2_cheapest_supplier_per_part",
+    "q3_shipping_priority",
+    "q4_priority_with_late_items",
+    "q5_region_revenue",
+    "join_left_order_counts",
+    "join_semi_active_customers",
+    "join_anti_dormant_customers",
+    "join_range_value_buckets",
+    "join_asof_purchase_last_view",
+    "join_full_outer_nation_presence",
+    "agg_distinct_by_status",
+    "agg_rollup_nation_segment",
+    "agg_cube_flag_status",
+    "agg_grouping_sets",
+    "agg_price_moments",
+    "agg_qty_price_correlation",
+    "agg_acctbal_percentiles",
+    "agg_conditional_lineitem",
+    "window_topk_orders_per_customer",
+    "window_running_spend",
+    "window_order_gaps",
+    "window_ntile_acctbal",
+    "window_rank_dense_rank",
+    "window_analytic_acctbal",
+    "window_rolling_24h_value",
+    "setops_buyer_segments",
+    "union_account_entities",
+    "date_daily_event_stats",
+    "date_parts_of_orders",
+    "date_densified_daily_events",
+    "json_event_props",
+    "map_order_attributes",
+    "string_part_catalog",
+    "sort_global_top_orders",
+    "pivot_status_by_segment",
+    "subquery_big_building_orders",
+    # --- streaming greens from r02 predating the events-fixture change (8) ---
+    "stream_tumbling_6h",
+    "stream_sliding_6h_3h",
+    "stream_session_windows",
+    "stream_stateful_user_totals",
+    "stream_stream_attribution",
+    "stream_kafka_roundtrip",
+    "stream_dedup_user_event_types",
+    "stream_static_value_buckets",
+    # --- plan rewritten this round (1) ---
     "agg_exact_median_distributed",
-    "events_markov_transitions",
-    "curate_weighted_sample",
-    "text_containment_dedup",
-    "curate_cluster_representatives",
-    "agg_customer_ltv_deciles",
-    "text_symbol_stats",
 )
 
 

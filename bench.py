@@ -23,6 +23,54 @@ import sys
 import time
 
 
+def _cpu_fingerprint() -> float:
+    """Single-thread CPU speed probe (seconds for a fixed pure-python
+    loop). Recorded into bench_full.json so cross-round comparisons
+    can tell host drift from code regressions: round 3's 91s->103s
+    'regression' reproduced byte-identically on round-2 code — the
+    host, not the repo, had slowed."""
+    t0 = time.perf_counter()
+    s = 0
+    for i in range(2_000_000):
+        s += i * i
+    return round(time.perf_counter() - t0, 4)
+
+
+def _rss_mb() -> dict:
+    """Driver-python and JVM resident-set sizes in MB (local mode: the
+    executor lives inside the driver JVM, so this is the whole app)."""
+    out = {}
+    try:
+        import resource
+
+        out["python_max_mb"] = round(
+            resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024, 1
+        )
+    except Exception:
+        pass
+    try:
+        jvm = 0
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit():
+                continue
+            try:
+                with open(f"/proc/{pid}/comm") as f:
+                    if f.read().strip() != "java":
+                        continue
+                with open(f"/proc/{pid}/status") as f:
+                    for line in f:
+                        if line.startswith("VmRSS:"):
+                            jvm += int(line.split()[1])
+                            break
+            except OSError:
+                continue
+        if jvm:
+            out["jvm_rss_mb"] = round(jvm / 1024, 1)
+    except Exception:
+        pass
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -54,13 +102,23 @@ def main() -> None:
     # across runs round 1), so the minimum is the signal. Spread is
     # reported so regressions are attributable to code vs host noise.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    fp_start = _cpu_fingerprint()
     runs: dict[str, list[float]] = {name: [] for name in queries}
+    rss_per_rep = []
     for _ in range(reps):
         for name in sorted(queries):
             t0 = time.perf_counter()
             df = queries[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             runs[name].append(time.perf_counter() - t0)
+        rss_per_rep.append(_rss_mb())
+    fp_end = _cpu_fingerprint()
+
+    # hand back executor storage memory pinned by the dedup-family
+    # shared caches and per-query persisted intermediates
+    from boat_etl_pyspark_spark.plans import release_caches
+
+    released = release_caches(spark)
 
     timings = {name: round(min(ts), 3) for name, ts in sorted(runs.items())}
     spread = {name: round(max(ts) - min(ts), 3) for name, ts in sorted(runs.items())}
@@ -78,6 +136,13 @@ def main() -> None:
             {
                 "queries": timings,
                 "query_spread": spread,
+                "reps_detail": {
+                    name: [round(t, 3) for t in ts]
+                    for name, ts in sorted(runs.items())
+                },
+                "rss_per_rep_mb": rss_per_rep,
+                "cpu_fingerprint_sec": {"start": fp_start, "end": fp_end},
+                "caches_released": released,
                 "reps": reps,
                 "unit": "sec",
                 "sf": sf,
@@ -100,6 +165,7 @@ def main() -> None:
         "sf": sf,
         "reps": reps,
         "n_queries": len(timings),
+        "cpu_fp_sec": fp_start,
         "detail": "bench_full.json",
     }
     for name, sec in sorted(timings.items(), key=lambda kv: -kv[1]):

@@ -151,7 +151,10 @@ def pack_sequences(
 
 
 def global_rank(
-    df: DataFrame, order_by: list[str], partitions: int = 32
+    df: DataFrame,
+    order_by: list[str],
+    partitions: int = 32,
+    partition_by: list[str] | None = None,
 ) -> DataFrame:
     """Exact global rank (1-based) over ``order_by`` with ONE fact
     exchange and NO global window: range partition (partitions are
@@ -162,34 +165,103 @@ def global_rank(
     ``order_by`` for determinism. This is the scalable primitive
     behind equi-depth histograms, exact percentiles and pagination —
     a plain ``Window.orderBy`` would serialize the table through one
-    task."""
+    task.
+
+    ``partition_by`` ranks WITHIN each group instead (rank restarts at
+    1 per group): the range partitioning is on (group, order) so each
+    group spans a contiguous run of partitions, and the broadcast
+    offset relation carries one row per (partition, group) — still
+    bounded by partitions x |groups touched per partition boundary|.
+
+    HARD BOUND: ``monotonically_increasing_id`` allocates 33 bits to
+    the per-partition counter, so any single range partition holding
+    more than 2^33 (~8.6e9) rows overflows the local counter into the
+    partition bits and silently corrupts ranks. Size ``partitions`` so
+    rows/partitions stays far below 2^33 — at 100 TB (~1e12 rows)
+    that means >= ~500 partitions, not the local-mode default. The
+    guard below fails fast instead of corrupting."""
+    keys = [*(partition_by or []), *order_by]
     numbered = (
-        df.repartitionByRange(partitions, *[F.col(c) for c in order_by])
-        .sortWithinPartitions(*order_by)
+        df.repartitionByRange(partitions, *[F.col(c) for c in keys])
+        .sortWithinPartitions(*keys)
         .withColumn("__mid", F.monotonically_increasing_id())
         .withColumn("__pid", F.expr("CAST(__mid DIV 8589934592 AS INT)"))
         .withColumn("__lrn", F.expr("__mid % 8589934592 + 1"))
     )
-    offsets = (
-        numbered.groupBy("__pid")
-        .count()
+    if not partition_by:
+        offsets = (
+            numbered.groupBy("__pid")
+            .agg(F.count("*").alias("count"), F.max("__lrn").alias("__maxl"))
+            .withColumn(
+                "__off",
+                F.coalesce(
+                    F.sum("count").over(
+                        Window.orderBy("__pid").rowsBetween(
+                            Window.unboundedPreceding, -1
+                        )
+                    ),
+                    F.lit(0),
+                ),
+            )
+            # 2^33 overflow guard: a partition that filled the local
+            # counter would wrap __lrn; surface it as a query error.
+            .withColumn(
+                "__off",
+                F.when(
+                    F.col("__maxl") >= F.lit(8589934592),
+                    F.raise_error(
+                        F.lit("global_rank: partition exceeded 2^33 rows; raise `partitions`")
+                    ).cast("long"),
+                ).otherwise(F.col("__off")),
+            )
+            .select("__pid", "__off")
+        )
+        return (
+            numbered.join(F.broadcast(offsets), "__pid")
+            .withColumn("rank", F.col("__off") + F.col("__lrn"))
+            .drop("__mid", "__pid", "__lrn", "__off")
+        )
+    # Per-group form: a group's rows inside one physical partition are
+    # contiguous (sorted by group first), so rank-in-group =
+    # (__lrn - first __lrn of this (partition, group)) + 1 + (rows of
+    # this group in EARLIER partitions). Both correction terms come
+    # from one tiny (partition, group)-grained aggregate, broadcast
+    # back — the fact table still moves through exactly one exchange.
+    grp_stats = (
+        numbered.groupBy("__pid", *partition_by)
+        .agg(
+            F.count("*").alias("__cnt"),
+            F.min("__lrn").alias("__minl"),
+            F.max("__lrn").alias("__maxl"),
+        )
         .withColumn(
-            "__off",
+            "__minl",
+            F.when(
+                F.col("__maxl") >= F.lit(8589934592),
+                F.raise_error(
+                    F.lit("global_rank: partition exceeded 2^33 rows; raise `partitions`")
+                ).cast("long"),
+            ).otherwise(F.col("__minl")),
+        )
+        .withColumn(
+            "__goff",
             F.coalesce(
-                F.sum("count").over(
-                    Window.orderBy("__pid").rowsBetween(
-                        Window.unboundedPreceding, -1
-                    )
+                F.sum("__cnt").over(
+                    Window.partitionBy(*partition_by)
+                    .orderBy("__pid")
+                    .rowsBetween(Window.unboundedPreceding, -1)
                 ),
                 F.lit(0),
             ),
         )
-        .select("__pid", "__off")
+        .select("__pid", *partition_by, "__minl", "__goff")
     )
     return (
-        numbered.join(F.broadcast(offsets), "__pid")
-        .withColumn("rank", F.col("__off") + F.col("__lrn"))
-        .drop("__mid", "__pid", "__lrn", "__off")
+        numbered.join(F.broadcast(grp_stats), ["__pid", *partition_by])
+        .withColumn(
+            "rank", F.col("__lrn") - F.col("__minl") + F.lit(1) + F.col("__goff")
+        )
+        .drop("__mid", "__pid", "__lrn", "__minl", "__goff")
     )
 
 

@@ -37,6 +37,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from . import track_persist
 from ..sources.readers import load_table
 
 
@@ -228,10 +229,9 @@ def curate_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Persisted so the totals pass and the main pass see the SAME split
     # assignment (range boundaries come from sampling; recomputing the
     # exchange twice is both wasted IO and a determinism hazard).
-    split_docs = (
+    split_docs = track_persist(
         docs.repartitionByRange(n_splits, "lang", "doc_id")
         .withColumn("split_id", F.spark_partition_id())
-        .persist()
     )
     # Tiny: #splits x #langs rows. The window below runs on it, not on
     # the corpus.

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from . import track_persist
 from ..sources.readers import load_table
 
 # ---------------------------------------------------------------------------
@@ -140,7 +141,8 @@ def text_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   element_at(t, i + 4)))) AS s
         FROM (SELECT doc_id, split(text, ' ') AS t FROM __cont_docs)
         """
-    ).persist()
+    )
+    sets = track_persist(sets)
     inv = sets.select("doc_id", F.explode("s").alias("gram"))
     rare = (
         inv.groupBy("gram")
@@ -161,7 +163,6 @@ def text_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     x = sets.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
     y = sets.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
-    inter = F.size(F.array_intersect("sa", "sb"))
     cont_ppm = F.expr(
         "CAST(CAST(size(array_intersect(sa, sb)) AS BIGINT) * 1000000"
         " DIV least(size(sa), size(sb)) AS BIGINT)"

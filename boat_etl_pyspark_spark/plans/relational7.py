@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from . import track_persist
 from ..functions.numeric import cents
 from ..sources.readers import load_table
 
@@ -333,12 +334,11 @@ def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist the JOINED edge relation — it is scanned once per
     # iteration; persisting only the raw edges would re-run the
     # out-weight join every round
-    e = edges.join(out_w, "src").select("src", "dst", "w", "out_w").persist()
-    nodes = (
+    e = track_persist(edges.join(out_w, "src").select("src", "dst", "w", "out_w"))
+    nodes = track_persist(
         e.select(F.col("src").alias("nation"))
         .union(e.select(F.col("dst")))
         .distinct()
-        .persist()
     )
     n_nodes = nodes.count()  # bounded scalar (#nations)
     if n_nodes == 0:  # empty graph (fully-filtered / cold-start input)

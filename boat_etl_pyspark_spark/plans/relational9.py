@@ -201,39 +201,38 @@ GROUP BY ws_us
 
 def agg_exact_median_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT median of order totals per order status — no sketch, no
-    single-partition sort: ``global_rank`` ranks all rows with one
-    range exchange, and the median rows are the two middle ranks (both
+    single-partition sort: ``global_rank(partition_by=status)`` ranks
+    every row within its status group with ONE range exchange over the
+    whole table (groups are contiguous under (status, price) range
+    partitioning), and the median rows are the two middle ranks (both
     equal for odd counts). Reported as 2x the median in integer cents
     so even-count averaging stays exact. ``percentile``-style exact
     aggregates hold per-group value buffers in memory; the rank route
     streams — the difference between 'exact median of 100 TB' working
-    or not. (Per-status medians use per-group rank = global rank of
-    the status-partitioned stream; one rank pass per status here
-    keeps the plan identical to the single-series case.)"""
+    or not. Single pass, no driver-side loop over groups: group counts
+    come from a tiny broadcast aggregate."""
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderstatus", cents(F.col("o_totalprice")).alias("price_cents")
     )
-    statuses = [r[0] for r in orders.select("o_orderstatus").distinct().collect()]
-    if not statuses:  # empty input: no groups, empty result
-        return spark.createDataFrame(
-            [], "o_orderstatus string, median_2x_cents bigint, n_orders bigint"
+    ranked = global_rank(
+        orders, ["price_cents"], partitions=8, partition_by=["o_orderstatus"]
+    )
+    counts = orders.groupBy("o_orderstatus").agg(F.count("*").alias("__n"))
+    lo = F.expr("(__n + 1) DIV 2")
+    hi = F.expr("(__n + 2) DIV 2")
+    return (
+        ranked.join(F.broadcast(counts), "o_orderstatus")
+        .where((F.col("rank") == lo) | (F.col("rank") == hi))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum(
+                F.col("price_cents") * F.lit(2) / (hi - lo + F.lit(1))
+            )
+            .cast("bigint")
+            .alias("median_2x_cents"),
+            F.max("__n").cast("bigint").alias("n_orders"),
         )
-    parts = []
-    for st in sorted(statuses):  # bounded: 3 statuses
-        sub = orders.where(F.col("o_orderstatus") == st)
-        ranked = global_rank(sub, ["price_cents"], partitions=8)
-        n = sub.count()
-        lo, hi = (n + 1) // 2, (n + 2) // 2
-        med = (
-            ranked.where(F.col("rank").isin(lo, hi))
-            .agg(F.sum(F.col("price_cents") * F.lit(2) / F.lit(hi - lo + 1)).cast("bigint").alias("median_2x_cents"))
-            .select(F.lit(st).alias("o_orderstatus"), "median_2x_cents", F.lit(n).cast("bigint").alias("n_orders"))
-        )
-        parts.append(med)
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    )
 
 
 _MEDIAN_SQL = """

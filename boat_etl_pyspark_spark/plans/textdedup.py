@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from . import track_persist
 from ..sources.readers import load_table
 
 
@@ -44,7 +45,11 @@ def _docs_view(spark: SparkSession, sf_dir: str, name: str = "__docs") -> str:
 # sets and verified near-dup pairs are needed by several operators
 # (minhash, ngram, fingerprints, clustering, edit distance). Keyed by
 # (applicationId, sf_dir) — the fixture dirs are immutable, so the
-# cached plans never go stale within a session.
+# cached plans never go stale within a session. Memory cost: each
+# entry persists at the default MEMORY_AND_DISK level (pressure
+# spills, it never OOMs), but entries live until ``release_shared``
+# — a long-lived session that is DONE with the dedup family should
+# call it to return executor storage memory (bench.py does).
 _SHARED: dict = {}
 
 
@@ -53,6 +58,20 @@ def _cached(spark: SparkSession, sf_dir: str, kind: str, build):
     if key not in _SHARED:
         _SHARED[key] = build().persist()
     return _SHARED[key]
+
+
+def release_shared(spark: SparkSession | None = None) -> int:
+    """Unpersist and drop cached dedup intermediates; returns the
+    number of entries released. ``spark=None`` releases everything;
+    otherwise only the given session's entries (keyed by appId)."""
+    app = spark.sparkContext.applicationId if spark is not None else None
+    keys = [k for k in _SHARED if app is None or k[0] == app]
+    for k in keys:
+        try:
+            _SHARED.pop(k).unpersist()
+        except Exception:
+            pass  # a stopped context can't unpersist; dropping the ref suffices
+    return len(keys)
 
 
 def _docs_wide_view(spark: SparkSession, sf_dir: str, name: str) -> str:
@@ -208,7 +227,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build():
         sh = _shingle_sets(spark, sf_dir)
         sh.createOrReplaceTempView("__mh_sh")
-        bands = spark.sql(_MINHASH_BANDS_SPARK.format(sh="__mh_sh")).persist()
+        bands = track_persist(spark.sql(_MINHASH_BANDS_SPARK.format(sh="__mh_sh")))
         a, b = bands.alias("a"), bands.alias("b")
         cand = (
             a.join(
@@ -615,7 +634,7 @@ def _dedup_clusters_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_edges = edges.count()
     default_width = int(spark.conf.get("spark.sql.shuffle.partitions"))
     loop_width = max(4, min(default_width, n_edges // 50_000 + 4))
-    edges_r = edges.repartition(loop_width, "doc_b").persist()
+    edges_r = track_persist(edges.repartition(loop_width, "doc_b"))
     edges_r.count()
     edges.unpersist()
     edges = edges_r
@@ -651,6 +670,9 @@ def _dedup_clusters_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = stepped.select("node", F.col("new_label").alias("label"))
         if changed == 0:
             break
+    # the surviving round's cache backs the returned plan; register it
+    # for release_caches instead of pinning it for the session
+    track_persist(prev_cached)
     clusters = labels.groupBy("label").agg(
         F.count("*").alias("cluster_size"), F.min("node").alias("keeper_doc_id")
     )

@@ -34,6 +34,11 @@ _RUNTIME_CONFS = {
     # re-coalesces. Sized for local mode — a cluster deployment scales
     # it with executor count.
     "spark.sql.shuffle.partitions": "32",
+    # events.parquet has shipped with TIMESTAMP(NANOS), which the
+    # vectorized reader rejects; reading nanos as long is harmless for
+    # every other table and static here keeps load_table from mutating
+    # shared-session conf mid-query (round-3 advice).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 
@@ -54,22 +59,38 @@ def _ship_package(spark: SparkSession) -> None:
     sc = spark.sparkContext
     if sc.applicationId in _SHIPPED:
         return
+    import hashlib
     import tempfile
     import zipfile
 
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    fd, zpath = tempfile.mkstemp(
-        prefix="boat_etl_pyspark_spark_", suffix=".zip"
-    )
+    # Content-addressed stable path: executors fetch the zip LAZILY
+    # from this original location (removing it after addPyFile breaks
+    # the first task's dependency fetch), so the file must outlive the
+    # call — but a per-session temp name would leak one zip per
+    # session. A deterministic zip (fixed entry timestamps) named by
+    # its own hash is reused by every session running the same code.
+    fd, tmp = tempfile.mkstemp(prefix="boat_etl_pyspark_spark_", suffix=".zip.part")
     os.close(fd)
-    with zipfile.ZipFile(zpath, "w") as z:
+    with zipfile.ZipFile(tmp, "w") as z:
         for root, _dirs, files in os.walk(pkg_dir):
-            for fn in files:
+            for fn in sorted(files):
                 if not fn.endswith(".py"):
                     continue
                 full = os.path.join(root, fn)
                 rel = os.path.relpath(full, os.path.dirname(pkg_dir))
-                z.write(full, rel)
+                info = zipfile.ZipInfo(rel, date_time=(2020, 1, 1, 0, 0, 0))
+                with open(full, "rb") as f:
+                    z.writestr(info, f.read())
+    with open(tmp, "rb") as f:
+        digest = hashlib.md5(f.read()).hexdigest()[:16]
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"boat_etl_pyspark_spark_{digest}.zip"
+    )
+    if os.path.exists(zpath):
+        os.remove(tmp)
+    else:
+        os.replace(tmp, zpath)
     sc.addPyFile(zpath)
     _SHIPPED.add(sc.applicationId)
 

@@ -27,14 +27,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table as a DataFrame.
 
     ``events.parquet`` stores its ``ts`` as parquet TIMESTAMP(NANOS),
-    which Spark's vectorized reader rejects; read the nanos as a long
-    and rebuild a microsecond TimestampType column (matching DuckDB's
-    truncate-to-micros behavior).
+    which Spark's vectorized reader rejects; ``nanosAsLong`` (a static
+    session default — see ``session._RUNTIME_CONFS``) reads the nanos
+    as a long, and this rebuilds a microsecond TimestampType column
+    (matching DuckDB's truncate-to-micros behavior).
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name != "events":
         return spark.read.parquet(path)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     if dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn(

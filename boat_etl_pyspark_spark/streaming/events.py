@@ -37,18 +37,22 @@ from pyspark.sql.types import (
     StructType,
 )
 
-def _events_schema_and_time(src_file: str):
+def _events_schema_and_time(src_file: str | None):
     """Schema + event-time builder matched to the fixture's physical
     timestamp unit. The generator has shipped ``ts`` both as parquet
     TIMESTAMP(NANOS) (Spark: long under nanosAsLong) and as
     TIMESTAMP(MICROS, isAdjustedToUTC=false) (Spark: TIMESTAMP_NTZ) —
     a hardcoded schema silently mis-scales one of them, so probe the
-    footer and build accordingly."""
+    footer and build accordingly. ``src_file=None`` (no file arrived
+    yet) assumes the current generator's micros/NTZ layout."""
     import pyarrow.parquet as pq
     from pyspark.sql.types import TimestampNTZType
 
-    t = pq.ParquetFile(src_file).schema_arrow.field("ts").type
-    unit = getattr(t, "unit", None)
+    if src_file is None:
+        unit = "us"
+    else:
+        t = pq.ParquetFile(src_file).schema_arrow.field("ts").type
+        unit = getattr(t, "unit", None)
     if unit == "ns":
         ts_field, ev = (
             StructField("ts", LongType()),
@@ -168,16 +172,18 @@ def read_events_stream(
     if not reuse_session:
         spark = isolated_session(
             spark,
-            {
-                "spark.sql.shuffle.partitions": str(state_partitions),
-                "spark.sql.legacy.parquet.nanosAsLong": "true",
-            },
+            {"spark.sql.shuffle.partitions": str(state_partitions)},
         )
     src_dir = dir_override or _stream_dir_for(sf_dir)
     probe = sorted(
         f for f in os.listdir(src_dir) if f.endswith(".parquet")
     )
-    schema, ev_time = _events_schema_and_time(os.path.join(src_dir, probe[0]))
+    # Cold start: an empty arrival directory is legal for a file
+    # stream; fall back to the current generator's micros/NTZ schema
+    # rather than failing before the stream is even defined.
+    schema, ev_time = _events_schema_and_time(
+        os.path.join(src_dir, probe[0]) if probe else None
+    )
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))

@@ -68,3 +68,62 @@ def test_salted_join_equals_plain_join(spark, left_rows, right_rows):
         for r in left.join(right, left.k == right.k2).collect()
     )
     assert got == want
+
+
+def test_global_rank_partition_by_matches_window(spark):
+    """Per-group global_rank == row_number() over (group, order) for a
+    multi-group input spread over more partitions than groups."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from boat_etl_pyspark_spark.operators.library import global_rank
+
+    df = spark.range(5000).select(
+        (F.col("id") % 7).alias("g"),
+        ((F.col("id") * 37) % 1000).alias("v"),
+        F.col("id"),
+    )
+    got = {
+        (r["g"], r["id"]): r["rank"]
+        for r in global_rank(
+            df, ["v", "id"], partitions=6, partition_by=["g"]
+        ).collect()
+    }
+    w = Window.partitionBy("g").orderBy("v", "id")
+    want = {
+        (r["g"], r["id"]): r["rn"]
+        for r in df.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    assert got == want
+
+
+def test_global_rank_sf01_stress(spark):
+    """600k-row rank at partitions=8: ranks must be a permutation of
+    1..N with the right value at the extremes (the sf0.01-green/
+    sf0.1-broken bug class: bit-layout/modulo errors only surface once
+    partitions actually fill)."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from boat_etl_pyspark_spark.operators.library import global_rank
+
+    path = "/root/testdata/sf0.1/lineitem.parquet"
+    if not os.path.exists(path):
+        import pytest
+
+        pytest.skip("sf0.1 fixture not present")
+    df = spark.read.parquet(path).select("l_orderkey", "l_linenumber", "l_extendedprice")
+    ranked = global_rank(
+        df, ["l_extendedprice", "l_orderkey", "l_linenumber"], partitions=8
+    )
+    stats = ranked.agg(
+        F.count("*").alias("n"),
+        F.min("rank").alias("lo"),
+        F.max("rank").alias("hi"),
+        F.countDistinct("rank").alias("nd"),
+    ).collect()[0]
+    assert stats["lo"] == 1 and stats["hi"] == stats["n"] == stats["nd"]
+    # the max-rank row carries the max value
+    top = ranked.where(F.col("rank") == stats["n"]).select("l_extendedprice").collect()[0][0]
+    assert top == df.agg(F.max("l_extendedprice")).collect()[0][0]

@@ -193,3 +193,39 @@ def test_pagerank_iterations_broadcast_rank(spark, queries):
     re-shuffled per round."""
     plan = plan_of(queries["graph_pagerank_nations"](spark, SF_SMOKE), "simple")
     assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_exact_median_single_pass_plan(spark, queries):
+    """The per-status median must be ONE rank pass over the fact with
+    the (pid, group) stats broadcast back — no per-group driver loop
+    (the round-3 form), no fact-side SinglePartition exchange."""
+    plan = plan_of(queries["agg_exact_median_distributed"](spark, SF_SMOKE), "simple")
+    assert "rangepartitioning(o_orderstatus" in plan  # grouped range partition
+    assert "monotonically_increasing_id" in plan
+    assert plan.count("BroadcastExchange") == 2  # (pid, group) stats + counts
+    # the only fact-touching exchange is the grouped range repartition;
+    # it appears twice in the pre-AQE plan (fact branch + stats branch)
+    # and collapses to one ReusedExchange at runtime (verified by
+    # explain("formatted") after execution). No other range/global sort.
+    n_range = plan.count("rangepartitioning")
+    assert 1 <= n_range <= 2
+    assert plan.count("rangepartitioning(o_orderstatus") == n_range
+
+
+def test_rank_consumers_no_fact_single_partition(spark, queries):
+    """All three global_rank consumers: a SinglePartition exchange may
+    only ever carry the bounded per-partition stats relation, never the
+    fact stream (the shape that dies first at 100x)."""
+    for name in (
+        "agg_equidepth_histogram",
+        "agg_exact_median_distributed",
+        "agg_customer_ltv_deciles",
+    ):
+        plan = plan_of(queries[name](spark, SF_SMOKE), "formatted")
+        for chunk in plan.split("Exchange")[1:]:
+            head = chunk[:200]
+            if "SinglePartition" not in head:
+                continue
+            # the only SinglePartition consumers allowed are the tiny
+            # offsets windows whose input came from a groupBy on __pid
+            assert "ENSURE_REQUIREMENTS" in head, (name, head)

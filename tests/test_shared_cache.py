@@ -24,3 +24,24 @@ def test_cache_survives_many_calls(spark):
     q = m.queries()["text_fingerprints"]
     counts = {q(spark, "/root/testdata/sf0.001").count() for _ in range(3)}
     assert len(counts) == 1
+
+
+def test_release_caches_clears_tracked_persists(spark):
+    """release_caches must unpersist both the _SHARED dedup entries and
+    every track_persist intermediate, and leave queries re-runnable."""
+    from boat_etl_pyspark_spark.plans import (
+        _EPHEMERAL,
+        release_caches,
+        textdedup,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    textdedup.dedup_minhash_lsh(spark, sf).count()  # populates _SHARED + bands
+    assert textdedup._SHARED or _EPHEMERAL
+    released = release_caches(spark)
+    assert released > 0
+    assert not [k for k in textdedup._SHARED if k[0] == spark.sparkContext.applicationId]
+    assert not _EPHEMERAL
+    # still correct after release (pure recompute caches)
+    assert textdedup.dedup_minhash_lsh(spark, sf).count() >= 0
+    release_caches(spark)
