@@ -292,6 +292,9 @@ def stream_append_mode_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         dir_override=stream_dir_multi(sf_dir, 3),
         max_files_per_trigger=1,
+        # narrower state width for the 3-batch replay; see
+        # stream_chained_agg's note + SCALE.md floor analysis
+        state_partitions=4,
     )
     agg = (
         ev.withWatermark("ev_time", f"{_APPEND_DELAY_H} hours")

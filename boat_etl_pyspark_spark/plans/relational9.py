@@ -154,6 +154,12 @@ def stream_chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         dir_override=stream_dir_multi(sf_dir, 3),
         max_files_per_trigger=1,
+        # TWO stateful operators pay state-store maintenance per
+        # partition per micro-batch; measured width sweep at sf0.1
+        # (16/8/4/2 -> 4.4/3.3/2.6/2.3s) shows the term. 4 covers the
+        # fixture's state cardinality; the remaining ~2.3s is 3-batch
+        # replay planning+commit, inherent to the shape (SCALE.md).
+        state_partitions=4,
     )
     per_user = (
         ev.withWatermark("ev_time", f"{_CHAIN_DELAY_H} hours")
