@@ -34,11 +34,14 @@ from boat_etl_pyspark_spark.plans import (
     relational7,
     relational8,
     relational9,
+    relational10,
+    mlprep,
     sessionize,
     similarity,
     streaming_plans,
     textcuration,
     textdedup,
+    textstats2,
 )
 from boat_etl_pyspark_spark.session import tune
 
@@ -63,22 +66,46 @@ _PLAN_MODULES = (
     relational9,
     curation2,
     textcuration,
+    relational10,
+    textstats2,
+    mlprep,
 )
 
 _QUERIES, _ORACLE = collect_registries(*_PLAN_MODULES)
 
 # The driver's correctness gate checks the FIRST 50 registry entries in
-# order. After round 3 every one of the 140 registered queries has a
-# green driver row (r01: 50, r02: 49 more, r03: the final 41 + 9
-# re-confirms). Round 4 rotates the window to the STALEST greens —
-# verification freshness, per round-3 verdict item 2: all 41 queries
-# whose latest row is r01, plus the 8 streaming queries last checked in
-# r02 (their events fixture was regenerated between r02 and r03, so
-# their green predates the data they now run on), plus
-# agg_exact_median_distributed, whose plan was rewritten single-pass
-# this round (41 + 8 + 1 = 50).
+# order. After round 3 every one of the 140 round-3 queries has a green
+# driver row (r01: 50, r02: 49 more, r03: the final 41 + 9 re-confirms).
+# Round 4 front-loads the 10 NEW queries (never driver-checked), then
+# the stalest greens: the 8 streaming queries whose last row (r02)
+# predates the events-fixture regeneration, the exact-median query
+# whose plan was rewritten single-pass after the r03 bank, and 31 of
+# the 41 queries whose latest row is r01 (10 + 8 + 1 + 31 = 50; the
+# remaining 10 r01-era greens rotate in next round).
 _CHECK_FIRST = (
-    # --- latest driver row is r01 (41) ---
+    # --- new in round 4, never driver-checked (10) ---
+    "anomaly_mad_outliers",
+    "ts_weekday_seasonality",
+    "validate_data_contract",
+    "graph_triangle_count",
+    "join_interval_overlap",
+    "text_bigram_rarity",
+    "text_bpe_pair_stats",
+    "curate_mixture_weights",
+    "embed_kmeans_lloyd",
+    "embed_gram_matrix",
+    # --- streaming greens from r02 predating the events-fixture change (8) ---
+    "stream_tumbling_6h",
+    "stream_sliding_6h_3h",
+    "stream_session_windows",
+    "stream_stateful_user_totals",
+    "stream_stream_attribution",
+    "stream_kafka_roundtrip",
+    "stream_dedup_user_event_types",
+    "stream_static_value_buckets",
+    # --- plan rewritten after the r03 bank (1) ---
+    "agg_exact_median_distributed",
+    # --- latest driver row is r01 (31 of 41) ---
     "curate_corpus_upsert",
     "curate_contamination_check",
     "curate_quality_filter",
@@ -101,7 +128,6 @@ _CHECK_FIRST = (
     "agg_price_moments",
     "agg_qty_price_correlation",
     "agg_acctbal_percentiles",
-    "agg_conditional_lineitem",
     "window_topk_orders_per_customer",
     "window_running_spend",
     "window_order_gaps",
@@ -110,27 +136,7 @@ _CHECK_FIRST = (
     "window_analytic_acctbal",
     "window_rolling_24h_value",
     "setops_buyer_segments",
-    "union_account_entities",
     "date_daily_event_stats",
-    "date_parts_of_orders",
-    "date_densified_daily_events",
-    "json_event_props",
-    "map_order_attributes",
-    "string_part_catalog",
-    "sort_global_top_orders",
-    "pivot_status_by_segment",
-    "subquery_big_building_orders",
-    # --- streaming greens from r02 predating the events-fixture change (8) ---
-    "stream_tumbling_6h",
-    "stream_sliding_6h_3h",
-    "stream_session_windows",
-    "stream_stateful_user_totals",
-    "stream_stream_attribution",
-    "stream_kafka_roundtrip",
-    "stream_dedup_user_event_types",
-    "stream_static_value_buckets",
-    # --- plan rewritten this round (1) ---
-    "agg_exact_median_distributed",
 )
 
 

@@ -9,6 +9,28 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+# Persisted (partition, local-offset)-numbered intermediates taken by
+# ``global_rank``: the rank math reads the numbered relation TWICE
+# (offset aggregate + join), and without a persist those are two
+# independent executions of a SAMPLED range shuffle whose boundaries
+# are not guaranteed to agree — measured divergence (silently corrupt
+# ranks) with an InMemoryRelation input under AQE. The persist pins
+# ONE materialization. ``plans.release_caches`` drains this list.
+_RANK_PERSISTS: list[DataFrame] = []
+
+
+def release_rank_caches() -> int:
+    """Unpersist every numbered intermediate pinned by ``global_rank``;
+    returns the number released."""
+    n = len(_RANK_PERSISTS)
+    for df in _RANK_PERSISTS:
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # stopped context; dropping the reference suffices
+    _RANK_PERSISTS.clear()
+    return n
+
 
 def asof_join(
     left: DataFrame,
@@ -187,7 +209,17 @@ def global_rank(
         .withColumn("__mid", F.monotonically_increasing_id())
         .withColumn("__pid", F.expr("CAST(__mid DIV 8589934592 AS INT)"))
         .withColumn("__lrn", F.expr("__mid % 8589934592 + 1"))
+        # CORRECTNESS FENCE: both the offset aggregate and the final
+        # join consume this relation. repartitionByRange draws SAMPLED
+        # boundaries per execution, so two executions may disagree —
+        # observed with a cached input under AQE: ranks silently
+        # corrupt (values shift between runs). Persisting pins one
+        # materialization (MEMORY_AND_DISK: eviction spills, never
+        # re-samples). Cost at scale is one narrow cached copy of the
+        # projected key columns; released via ``release_rank_caches``.
+        .persist()
     )
+    _RANK_PERSISTS.append(numbered)
     if not partition_by:
         offsets = (
             numbered.groupBy("__pid")

@@ -25,10 +25,13 @@ def track_persist(df):
 
 def release_caches(spark=None) -> int:
     """Unpersist every tracked intermediate plus the shared dedup
-    cache; returns the number of entries released."""
+    cache and the global_rank correctness-fence persists; returns the
+    number of entries released."""
+    from ..operators.library import release_rank_caches
     from . import textdedup
 
     n = textdedup.release_shared(spark)
+    n += release_rank_caches()
     for df in _EPHEMERAL:
         try:
             df.unpersist()

@@ -1,0 +1,215 @@
+"""Round-4 batch 3: distributed ML-preprocessing over the
+``embeddings`` table (SURVEY.md §2.9 similarity/LLM-pipeline surface).
+
+  * ``embed_kmeans_lloyd`` — two unrolled Lloyd iterations of k-means
+    (k=8, deterministic seed = the 8 lowest vec_ids) entirely in
+    integer-quantized arithmetic: vectors quantize to thousandths,
+    centroid means use integer division, distances are integer
+    squared-L2. Every step is an associative integer aggregate, so
+    the assignment (and therefore the oracle hash) is bit-identical
+    at any parallelism — the trick that makes iterative clustering
+    testable across engines. The plan per iteration is: broadcast the
+    k×d centroid table, one explode-join-aggregate for distances, a
+    per-vector argmin window, one aggregate for the new centroids —
+    exactly the shape that scales to a 1000-executor corpus (the
+    centroid relation stays k×d rows no matter the corpus size).
+  * ``embed_gram_matrix`` — the Gramian X^T X over the first 16
+    quantized dimensions via ``mapInPandas``: each partition computes
+    a LOCAL int64 matmul (numpy, exact) and emits only its d×d
+    partial, so the shuffle is O(partitions · d²) regardless of row
+    count — the communication shape of distributed PCA/covariance at
+    100 TB. The oracle recomputes every entry as a plain SUM of
+    products.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table
+
+
+def _emb_view(spark: SparkSession, sf_dir: str, name: str) -> str:
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(name)
+    return name
+
+
+# ---------------------------------------------------------------------------
+# Integer-exact k-means (2 Lloyd iterations, unrolled)
+# ---------------------------------------------------------------------------
+
+_KMEANS_SPARK = """
+WITH q AS (
+  SELECT vec_id,
+         transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+  FROM {emb}
+), e AS (
+  SELECT vec_id, posexplode(qv) AS (pos, val) FROM q
+), c0 AS (
+  SELECT vec_id AS cid, pos, val AS cval FROM e WHERE vec_id < 8
+), d1 AS (
+  SELECT /*+ BROADCAST(c0) */ e.vec_id, c0.cid,
+         SUM((e.val - c0.cval) * (e.val - c0.cval)) AS dist
+  FROM e JOIN c0 ON e.pos = c0.pos
+  GROUP BY e.vec_id, c0.cid
+), a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+    FROM d1
+  ) WHERE rk = 1
+), c1 AS (
+  SELECT /*+ BROADCAST(a1) */ a1.cid, e.pos,
+         SUM(e.val) DIV COUNT(*) AS cval
+  FROM e JOIN a1 ON e.vec_id = a1.vec_id
+  GROUP BY a1.cid, e.pos
+), d2 AS (
+  SELECT /*+ BROADCAST(c1) */ e.vec_id, c1.cid,
+         SUM((e.val - c1.cval) * (e.val - c1.cval)) AS dist
+  FROM e JOIN c1 ON e.pos = c1.pos
+  GROUP BY e.vec_id, c1.cid
+), a2 AS (
+  SELECT vec_id, cid, dist FROM (
+    SELECT vec_id, cid, dist,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+    FROM d2
+  ) WHERE rk = 1
+)
+SELECT cid AS cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(dist) AS BIGINT) AS inertia
+FROM a2 GROUP BY cid
+"""
+
+_KMEANS_DUCK = """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+           AS qv
+  FROM embeddings
+), e AS (
+  SELECT vec_id, i AS pos, CAST(qv[i] AS BIGINT) AS val
+  FROM q, (SELECT unnest(range(1, 65)) AS i)
+), c0 AS (
+  SELECT vec_id AS cid, pos, val AS cval FROM e WHERE vec_id < 8
+), d1 AS (
+  SELECT e.vec_id, c0.cid,
+         CAST(SUM((e.val - c0.cval) * (e.val - c0.cval)) AS BIGINT) AS dist
+  FROM e JOIN c0 ON e.pos = c0.pos
+  GROUP BY e.vec_id, c0.cid
+), a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+    FROM d1
+  ) t WHERE rk = 1
+), c1 AS (
+  SELECT a1.cid, e.pos,
+         CAST(CAST(SUM(e.val) AS BIGINT) // COUNT(*) AS BIGINT) AS cval
+  FROM e JOIN a1 ON e.vec_id = a1.vec_id
+  GROUP BY a1.cid, e.pos
+), d2 AS (
+  SELECT e.vec_id, c1.cid,
+         CAST(SUM((e.val - c1.cval) * (e.val - c1.cval)) AS BIGINT) AS dist
+  FROM e JOIN c1 ON e.pos = c1.pos
+  GROUP BY e.vec_id, c1.cid
+), a2 AS (
+  SELECT vec_id, cid, dist FROM (
+    SELECT vec_id, cid, dist,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+    FROM d2
+  ) t WHERE rk = 1
+)
+SELECT cid AS cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(dist) AS BIGINT) AS inertia
+FROM a2 GROUP BY cid
+"""
+
+
+def embed_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two integer-exact Lloyd iterations over the embedding corpus;
+    returns per-cluster population and inertia (sum of squared
+    distances to the assigned centroid). Truncating integer division
+    (Spark ``DIV`` / DuckDB ``//`` both truncate toward zero) keeps
+    the centroid update deterministic and engine-identical."""
+    emb = _emb_view(spark, sf_dir, "__emb_kmeans")
+    return spark.sql(_KMEANS_SPARK.format(emb=emb))
+
+
+# ---------------------------------------------------------------------------
+# Gramian via per-partition matmul partials
+# ---------------------------------------------------------------------------
+
+_GRAM_DIMS = 16
+
+
+def embed_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper triangle of X^T X over the first 16 quantized embedding
+    dimensions. Quantization happens JVM-side (same rounding as the
+    oracle); the Python stage only multiplies exact int64, one numpy
+    matmul per Arrow batch, emitting d(d+1)/2 partials per partition.
+    The groupBy then sums ≤ partitions × 136 tiny rows — the
+    driver/shuffle never sees the corpus."""
+    import pandas as pd  # noqa: PLC0415 — worker-side import kept local
+
+    d = _GRAM_DIMS
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        F.expr(
+            "transform(slice(embedding, 1, 16), "
+            "x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv"
+        )
+    )
+
+    def partials(batches):
+        import numpy as np
+
+        acc = np.zeros((d, d), dtype=np.int64)
+        for pdf in batches:
+            if len(pdf):
+                m = np.stack(pdf["qv"].to_numpy()).astype(np.int64)
+                acc += m.T @ m
+        iu = np.triu_indices(d)
+        yield pd.DataFrame(
+            {"i": iu[0].astype("int64"), "j": iu[1].astype("int64"),
+             "partial": acc[iu]}
+        )
+
+    return (
+        q.mapInPandas(partials, "i bigint, j bigint, partial bigint")
+        .groupBy("i", "j")
+        .agg(F.sum("partial").alias("gram"))
+    )
+
+
+_GRAM_DUCK = f"""
+WITH q AS (
+  SELECT list_transform(embedding[1:{_GRAM_DIMS}],
+                        x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+           AS qv
+  FROM embeddings
+)
+SELECT CAST(i - 1 AS BIGINT) AS i, CAST(j - 1 AS BIGINT) AS j,
+       CAST(SUM(CAST(qv[i] AS BIGINT) * CAST(qv[j] AS BIGINT)) AS BIGINT)
+         AS gram
+FROM q,
+     (SELECT unnest(range(1, {_GRAM_DIMS + 1})) AS i),
+     (SELECT unnest(range(1, {_GRAM_DIMS + 1})) AS j)
+WHERE i <= j
+GROUP BY 1, 2
+"""
+
+
+QUERIES = {
+    "embed_kmeans_lloyd": embed_kmeans_lloyd,
+    "embed_gram_matrix": embed_gram_matrix,
+}
+
+ORACLE = {
+    "embed_kmeans_lloyd": _KMEANS_DUCK,
+    "embed_gram_matrix": _GRAM_DUCK,
+}

@@ -127,3 +127,47 @@ def test_global_rank_sf01_stress(spark):
     # the max-rank row carries the max value
     top = ranked.where(F.col("rank") == stats["n"]).select("l_extendedprice").collect()[0][0]
     assert top == df.agg(F.max("l_extendedprice")).collect()[0][0]
+
+
+def test_global_rank_cached_input_under_aqe(spark):
+    """Regression: a CACHED input under AQE made the two consumers of
+    the numbered relation (offset aggregate + join) re-execute the
+    sampled range shuffle with disagreeing boundaries — silently
+    corrupt ranks, nondeterministic run to run. The in-primitive
+    persist pins one materialization; this pins the fix, for both the
+    global and the per-group form."""
+    from boat_etl_pyspark_spark.plans import release_caches
+
+    df = spark.range(0, 20000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        ((F.col("id") * 2654435761) % 100000).alias("v"),
+        F.col("id"),
+    ).persist()
+    df.count()
+    try:
+        w = Window.partitionBy("g").orderBy("v", "id")
+        want_grp = {
+            (r["g"], r["id"]): r["rn"]
+            for r in df.withColumn("rn", F.row_number().over(w)).collect()
+        }
+        wg = Window.orderBy("v", "id")
+        want_glob = {
+            r["id"]: r["rn"]
+            for r in df.withColumn("rn", F.row_number().over(wg)).collect()
+        }
+        for _ in range(2):  # corruption was nondeterministic; two reps
+            got_grp = {
+                (r["g"], r["id"]): r["rank"]
+                for r in global_rank(
+                    df, ["v", "id"], partitions=5, partition_by=["g"]
+                ).collect()
+            }
+            assert got_grp == want_grp
+            got_glob = {
+                r["id"]: r["rank"]
+                for r in global_rank(df, ["v", "id"], partitions=5).collect()
+            }
+            assert got_glob == want_glob
+    finally:
+        df.unpersist()
+        release_caches(spark)
