@@ -35,6 +35,8 @@ from boat_etl_pyspark_spark.plans import (
     relational8,
     relational9,
     relational10,
+    relational11,
+    io_plans2,
     mlprep,
     sessionize,
     similarity,
@@ -69,6 +71,8 @@ _PLAN_MODULES = (
     relational10,
     textstats2,
     mlprep,
+    io_plans2,
+    relational11,
 )
 
 _QUERIES, _ORACLE = collect_registries(*_PLAN_MODULES)
@@ -76,14 +80,14 @@ _QUERIES, _ORACLE = collect_registries(*_PLAN_MODULES)
 # The driver's correctness gate checks the FIRST 50 registry entries in
 # order. After round 3 every one of the 140 round-3 queries has a green
 # driver row (r01: 50, r02: 49 more, r03: the final 41 + 9 re-confirms).
-# Round 4 front-loads the 10 NEW queries (never driver-checked), then
+# Round 4 front-loads the 17 NEW queries (never driver-checked), then
 # the stalest greens: the 8 streaming queries whose last row (r02)
 # predates the events-fixture regeneration, the exact-median query
-# whose plan was rewritten single-pass after the r03 bank, and 31 of
-# the 41 queries whose latest row is r01 (10 + 8 + 1 + 31 = 50; the
-# remaining 10 r01-era greens rotate in next round).
+# whose plan was rewritten single-pass after the r03 bank, and 24 of
+# the 41 queries whose latest row is r01 (17 + 8 + 1 + 24 = 50; the
+# remaining 17 r01-era greens rotate in next round).
 _CHECK_FIRST = (
-    # --- new in round 4, never driver-checked (10) ---
+    # --- new in round 4, never driver-checked (17) ---
     "anomaly_mad_outliers",
     "ts_weekday_seasonality",
     "validate_data_contract",
@@ -94,6 +98,13 @@ _CHECK_FIRST = (
     "curate_mixture_weights",
     "embed_kmeans_lloyd",
     "embed_gram_matrix",
+    "io_orc_roundtrip",
+    "io_small_file_compaction",
+    "io_snapshot_diff",
+    "join_spatial_grid",
+    "window_running_distinct",
+    "stream_stream_left_outer",
+    "sim_product_quantize",
     # --- streaming greens from r02 predating the events-fixture change (8) ---
     "stream_tumbling_6h",
     "stream_sliding_6h_3h",
@@ -105,7 +116,7 @@ _CHECK_FIRST = (
     "stream_static_value_buckets",
     # --- plan rewritten after the r03 bank (1) ---
     "agg_exact_median_distributed",
-    # --- latest driver row is r01 (31 of 41) ---
+    # --- latest driver row is r01 (24 of 41) ---
     "curate_corpus_upsert",
     "curate_contamination_check",
     "curate_quality_filter",
@@ -130,13 +141,6 @@ _CHECK_FIRST = (
     "agg_acctbal_percentiles",
     "window_topk_orders_per_customer",
     "window_running_spend",
-    "window_order_gaps",
-    "window_ntile_acctbal",
-    "window_rank_dense_rank",
-    "window_analytic_acctbal",
-    "window_rolling_24h_value",
-    "setops_buyer_segments",
-    "date_daily_event_stats",
 )
 
 

@@ -77,6 +77,14 @@ def _events_schema_and_time(src_file: str | None):
 
 _SINK_IDS = itertools.count()
 
+# Most-recent memory-sink tables kept live; older ones are dropped by
+# ``run_stream_to_memory`` (their result rows live in driver memory).
+# Sized above the number of registered streaming queries so no table
+# still reachable through a returned DataFrame is ever dropped within
+# one correctness/bench sweep rep.
+_ACTIVE_SINKS: list = []
+_MAX_LIVE_SINKS = 24
+
 
 def _stream_dir_for(sf_dir: str) -> str:
     """The file stream source wants a directory of files; the fixture
@@ -245,4 +253,18 @@ def run_stream_to_memory(
     finally:
         if q.isActive:
             q.stop()
+    # Memory-sink tables hold their full result rows in driver memory
+    # and every call mints a fresh name, so a long sweep (bench: every
+    # streaming query x 3 reps on one session) would accumulate them
+    # without bound. Keep a window of the most recent sinks (wide
+    # enough that every registered streaming query's CURRENT table
+    # stays live) and drop the oldest beyond it — the previous rep's
+    # tables, whose DataFrames are no longer reachable.
+    _ACTIVE_SINKS.append((spark, name))
+    while len(_ACTIVE_SINKS) > _MAX_LIVE_SINKS:
+        old_spark, old_name = _ACTIVE_SINKS.pop(0)
+        try:
+            old_spark.catalog.dropTempView(old_name)
+        except Exception:
+            pass  # session already stopped
     return spark.table(name)
