@@ -140,6 +140,11 @@ def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.select("user_id", "event_id", "event_type",
                   F.unix_micros("ts").alias("ts_us"))
+        # One explicit user_id exchange serves BOTH windows:
+        # HashPartitioning(user_id) satisfies the (user_id, event_type)
+        # clustering of the first window too, so the planner adds no
+        # second shuffle (audited: 2 Exchanges -> 1).
+        .repartition(F.col("user_id"))
         .withColumn(
             "first_seen",
             (

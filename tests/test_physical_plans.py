@@ -229,3 +229,61 @@ def test_rank_consumers_no_fact_single_partition(spark, queries):
             # the only SinglePartition consumers allowed are the tiny
             # offsets windows whose input came from a groupBy on __pid
             assert "ENSURE_REQUIREMENTS" in head, (name, head)
+
+
+def test_spatial_grid_join_is_hash_not_nlj(spark, queries):
+    """The spatial join must be the bucketed equi form — a raw
+    distance theta join would plan as BroadcastNestedLoop and die at
+    scale."""
+    plan = plan_of(queries["join_spatial_grid"](spark, SF_SMOKE), "simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_interval_overlap_join_is_hash_not_nlj(spark, queries):
+    plan = plan_of(queries["join_interval_overlap"](spark, SF_SMOKE), "simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_running_distinct_single_exchange(spark, queries):
+    """Both window passes (first-occurrence flag, running sum) must
+    ride ONE user_id exchange — HashPartitioning(user_id) satisfies
+    the (user_id, event_type) clustering of the first window."""
+    plan = plan_of(queries["window_running_distinct"](spark, SF_SMOKE), "simple")
+    assert plan.count("Exchange") == 1
+
+
+def test_kmeans_broadcasts_centroids(spark, queries):
+    """Every Lloyd iteration joins the corpus against a k x d centroid
+    relation — all three joins must be broadcasts; the corpus is never
+    sort-merge-shuffled against centroids."""
+    plan = plan_of(queries["embed_kmeans_lloyd"](spark, SF_SMOKE), "simple")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_gram_matrix_single_python_stage(spark, queries):
+    """One MapInPandas computes all partition-local matmul partials;
+    only d(d+1)/2 rows per partition reach the shuffle."""
+    plan = plan_of(queries["embed_gram_matrix"](spark, SF_SMOKE), "simple")
+    assert plan.count("MapInPandas") == 1
+    assert plan.count("Exchange") == 1
+
+
+def test_snapshot_diff_single_outer_join(spark, queries):
+    plan = plan_of(queries["io_snapshot_diff"](spark, SF_SMOKE), "simple")
+    assert "FullOuter" in plan
+    assert plan.count("Join") == 1
+
+
+def test_orc_roundtrip_scans_orc(spark, queries):
+    plan = plan_of(queries["io_orc_roundtrip"](spark, SF_SMOKE), "simple")
+    assert "orc" in plan.lower()
+
+
+def test_product_quantize_broadcasts_codebook(spark, queries):
+    plan = plan_of(queries["sim_product_quantize"](spark, SF_SMOKE), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
