@@ -233,12 +233,17 @@ def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # over the fact, so no second hashpartitioning(pid) shuffle. The
     # global rank is exact for ANY sampled range boundaries because
     # total order = (partition order, within-partition sort).
-    numbered = (
+    numbered = track_persist(
         orders.repartitionByRange(parts, "price_cents", "o_orderkey")
         .sortWithinPartitions("price_cents", "o_orderkey")
         .withColumn("mid", F.monotonically_increasing_id())
         .withColumn("pid", F.expr("CAST(mid DIV 8589934592 AS INT)"))  # id >> 33
         .withColumn("local_rn", F.expr("mid % 8589934592 + 1"))
+        # Same correctness fence as operators.library.global_rank: the
+        # offsets aggregate and the join both consume this relation,
+        # and two executions of the SAMPLED range shuffle may draw
+        # different boundaries (observed divergence with cached inputs
+        # under AQE). The persist pins one materialization.
     )
     # per-partition row counts -> broadcastable offsets (<= #partitions
     # rows; the SinglePartition window below runs on that bounded side)
