@@ -252,13 +252,15 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     result = run_stream_to_memory(joined, "append")
     # Cut both engines at (final watermark - margin): bounded scalar
-    # from the batch copy of the same fixture.
-    wm_us = (
+    # from the batch copy of the same fixture. An empty/cold-start
+    # source has no max timestamp — nothing can have emitted, so any
+    # cutoff works; 0 keeps the filter well-typed.
+    max_ts = (
         load_table(spark, sf_dir, "events")
         .agg(F.max(F.unix_micros("ts")))
         .collect()[0][0]
-        - _SSLO_WM_MIN * 60 * 1_000_000
     )
+    wm_us = (max_ts or 0) - _SSLO_WM_MIN * 60 * 1_000_000
     return result.where(F.col("purchase_ts_us") <= F.lit(wm_us - _SSLO_MARGIN_US))
 
 

@@ -143,11 +143,21 @@ def test_pack_sequences_prefix_sum_plan(spark, queries):
     assert len(heavy) <= 1  # the offsets window, #splits x #langs rows
 
 
+def _drop_rank_caches(spark):
+    """The rank correctness fence persists the numbered relation; a
+    prior test may have left it cached, which would make explain()
+    show InMemoryTableScan instead of the shape under audit."""
+    from boat_etl_pyspark_spark.plans import release_caches
+
+    release_caches(spark)
+
+
 def test_equidepth_rank_is_distributed(spark, queries):
     """The exact global rank must be the range-partition + broadcast-
     offsets prefix sum. A SinglePartition exchange may appear only on
     the bounded per-partition-counts side (<= #partitions rows), never
     on the fact stream: the fact-side window is partitioned by pid."""
+    _drop_rank_caches(spark)
     plan = plan_of(queries["agg_equidepth_histogram"](spark, SF_SMOKE), "simple")
     assert "rangepartitioning(price_cents" in plan
     assert "BroadcastExchange" in plan  # tiny offsets table
@@ -199,6 +209,7 @@ def test_exact_median_single_pass_plan(spark, queries):
     """The per-status median must be ONE rank pass over the fact with
     the (pid, group) stats broadcast back — no per-group driver loop
     (the round-3 form), no fact-side SinglePartition exchange."""
+    _drop_rank_caches(spark)
     plan = plan_of(queries["agg_exact_median_distributed"](spark, SF_SMOKE), "simple")
     assert "rangepartitioning(o_orderstatus" in plan  # grouped range partition
     assert "monotonically_increasing_id" in plan
@@ -216,6 +227,7 @@ def test_rank_consumers_no_fact_single_partition(spark, queries):
     """All three global_rank consumers: a SinglePartition exchange may
     only ever carry the bounded per-partition stats relation, never the
     fact stream (the shape that dies first at 100x)."""
+    _drop_rank_caches(spark)
     for name in (
         "agg_equidepth_histogram",
         "agg_exact_median_distributed",
