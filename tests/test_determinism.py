@@ -47,3 +47,42 @@ def test_identical_results_across_parallelism(spark, name):
         return sorted(map(tuple, rows))
 
     assert run(3) == run(29), f"{name} is partitioning-dependent"
+
+
+# Round-4 additions whose numeric paths are rank-, quantization- or
+# partition-partial-based. These persist intermediates (the rank
+# correctness fence, the MAD med/dev tables), and Spark's CacheManager
+# matches plans independently of shuffle width — so caches are
+# RELEASED before each run to force a genuine recompute at the new
+# parallelism.
+RANK_QUERIES = [
+    "anomaly_mad_outliers",
+    "embed_kmeans_lloyd",
+    "embed_gram_matrix",
+    "text_bigram_rarity",
+    "sim_product_quantize",
+    "ts_ohlc_bars",
+    "graph_hierarchy_rollup",
+]
+
+
+@pytest.mark.parametrize("name", RANK_QUERIES)
+def test_round4_identical_results_across_parallelism(spark, name):
+    import __spark_entry__ as m
+    from boat_etl_pyspark_spark.plans import release_caches
+
+    q = m._QUERIES[name]
+
+    def run(partitions: int):
+        release_caches(spark)
+        spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
+        try:
+            rows = q(spark, SF_SMOKE).collect()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+        return sorted(map(tuple, rows))
+
+    try:
+        assert run(3) == run(29), f"{name} is partitioning-dependent"
+    finally:
+        release_caches(spark)
