@@ -328,3 +328,112 @@ def salted_join(
     )
     cond = (l_s[left_key] == r_s[right_key]) & (l_s["__salt"] == r_s["__salt"])
     return l_s.join(r_s, cond).drop("__salt")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_bounds: tuple[str, str],
+    right_bounds: tuple[str, str],
+    bucket: int,
+) -> DataFrame:
+    """Overlap join between two interval sets sharing equi-keys
+    ``on``: returns left ⋈ right where the [start, end] intervals
+    (inclusive, same units) intersect. A raw theta join would plan as
+    a nested loop; this explodes each interval into the fixed-width
+    ``bucket`` ids it covers, equi-joins on (keys..., bucket), applies
+    the exact predicate, and dedups the multi-bucket matches — the
+    join stays hash-partitioned at any scale. Pick ``bucket`` near
+    the typical interval length: the explode factor is
+    len/bucket + 1, and a bucket far smaller than the intervals
+    multiplies rows without tightening the candidates."""
+    ls, le = left_bounds
+    rs, re_ = right_bounds
+    lx = left.withColumn(
+        "__bkt", F.explode(F.expr(f"sequence({ls} DIV {bucket}, {le} DIV {bucket})"))
+    )
+    rx = right.withColumn(
+        "__bkt", F.explode(F.expr(f"sequence({rs} DIV {bucket}, {re_} DIV {bucket})"))
+    )
+    return (
+        lx.join(rx, [*on, "__bkt"])
+        .where((F.col(ls) <= F.col(re_)) & (F.col(rs) <= F.col(le)))
+        .drop("__bkt")
+        .distinct()
+    )
+
+
+def grid_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_xy: tuple[str, str],
+    right_xy: tuple[str, str],
+    radius: int,
+    cell: int | None = None,
+) -> DataFrame:
+    """Proximity join: every (left, right) pair within Chebyshev
+    distance ``radius`` on integer coordinates. The scalable form of
+    a spatial theta join: the RIGHT side (make it the smaller one)
+    explodes to its 3x3 neighbor cells, the join is equi on the cell
+    id, and the exact distance predicate filters. With
+    ``cell == radius`` (the default) the 3x3 neighborhood provably
+    covers every qualifying pair — the same shape as geohash/S2
+    bucket joins. Cell ids pack as x_cell * 2^32 + y_cell offset by
+    2^16 cells, collision-free for coordinates within +-2^15 cells."""
+    cell = cell or radius
+    lx, ly = left_xy
+    rx, ry = right_xy
+    off = 1 << 16
+    lcell = left.withColumn(
+        "__cell",
+        F.expr(f"({lx} DIV {cell} + {off}) * 4294967296 + ({ly} DIV {cell} + {off})"),
+    )
+    rcell = (
+        right.withColumn("__dx", F.explode(F.expr("sequence(-1, 1)")))
+        .withColumn("__dy", F.explode(F.expr("sequence(-1, 1)")))
+        .withColumn(
+            "__cell",
+            F.expr(
+                f"({rx} DIV {cell} + __dx + {off}) * 4294967296"
+                f" + ({ry} DIV {cell} + __dy + {off})"
+            ),
+        )
+        .drop("__dx", "__dy")
+    )
+    return (
+        lcell.join(rcell, "__cell")
+        .where(
+            (F.abs(F.col(lx) - F.col(rx)) <= radius)
+            & (F.abs(F.col(ly) - F.col(ry)) <= radius)
+        )
+        .drop("__cell")
+        .distinct()
+    )
+
+
+def running_distinct(
+    df: DataFrame,
+    partition_by: str,
+    distinct_col: str,
+    order_by: list[str],
+    out_col: str = "n_distinct",
+) -> DataFrame:
+    """Running COUNT(DISTINCT distinct_col) per ``partition_by`` group
+    in ``order_by`` order — the associative decomposition (first-
+    occurrence flag + running sum) of the window aggregate Spark does
+    not support. One explicit exchange on the group key serves both
+    window passes (HashPartitioning on the group satisfies the
+    (group, distinct) clustering of the flag window too)."""
+    w_first = Window.partitionBy(partition_by, distinct_col).orderBy(*order_by)
+    w_run = (
+        Window.partitionBy(partition_by)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        df.repartition(F.col(partition_by))
+        .withColumn("__first", (F.row_number().over(w_first) == 1).cast("long"))
+        .withColumn(out_col, F.sum("__first").over(w_run))
+        .drop("__first")
+    )

@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.numeric import cents
-from ..operators.library import global_rank
+from ..operators.library import global_rank, interval_overlap_join
 from ..sources.readers import load_table
 from . import track_persist
 
@@ -427,26 +427,13 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = intervals("view", "view_day").withColumnsRenamed(
         {"s_us": "vs_us", "e_us": "ve_us"}
     )
-    ax = a.withColumn(
-        "bucket",
-        F.explode(F.expr(f"sequence(ps_us DIV {_BUCKET_US}, pe_us DIV {_BUCKET_US})")),
-    )
-    bx = b.withColumn(
-        "bucket",
-        F.explode(F.expr(f"sequence(vs_us DIV {_BUCKET_US}, ve_us DIV {_BUCKET_US})")),
-    )
-    return (
-        ax.join(bx, ["user_id", "bucket"])
-        .where((F.col("ps_us") <= F.col("ve_us")) & (F.col("vs_us") <= F.col("pe_us")))
-        .select(
-            "user_id",
-            "purchase_day",
-            "view_day",
-            (
-                F.least("pe_us", "ve_us") - F.greatest("ps_us", "vs_us")
-            ).alias("overlap_us"),
-        )
-        .distinct()
+    return interval_overlap_join(
+        a, b, ["user_id"], ("ps_us", "pe_us"), ("vs_us", "ve_us"), _BUCKET_US
+    ).select(
+        "user_id",
+        "purchase_day",
+        "view_day",
+        (F.least("pe_us", "ve_us") - F.greatest("ps_us", "vs_us")).alias("overlap_us"),
     )
 
 

@@ -31,9 +31,10 @@ distincts, and product quantization.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.library import grid_join, interval_overlap_join, running_distinct
 from ..sources.readers import load_table
 from ..streaming.events import (
     read_events_stream,
@@ -71,33 +72,17 @@ def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier")
     cx, cy = _xy("c_custkey")
     sx, sy = _xy("s_suppkey")
-    c = cust.select(
-        "c_custkey", cx.alias("cx"), cy.alias("cy")
-    ).withColumn("cell", F.expr(f"(cx DIV {_RADIUS}) * 10000 + (cy DIV {_RADIUS})"))
-    s = (
-        supp.select("s_suppkey", sx.alias("sx"), sy.alias("sy"))
-        .withColumn("dx", F.explode(F.expr("sequence(-1, 1)")))
-        .withColumn("dy", F.explode(F.expr("sequence(-1, 1)")))
-        .withColumn(
-            "cell",
-            F.expr(f"(sx DIV {_RADIUS} + dx) * 10000 + (sy DIV {_RADIUS} + dy)"),
-        )
-    )
-    return (
-        s.join(c, "cell")
-        .where(
-            (F.abs(F.col("cx") - F.col("sx")) <= _RADIUS)
-            & (F.abs(F.col("cy") - F.col("sy")) <= _RADIUS)
-        )
-        .select(
-            "s_suppkey",
-            "c_custkey",
-            F.greatest(
-                F.abs(F.col("cx") - F.col("sx")),
-                F.abs(F.col("cy") - F.col("sy")),
-            ).alias("chebyshev_dist"),
-        )
-        .distinct()
+    c = cust.select("c_custkey", cx.alias("cx"), cy.alias("cy"))
+    s = supp.select("s_suppkey", sx.alias("sx"), sy.alias("sy"))
+    return grid_join(
+        c, s, ("cx", "cy"), ("sx", "sy"), radius=_RADIUS
+    ).select(
+        "s_suppkey",
+        "c_custkey",
+        F.greatest(
+            F.abs(F.col("cx") - F.col("sx")),
+            F.abs(F.col("cy") - F.col("sy")),
+        ).alias("chebyshev_dist"),
     )
 
 
@@ -137,34 +122,14 @@ def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     running-sum the flags — needs one exchange on user_id and two
     codegen'd window passes."""
     ev = load_table(spark, sf_dir, "events")
-    return (
+    return running_distinct(
         ev.select("user_id", "event_id", "event_type",
-                  F.unix_micros("ts").alias("ts_us"))
-        # One explicit user_id exchange serves BOTH windows:
-        # HashPartitioning(user_id) satisfies the (user_id, event_type)
-        # clustering of the first window too, so the planner adds no
-        # second shuffle (audited: 2 Exchanges -> 1).
-        .repartition(F.col("user_id"))
-        .withColumn(
-            "first_seen",
-            (
-                F.row_number().over(
-                    Window.partitionBy("user_id", "event_type")
-                    .orderBy("ts_us", "event_id")
-                )
-                == 1
-            ).cast("long"),
-        )
-        .withColumn(
-            "n_distinct_types",
-            F.sum("first_seen").over(
-                Window.partitionBy("user_id")
-                .orderBy("ts_us", "event_id")
-                .rowsBetween(Window.unboundedPreceding, 0)
-            ),
-        )
-        .select("user_id", "event_id", "ts_us", "n_distinct_types")
-    )
+                  F.unix_micros("ts").alias("ts_us")),
+        partition_by="user_id",
+        distinct_col="event_type",
+        order_by=["ts_us", "event_id"],
+        out_col="n_distinct_types",
+    ).select("user_id", "event_id", "ts_us", "n_distinct_types")
 
 
 _RUNNING_DISTINCT_SQL = """

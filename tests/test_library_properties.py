@@ -171,3 +171,115 @@ def test_global_rank_cached_input_under_aqe(spark):
     finally:
         df.unpersist()
         release_caches(spark)
+
+
+_intervals = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),      # key
+        st.integers(min_value=0, max_value=500),    # start
+        st.integers(min_value=0, max_value=200),    # length
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_intervals, _intervals)
+def test_interval_overlap_join_equals_theta_join(spark, lrows, rrows):
+    from boat_etl_pyspark_spark.operators.library import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [(k, i, s, s + ln) for i, (k, s, ln) in enumerate(lrows)],
+        "k long, lid long, ls long, le long",
+    )
+    right = spark.createDataFrame(
+        [(k, i, s, s + ln) for i, (k, s, ln) in enumerate(rrows)],
+        "k long, rid long, rs long, re long",
+    )
+    got = {
+        (r["lid"], r["rid"])
+        for r in interval_overlap_join(
+            left, right, ["k"], ("ls", "le"), ("rs", "re"), bucket=64
+        ).collect()
+    }
+    want = {
+        (lid, rid)
+        for i, (lk, lst, lln) in enumerate(lrows)
+        for j, (rk, rst, rln) in enumerate(rrows)
+        for lid, rid in [(i, j)]
+        if lk == rk and lst <= rst + rln and rst <= lst + lln
+    }
+    assert got == want
+
+
+_points = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=300),
+        st.integers(min_value=0, max_value=300),
+    ),
+    min_size=0,
+    max_size=20,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_points, _points)
+def test_grid_join_equals_distance_theta_join(spark, lpts, rpts):
+    from boat_etl_pyspark_spark.operators.library import grid_join
+
+    radius = 30
+    left = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(lpts)], "lid long, lx long, ly long"
+    )
+    right = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(rpts)], "rid long, rx long, ry long"
+    )
+    got = {
+        (r["lid"], r["rid"])
+        for r in grid_join(
+            left, right, ("lx", "ly"), ("rx", "ry"), radius=radius
+        ).collect()
+    }
+    want = {
+        (i, j)
+        for i, (lx, ly) in enumerate(lpts)
+        for j, (rx, ry) in enumerate(rpts)
+        if abs(lx - rx) <= radius and abs(ly - ry) <= radius
+    }
+    assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_rows)
+def test_running_distinct_equals_python_scan(spark, rows):
+    from boat_etl_pyspark_spark.operators.library import running_distinct
+
+    df = spark.createDataFrame(
+        [(v % 3, i, str(g)) for i, (v, g) in enumerate(rows)],
+        "key long, ord long, val string",
+    )
+    got = {
+        (r["key"], r["ord"]): r["nd"]
+        for r in running_distinct(df, "key", "val", ["ord"], "nd").collect()
+    }
+    want = {}
+    by_key: dict = {}
+    for i, (v, g) in sorted(enumerate(rows), key=lambda t: t[0]):
+        k = v % 3
+        seen = by_key.setdefault(k, set())
+        seen.add(str(g))
+        want[(k, i)] = len(seen)
+    assert got == want
