@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.library import grid_join, interval_overlap_join, running_distinct
+from ..operators.library import grid_join, running_distinct
 from ..sources.readers import load_table
 from ..streaming.events import (
     read_events_stream,
