@@ -45,3 +45,29 @@ def test_release_caches_clears_tracked_persists(spark):
     # still correct after release (pure recompute caches)
     assert textdedup.dedup_minhash_lsh(spark, sf).count() >= 0
     release_caches(spark)
+
+
+def test_release_caches_clears_rank_fence(spark):
+    """The global_rank correctness-fence persists must drain through
+    release_caches, and the primitive must stay correct after."""
+    from pyspark.sql import functions as F
+
+    from boat_etl_pyspark_spark.operators.library import (
+        _RANK_PERSISTS,
+        global_rank,
+    )
+    from boat_etl_pyspark_spark.plans import release_caches
+
+    release_caches(spark)
+    df = spark.range(0, 500).select(
+        ((F.col("id") * 2654435761) % 997).alias("v"), "id"
+    )
+    before = len(_RANK_PERSISTS)
+    ranked = global_rank(df, ["v", "id"], partitions=4)
+    n = ranked.count()
+    assert n == 500
+    assert len(_RANK_PERSISTS) == before + 1
+    assert release_caches(spark) >= 1
+    assert not _RANK_PERSISTS
+    assert global_rank(df, ["v", "id"], partitions=4).count() == 500
+    release_caches(spark)
