@@ -37,6 +37,7 @@ from boat_etl_pyspark_spark.plans import (
     relational10,
     relational11,
     relational12,
+    relational13,
     io_plans2,
     mlprep,
     sessionize,
@@ -75,6 +76,7 @@ _PLAN_MODULES = (
     io_plans2,
     relational11,
     relational12,
+    relational13,
 )
 
 _QUERIES, _ORACLE = collect_registries(*_PLAN_MODULES)
@@ -82,14 +84,17 @@ _QUERIES, _ORACLE = collect_registries(*_PLAN_MODULES)
 # The driver's correctness gate checks the FIRST 50 registry entries in
 # order. After round 3 every one of the 140 round-3 queries has a green
 # driver row (r01: 50, r02: 49 more, r03: the final 41 + 9 re-confirms).
-# Round 4 front-loads the 21 NEW queries (never driver-checked), then
+# Round 4 front-loads the 24 NEW queries (never driver-checked), then
 # the stalest greens: the 8 streaming queries whose last row (r02)
 # predates the events-fixture regeneration, the exact-median query
-# whose plan was rewritten single-pass after the r03 bank, and 20 of
-# the 41 queries whose latest row is r01 (21 + 8 + 1 + 20 = 50; the
-# remaining 21 r01-era greens rotate in next round).
+# whose plan was rewritten single-pass after the r03 bank, and 17 of
+# the 41 queries whose latest row is r01 (24 + 8 + 1 + 17 = 50; the
+# remaining 24 r01-era greens rotate in next round).
 _CHECK_FIRST = (
-    # --- new in round 4, never driver-checked (21) ---
+    # --- new in round 4, never driver-checked (24) ---
+    "join_point_in_time",
+    "text_source_divergence",
+    "curate_dataset_cards",
     "ts_ohlc_bars",
     "graph_hierarchy_rollup",
     "events_pattern_vshape",
@@ -122,7 +127,7 @@ _CHECK_FIRST = (
     "stream_static_value_buckets",
     # --- plan rewritten after the r03 bank (1) ---
     "agg_exact_median_distributed",
-    # --- latest driver row is r01 (20 of 41) ---
+    # --- latest driver row is r01 (17 of 41) ---
     "curate_corpus_upsert",
     "curate_contamination_check",
     "curate_quality_filter",
@@ -140,10 +145,6 @@ _CHECK_FIRST = (
     "join_full_outer_nation_presence",
     "agg_distinct_by_status",
     "agg_rollup_nation_segment",
-    "agg_cube_flag_status",
-    "agg_grouping_sets",
-    "agg_price_moments",
-    "agg_qty_price_correlation",
 )
 
 

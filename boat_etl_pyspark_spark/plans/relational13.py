@@ -1,0 +1,271 @@
+"""Round-4 batch 4: point-in-time dimension joins, corpus divergence,
+and dataset cards.
+
+  * ``join_point_in_time`` — the PIT (as-of) dimension join behind
+    every leakage-free feature store and SCD2 lookup: each order is
+    joined to the customer's tier AS OF the day before the order
+    (states derived from the customer's own prior order count). Built
+    on the library ``asof_join`` — one tagged-union window pass, never
+    an N×M interval expansion. DuckDB's native ASOF JOIN is the
+    oracle, so the semantics are checked against an independent
+    implementation of the same concept.
+  * ``text_source_divergence`` — per-language total-variation distance
+    (integer ppm) between the language's token distribution and the
+    whole-corpus distribution: the drift/skew statistic a corpus
+    mixture monitor tracks. Probabilities are floored integer ppm so
+    the statistic is associative and engine-exact.
+  * ``curate_dataset_cards`` — the per-source "dataset card" rollup
+    (docs, tokens, chars, language spread, dominant language) that
+    heads every curated-corpus release; one aggregate pass plus a
+    deterministic max-struct for the dominant language.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.numeric import cents
+from ..operators.library import asof_join
+from ..sources.readers import load_table
+
+# ---------------------------------------------------------------------------
+# Point-in-time dimension join
+# ---------------------------------------------------------------------------
+
+_DAY_US = 86_400 * 1_000_000
+
+
+def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each order joined to its customer's tier AS OF the day before
+    the order date. The dimension is an SCD2-style state series
+    derived from the data itself: after a customer's n-th order day
+    their tier is min(n, 5), effective the NEXT day (valid_from =
+    order day + 1), so an order never sees state created by itself —
+    the leakage rule every feature-store PIT join enforces. First
+    orders match nothing and land in tier 0. One union-window pass
+    (library asof_join); the oracle is DuckDB's native ASOF JOIN."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("ts_us"),
+        cents(F.col("o_totalprice")).alias("price_cents"),
+    )
+    per_day = (
+        orders.groupBy("o_custkey", "ts_us")
+        .agg(F.count("*").alias("n_day"))
+        .withColumn(
+            "cum",
+            F.sum("n_day").over(
+                Window.partitionBy("o_custkey")
+                .orderBy("ts_us")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    dim = per_day.select(
+        "o_custkey",
+        (F.col("ts_us") + F.lit(_DAY_US)).alias("valid_from_us"),
+        F.least(F.col("cum"), F.lit(5)).cast("bigint").alias("tier"),
+    )
+    pit = asof_join(
+        orders,
+        dim,
+        by="o_custkey",
+        left_ts="ts_us",
+        right_ts="valid_from_us",
+        value_cols=["tier"],
+    )
+    return (
+        pit.select(
+            F.coalesce("asof_tier", F.lit(0)).alias("tier_as_of_order"),
+            "price_cents",
+        )
+        .groupBy("tier_as_of_order")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("price_cents").alias("revenue_cents"),
+        )
+    )
+
+
+_PIT_SQL = f"""
+WITH o AS (
+  SELECT o_orderkey, o_custkey,
+         epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS ts_us,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+  FROM orders
+), per_day AS (
+  SELECT o_custkey, ts_us, COUNT(*) AS n_day
+  FROM o GROUP BY 1, 2
+), dim AS (
+  SELECT o_custkey,
+         ts_us + {_DAY_US} AS valid_from_us,
+         CAST(LEAST(SUM(n_day) OVER (PARTITION BY o_custkey ORDER BY ts_us
+                    ROWS UNBOUNDED PRECEDING), 5) AS BIGINT) AS tier
+  FROM per_day
+)
+SELECT COALESCE(dim.tier, 0) AS tier_as_of_order,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(o.price_cents) AS BIGINT) AS revenue_cents
+FROM o
+ASOF LEFT JOIN dim
+  ON o.o_custkey = dim.o_custkey AND dim.valid_from_us <= o.ts_us
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-language corpus divergence (total variation, integer ppm)
+# ---------------------------------------------------------------------------
+
+_DIVERGENCE_SPARK = """
+WITH tok AS (
+  SELECT lang, explode(filter(split(text, ' '), x -> x != '')) AS t
+  FROM {docs}
+), lang_counts AS (
+  SELECT lang, t, COUNT(*) AS c FROM tok GROUP BY 1, 2
+), lang_totals AS (
+  SELECT lang, SUM(c) AS n FROM lang_counts GROUP BY 1
+), corpus_counts AS (
+  SELECT t, SUM(c) AS cc FROM lang_counts GROUP BY 1
+), corpus_total AS (
+  SELECT SUM(cc) AS nn FROM corpus_counts
+), joined AS (
+  SELECT lt.lang,
+         coalesce(lc.c, 0) * 1000000 DIV lt.n AS p_ppm,
+         cc.cc * 1000000 DIV ct.nn AS q_ppm
+  FROM corpus_counts cc
+  CROSS JOIN corpus_total ct
+  CROSS JOIN lang_totals lt
+  LEFT JOIN lang_counts lc ON lc.t = cc.t AND lc.lang = lt.lang
+)
+SELECT lang,
+       CAST(SUM(abs(p_ppm - q_ppm)) DIV 2 AS BIGINT) AS tv_vs_corpus_ppm,
+       CAST(SUM(CASE WHEN p_ppm > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS shared_vocab,
+       CAST(COUNT(*) AS BIGINT) AS corpus_vocab
+FROM joined
+GROUP BY lang
+"""
+
+_DIVERGENCE_DUCK = """
+WITH tok AS (
+  SELECT lang, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+  FROM documents
+), lang_counts AS (
+  SELECT lang, t, COUNT(*) AS c FROM tok GROUP BY 1, 2
+), lang_totals AS (
+  SELECT lang, CAST(SUM(c) AS BIGINT) AS n FROM lang_counts GROUP BY 1
+), corpus_counts AS (
+  SELECT t, CAST(SUM(c) AS BIGINT) AS cc FROM lang_counts GROUP BY 1
+), corpus_total AS (
+  SELECT CAST(SUM(cc) AS BIGINT) AS nn FROM corpus_counts
+), joined AS (
+  SELECT lt.lang,
+         COALESCE(lc.c, 0) * 1000000 // lt.n AS p_ppm,
+         cc.cc * 1000000 // ct.nn AS q_ppm
+  FROM corpus_counts cc
+  CROSS JOIN corpus_total ct
+  CROSS JOIN lang_totals lt
+  LEFT JOIN lang_counts lc ON lc.t = cc.t AND lc.lang = lt.lang
+)
+SELECT lang,
+       CAST(SUM(abs(p_ppm - q_ppm)) // 2 AS BIGINT) AS tv_vs_corpus_ppm,
+       CAST(SUM(CASE WHEN p_ppm > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS shared_vocab,
+       CAST(COUNT(*) AS BIGINT) AS corpus_vocab
+FROM joined
+GROUP BY lang
+"""
+
+
+def text_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total-variation distance (ppm) of each language's token
+    distribution from the whole-corpus distribution, over the corpus
+    vocabulary. Floored integer ppm keeps the sum associative; the
+    per-language expansion is |vocab| x |langs| rows of three BIGINTs
+    — bounded by vocabulary, not corpus size."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("__docs_div")
+    return spark.sql(_DIVERGENCE_SPARK.format(docs="__docs_div"))
+
+
+# ---------------------------------------------------------------------------
+# Dataset cards
+# ---------------------------------------------------------------------------
+
+
+def curate_dataset_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source release card: document/token/char budgets, language
+    spread, and the dominant language with its share (integer ppm).
+    The dominant language is a deterministic max-of-struct fold over
+    the per-(source, lang) counts — no window, no second shuffle over
+    documents."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source",
+        "lang",
+        "n_chars",
+        F.size(F.expr("filter(split(text, ' '), x -> x != '')")).alias("n_toks"),
+    )
+    per_lang = docs.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").alias("n_tokens"),
+        F.sum("n_chars").alias("n_chars"),
+    )
+    return (
+        per_lang.groupBy("source")
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum("n_chars").alias("n_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.max(F.struct("n_docs", "lang")).alias("__top"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "n_chars",
+            "n_langs",
+            F.col("__top.lang").alias("top_lang"),
+            F.expr("1000000 * __top.n_docs DIV n_docs").alias("top_lang_ppm"),
+        )
+    )
+
+
+_CARDS_SQL = """
+WITH docs AS (
+  SELECT source, lang, n_chars,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_toks
+  FROM documents
+), per_lang AS (
+  SELECT source, lang,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+         CAST(SUM(n_chars) AS BIGINT) AS n_chars
+  FROM docs GROUP BY 1, 2
+)
+SELECT source,
+       CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       MAX(struct_pack(n_docs := n_docs, lang := lang)).lang AS top_lang,
+       CAST(1000000 * MAX(struct_pack(n_docs := n_docs, lang := lang)).n_docs
+            // SUM(n_docs) AS BIGINT) AS top_lang_ppm
+FROM per_lang
+GROUP BY source
+"""
+
+
+QUERIES = {
+    "join_point_in_time": join_point_in_time,
+    "text_source_divergence": text_source_divergence,
+    "curate_dataset_cards": curate_dataset_cards,
+}
+
+ORACLE = {
+    "join_point_in_time": _PIT_SQL,
+    "text_source_divergence": _DIVERGENCE_DUCK,
+    "curate_dataset_cards": _CARDS_SQL,
+}
