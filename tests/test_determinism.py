@@ -63,6 +63,9 @@ RANK_QUERIES = [
     "sim_product_quantize",
     "ts_ohlc_bars",
     "graph_hierarchy_rollup",
+    "join_point_in_time",
+    "text_source_divergence",
+    "curate_dataset_cards",
 ]
 
 
