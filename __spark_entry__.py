@@ -84,14 +84,15 @@ _QUERIES, _ORACLE = collect_registries(*_PLAN_MODULES)
 # The driver's correctness gate checks the FIRST 50 registry entries in
 # order. After round 3 every one of the 140 round-3 queries has a green
 # driver row (r01: 50, r02: 49 more, r03: the final 41 + 9 re-confirms).
-# Round 4 front-loads the 24 NEW queries (never driver-checked), then
+# Round 4 front-loads the 25 NEW queries (never driver-checked), then
 # the stalest greens: the 8 streaming queries whose last row (r02)
 # predates the events-fixture regeneration, the exact-median query
-# whose plan was rewritten single-pass after the r03 bank, and 17 of
-# the 41 queries whose latest row is r01 (24 + 8 + 1 + 17 = 50; the
-# remaining 24 r01-era greens rotate in next round).
+# whose plan was rewritten single-pass after the r03 bank, and 16 of
+# the 41 queries whose latest row is r01 (25 + 8 + 1 + 16 = 50; the
+# remaining 25 r01-era greens rotate in next round).
 _CHECK_FIRST = (
-    # --- new in round 4, never driver-checked (24) ---
+    # --- new in round 4, never driver-checked (25) ---
+    "agg_histogram_quantile_merge",
     "join_point_in_time",
     "text_source_divergence",
     "curate_dataset_cards",
@@ -127,7 +128,7 @@ _CHECK_FIRST = (
     "stream_static_value_buckets",
     # --- plan rewritten after the r03 bank (1) ---
     "agg_exact_median_distributed",
-    # --- latest driver row is r01 (17 of 41) ---
+    # --- latest driver row is r01 (16 of 41) ---
     "curate_corpus_upsert",
     "curate_contamination_check",
     "curate_quality_filter",
@@ -144,7 +145,6 @@ _CHECK_FIRST = (
     "join_asof_purchase_last_view",
     "join_full_outer_nation_presence",
     "agg_distinct_by_status",
-    "agg_rollup_nation_segment",
 )
 
 

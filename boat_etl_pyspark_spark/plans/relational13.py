@@ -269,3 +269,117 @@ ORACLE = {
     "text_source_divergence": _DIVERGENCE_DUCK,
     "curate_dataset_cards": _CARDS_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# Mergeable histogram quantiles (sketch-style partial aggregation)
+# ---------------------------------------------------------------------------
+
+_HQ_WIDTH = 500_000  # bucket width in cents ($5k)
+
+_HQ_SPARK = f"""
+WITH o AS (
+  SELECT date_trunc('quarter', o_orderdate) AS q,
+         date_trunc('month', o_orderdate) AS m,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS p
+  FROM {{orders}}
+), partials AS (
+  SELECT q, m, p DIV {_HQ_WIDTH} AS b, COUNT(*) AS c
+  FROM o GROUP BY 1, 2, 3
+), merged AS (
+  SELECT q, b, SUM(c) AS c FROM partials GROUP BY 1, 2
+), cum AS (
+  SELECT q, b, c,
+         SUM(c) OVER (PARTITION BY q ORDER BY b) AS cum,
+         SUM(c) OVER (PARTITION BY q) AS n
+  FROM merged
+), est AS (
+  SELECT q, n,
+         MAX(CASE WHEN rn50 = 1 THEN
+           b * {_HQ_WIDTH} + ((n * 50 + 99) DIV 100 - (cum - c)) * {_HQ_WIDTH} DIV c
+         END) AS est_p50_cents,
+         MAX(CASE WHEN rn90 = 1 THEN
+           b * {_HQ_WIDTH} + ((n * 90 + 99) DIV 100 - (cum - c)) * {_HQ_WIDTH} DIV c
+         END) AS est_p90_cents,
+         MAX(nb) AS n_buckets
+  FROM (
+    SELECT *,
+           CASE WHEN cum >= (n * 50 + 99) DIV 100 THEN
+             row_number() OVER (PARTITION BY q, cum >= (n * 50 + 99) DIV 100
+                                ORDER BY b) END AS rn50,
+           CASE WHEN cum >= (n * 90 + 99) DIV 100 THEN
+             row_number() OVER (PARTITION BY q, cum >= (n * 90 + 99) DIV 100
+                                ORDER BY b) END AS rn90,
+           COUNT(*) OVER (PARTITION BY q) AS nb
+    FROM cum
+  )
+  GROUP BY q, n
+)
+SELECT date_format(q, 'yyyy-MM') AS quarter,
+       CAST(n AS BIGINT) AS n_orders,
+       CAST(est_p50_cents AS BIGINT) AS est_p50_cents,
+       CAST(est_p90_cents AS BIGINT) AS est_p90_cents,
+       CAST(n_buckets AS BIGINT) AS n_buckets
+FROM est
+"""
+
+
+def agg_histogram_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quarterly price quantiles from MERGED per-month
+    equi-width histogram partials — the mergeable-sketch contract
+    (merge(hist(A), hist(B)) == hist(A ∪ B)) that lets a warehouse
+    maintain quantiles incrementally: each month contributes a
+    ≤#buckets-row partial, quarters merge partials without rescanning
+    months, and the p50/p90 estimates interpolate inside the covering
+    bucket in exact integer arithmetic. Unlike an opaque sketch, every
+    step is deterministic — so the oracle hash-checks the whole
+    computation, not just an error envelope."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("__orders_hq")
+    return spark.sql(_HQ_SPARK.format(orders="__orders_hq"))
+
+
+# DuckDB: same computation; // for integer division, strftime label.
+# The rn50x helper column is dropped implicitly (not selected).
+_HQ_DUCK = f"""
+WITH o AS (
+  SELECT date_trunc('quarter', o_orderdate) AS q,
+         date_trunc('month', o_orderdate) AS m,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS p
+  FROM orders
+), partials AS (
+  SELECT q, m, p // {_HQ_WIDTH} AS b, COUNT(*) AS c
+  FROM o GROUP BY 1, 2, 3
+), merged AS (
+  SELECT q, b, CAST(SUM(c) AS BIGINT) AS c FROM partials GROUP BY 1, 2
+), cum AS (
+  SELECT q, b, c,
+         CAST(SUM(c) OVER (PARTITION BY q ORDER BY b) AS BIGINT) AS cum,
+         CAST(SUM(c) OVER (PARTITION BY q) AS BIGINT) AS n
+  FROM merged
+), marked AS (
+  SELECT *,
+         CASE WHEN cum >= (n * 50 + 99) // 100 THEN
+           ROW_NUMBER() OVER (PARTITION BY q, cum >= (n * 50 + 99) // 100
+                              ORDER BY b) END AS rn50,
+         CASE WHEN cum >= (n * 90 + 99) // 100 THEN
+           ROW_NUMBER() OVER (PARTITION BY q, cum >= (n * 90 + 99) // 100
+                              ORDER BY b) END AS rn90,
+         COUNT(*) OVER (PARTITION BY q) AS nb
+  FROM cum
+)
+SELECT strftime(q, '%Y-%m') AS quarter,
+       CAST(MAX(n) AS BIGINT) AS n_orders,
+       CAST(MAX(CASE WHEN rn50 = 1 THEN
+         b * {_HQ_WIDTH} + ((n * 50 + 99) // 100 - (cum - c)) * {_HQ_WIDTH} // c
+       END) AS BIGINT) AS est_p50_cents,
+       CAST(MAX(CASE WHEN rn90 = 1 THEN
+         b * {_HQ_WIDTH} + ((n * 90 + 99) // 100 - (cum - c)) * {_HQ_WIDTH} // c
+       END) AS BIGINT) AS est_p90_cents,
+       CAST(MAX(nb) AS BIGINT) AS n_buckets
+FROM marked
+GROUP BY q
+"""
+
+
+QUERIES["agg_histogram_quantile_merge"] = agg_histogram_quantile_merge
+ORACLE["agg_histogram_quantile_merge"] = _HQ_DUCK
