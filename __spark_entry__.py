@@ -38,6 +38,7 @@ from boat_etl_pyspark_spark.plans import (
     relational11,
     relational12,
     relational13,
+    relational14,
     io_plans2,
     mlprep,
     sessionize,
@@ -77,6 +78,7 @@ _PLAN_MODULES = (
     relational11,
     relational12,
     relational13,
+    relational14,
 )
 
 _QUERIES, _ORACLE = collect_registries(*_PLAN_MODULES)
@@ -84,14 +86,16 @@ _QUERIES, _ORACLE = collect_registries(*_PLAN_MODULES)
 # The driver's correctness gate checks the FIRST 50 registry entries in
 # order. After round 3 every one of the 140 round-3 queries has a green
 # driver row (r01: 50, r02: 49 more, r03: the final 41 + 9 re-confirms).
-# Round 4 front-loads the 25 NEW queries (never driver-checked), then
+# Round 4 front-loads the 27 NEW queries (never driver-checked), then
 # the stalest greens: the 8 streaming queries whose last row (r02)
 # predates the events-fixture regeneration, the exact-median query
-# whose plan was rewritten single-pass after the r03 bank, and 16 of
-# the 41 queries whose latest row is r01 (25 + 8 + 1 + 16 = 50; the
-# remaining 25 r01-era greens rotate in next round).
+# whose plan was rewritten single-pass after the r03 bank, and 14 of
+# the 41 queries whose latest row is r01 (27 + 8 + 1 + 14 = 50; the
+# remaining 27 r01-era greens rotate in next round).
 _CHECK_FIRST = (
-    # --- new in round 4, never driver-checked (25) ---
+    # --- new in round 4, never driver-checked (27) ---
+    "join_hybrid_skew_split",
+    "curate_quality_filter_cascade",
     "agg_histogram_quantile_merge",
     "join_point_in_time",
     "text_source_divergence",
@@ -128,7 +132,7 @@ _CHECK_FIRST = (
     "stream_static_value_buckets",
     # --- plan rewritten after the r03 bank (1) ---
     "agg_exact_median_distributed",
-    # --- latest driver row is r01 (16 of 41) ---
+    # --- latest driver row is r01 (14 of 41) ---
     "curate_corpus_upsert",
     "curate_contamination_check",
     "curate_quality_filter",
@@ -143,8 +147,6 @@ _CHECK_FIRST = (
     "join_anti_dormant_customers",
     "join_range_value_buckets",
     "join_asof_purchase_last_view",
-    "join_full_outer_nation_presence",
-    "agg_distinct_by_status",
 )
 
 
