@@ -39,6 +39,8 @@ from boat_etl_pyspark_spark.plans import (
     relational12,
     relational13,
     relational14,
+    relational15,
+    textlm,
     io_plans2,
     mlprep,
     sessionize,
@@ -79,6 +81,8 @@ _PLAN_MODULES = (
     relational12,
     relational13,
     relational14,
+    textlm,
+    relational15,
 )
 
 _QUERIES, _ORACLE = collect_registries(*_PLAN_MODULES)
@@ -86,14 +90,23 @@ _QUERIES, _ORACLE = collect_registries(*_PLAN_MODULES)
 # The driver's correctness gate checks the FIRST 50 registry entries in
 # order. After round 3 every one of the 140 round-3 queries has a green
 # driver row (r01: 50, r02: 49 more, r03: the final 41 + 9 re-confirms).
-# Round 4 front-loads the 27 NEW queries (never driver-checked), then
+# Round 4 front-loads the 36 NEW queries (never driver-checked), then
 # the stalest greens: the 8 streaming queries whose last row (r02)
 # predates the events-fixture regeneration, the exact-median query
-# whose plan was rewritten single-pass after the r03 bank, and 14 of
-# the 41 queries whose latest row is r01 (27 + 8 + 1 + 14 = 50; the
-# remaining 27 r01-era greens rotate in next round).
+# whose plan was rewritten single-pass after the r03 bank, and 5 of
+# the 41 queries whose latest row is r01 (36 + 8 + 1 + 5 = 50; the
+# remaining r01-era greens rotate in next round).
 _CHECK_FIRST = (
-    # --- new in round 4, never driver-checked (27) ---
+    # --- new in round 4, never driver-checked (36) ---
+    "agg_linear_regression",
+    "agg_benford_profile",
+    "window_ewma_spend",
+    "events_ab_test_lift",
+    "embed_pca_power",
+    "text_unigram_surprisal",
+    "text_readability",
+    "text_boilerplate_strip",
+    "curate_importance_weights",
     "join_hybrid_skew_split",
     "curate_quality_filter_cascade",
     "agg_histogram_quantile_merge",
@@ -132,20 +145,11 @@ _CHECK_FIRST = (
     "stream_static_value_buckets",
     # --- plan rewritten after the r03 bank (1) ---
     "agg_exact_median_distributed",
-    # --- latest driver row is r01 (14 of 41) ---
+    # --- latest driver row is r01 (5 of 41) ---
     "curate_corpus_upsert",
     "curate_contamination_check",
-    "curate_quality_filter",
-    "curate_stratified_sample",
     "q1_pricing_summary",
-    "q2_cheapest_supplier_per_part",
-    "q3_shipping_priority",
-    "q4_priority_with_late_items",
-    "q5_region_revenue",
-    "join_left_order_counts",
     "join_semi_active_customers",
-    "join_anti_dormant_customers",
-    "join_range_value_buckets",
     "join_asof_purchase_last_view",
 )
 
