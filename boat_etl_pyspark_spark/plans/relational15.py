@@ -413,10 +413,18 @@ def embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation with integer max-abs renormalization — the
     MLlib-RowMatrix decomposition re-expressed declaratively. All
     intermediates are exact BIGINTs; only the final Rayleigh quotient
-    divides."""
-    mlprep.embed_gram_matrix(spark, sf_dir).createOrReplaceTempView(
-        "r15_pca_gram"
-    )
+    divides.
+
+    The 136-row gram result is persisted (via ``track_persist``, so
+    ``release_caches`` reclaims it): Spark does not common-subexpression
+    the DAG, and the matrix relation is referenced ~10 times across the
+    iterations — without the persist each reference would re-run the
+    corpus matmul (measured: 46 Python stages; with it: 1)."""
+    from . import track_persist
+
+    track_persist(
+        mlprep.embed_gram_matrix(spark, sf_dir).coalesce(1)
+    ).createOrReplaceTempView("r15_pca_gram")
     return spark.sql(
         _PCA_ITER_SPARK.format(gram="r15_pca_gram", iters=_PCA_ITERS)
     )

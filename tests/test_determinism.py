@@ -66,6 +66,13 @@ RANK_QUERIES = [
     "join_point_in_time",
     "text_source_divergence",
     "curate_dataset_cards",
+    # batch 6-7: fixed-point corpus scoring and closed-form statistics
+    "agg_linear_regression",
+    "window_ewma_spend",
+    "embed_pca_power",
+    "text_unigram_surprisal",
+    "text_boilerplate_strip",
+    "curate_importance_weights",
 ]
 
 

@@ -299,3 +299,49 @@ def test_product_quantize_broadcasts_codebook(spark, queries):
     plan = plan_of(queries["sim_product_quantize"](spark, SF_SMOKE), "simple")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_ewma_single_exchange(spark, queries):
+    """row_number, the partition count, and the final groupBy all ride
+    ONE o_custkey exchange — HashPartitioning(o_custkey) satisfies
+    every downstream requirement."""
+    plan = plan_of(queries["window_ewma_spend"](spark, SF_SMOKE), "simple")
+    assert plan.count("Exchange") == 1
+    assert "pow(" not in plan  # weights are bit shifts, not pow()
+
+
+def test_ols_prunes_and_partial_aggregates(spark, queries):
+    plan = plan_of(queries["agg_linear_regression"](spark, SF_SMOKE))
+    read_schema = plan.split("ReadSchema", 1)[1][:200]
+    # only the regression inputs are read from the 11-column table
+    assert "l_quantity" in read_schema and "l_extendedprice" in read_schema
+    assert "l_orderkey" not in read_schema and "l_shipdate" not in read_schema
+    # map-side partial moments before the one exchange
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_pca_power_reuses_persisted_gram(spark, queries):
+    """The corpus matmul must run once: every iteration's reference to
+    the gram relation reads the persisted 136-row result, not a fresh
+    MapInPandas over the embeddings."""
+    from boat_etl_pyspark_spark.plans import release_caches
+
+    try:
+        plan = plan_of(queries["embed_pca_power"](spark, SF_SMOKE), "simple")
+        assert "InMemoryTableScan" in plan
+    finally:
+        release_caches(spark)
+
+
+def test_boilerplate_strip_shuffles_hashes_for_frequency(spark, queries):
+    """The block-frequency aggregate groups on md5 keys; the corpus
+    text only flows through the per-document reassembly side."""
+    plan = plan_of(queries["text_boilerplate_strip"](spark, SF_SMOKE))
+    assert "md5" in plan
+
+
+def test_importance_weights_broadcasts_bucket_table(spark, queries):
+    """The 256-row log-ratio table must come in as a broadcast against
+    the (doc, bucket) counts — never a corpus-wide sort-merge."""
+    plan = plan_of(queries["curate_importance_weights"](spark, SF_SMOKE), "simple")
+    assert "BroadcastHashJoin" in plan
