@@ -40,6 +40,7 @@ from boat_etl_pyspark_spark.plans import (
     relational13,
     relational14,
     relational15,
+    relational16,
     textlm,
     io_plans2,
     mlprep,
@@ -83,6 +84,7 @@ _PLAN_MODULES = (
     relational14,
     textlm,
     relational15,
+    relational16,
 )
 
 _QUERIES, _ORACLE = collect_registries(*_PLAN_MODULES)
@@ -90,14 +92,18 @@ _QUERIES, _ORACLE = collect_registries(*_PLAN_MODULES)
 # The driver's correctness gate checks the FIRST 50 registry entries in
 # order. After round 3 every one of the 140 round-3 queries has a green
 # driver row (r01: 50, r02: 49 more, r03: the final 41 + 9 re-confirms).
-# Round 4 front-loads the 36 NEW queries (never driver-checked), then
+# Round 4 front-loads the 40 NEW queries (never driver-checked), then
 # the stalest greens: the 8 streaming queries whose last row (r02)
 # predates the events-fixture regeneration, the exact-median query
-# whose plan was rewritten single-pass after the r03 bank, and 5 of
-# the 41 queries whose latest row is r01 (36 + 8 + 1 + 5 = 50; the
+# whose plan was rewritten single-pass after the r03 bank, and 1 of
+# the 41 queries whose latest row is r01 (40 + 8 + 1 + 1 = 50; the
 # remaining r01-era greens rotate in next round).
 _CHECK_FIRST = (
-    # --- new in round 4, never driver-checked (36) ---
+    # --- new in round 4, never driver-checked (40) ---
+    "agg_chi2_independence",
+    "agg_gini_concentration",
+    "text_zipf_fit",
+    "events_rate_spike_zscore",
     "agg_linear_regression",
     "agg_benford_profile",
     "window_ewma_spend",
@@ -145,12 +151,8 @@ _CHECK_FIRST = (
     "stream_static_value_buckets",
     # --- plan rewritten after the r03 bank (1) ---
     "agg_exact_median_distributed",
-    # --- latest driver row is r01 (5 of 41) ---
-    "curate_corpus_upsert",
-    "curate_contamination_check",
+    # --- latest driver row is r01 (1 of 41) ---
     "q1_pricing_summary",
-    "join_semi_active_customers",
-    "join_asof_purchase_last_view",
 )
 
 
