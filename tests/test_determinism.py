@@ -73,6 +73,11 @@ RANK_QUERIES = [
     "text_unigram_surprisal",
     "text_boilerplate_strip",
     "curate_importance_weights",
+    # batch 8: rank-based and windowed-moment statistics
+    "agg_gini_concentration",
+    "text_zipf_fit",
+    "agg_chi2_independence",
+    "events_rate_spike_zscore",
 ]
 
 

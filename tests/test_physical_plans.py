@@ -345,3 +345,32 @@ def test_importance_weights_broadcasts_bucket_table(spark, queries):
     the (doc, bucket) counts — never a corpus-wide sort-merge."""
     plan = plan_of(queries["curate_importance_weights"](spark, SF_SMOKE), "simple")
     assert "BroadcastHashJoin" in plan
+
+
+def test_gini_rank_no_single_partition_exchange(spark, queries):
+    """The Gini rank must come from the range-partitioned global_rank
+    primitive — a SinglePartition exchange would serialize the
+    customer table through one task."""
+    from boat_etl_pyspark_spark.plans import release_caches
+
+    try:
+        plan = plan_of(queries["agg_gini_concentration"](spark, SF_SMOKE))
+        assert "rangepartitioning" in plan
+        assert "SinglePartition" not in plan.split("rangepartitioning", 1)[0]
+    finally:
+        release_caches(spark)
+
+
+def test_chi2_prunes_to_join_and_group_columns(spark, queries):
+    plan = plan_of(queries["agg_chi2_independence"](spark, SF_SMOKE))
+    read_schema = plan.split("ReadSchema", 1)[1][:200]
+    assert "o_custkey" in read_schema and "o_orderpriority" in read_schema
+    assert "o_totalprice" not in read_schema
+
+
+def test_rate_spike_single_exchange_for_window(spark, queries):
+    """Daily rollup exchanges on (event_type, day); the trailing
+    window re-clusters on event_type alone — two exchanges total, no
+    global sort."""
+    plan = plan_of(queries["events_rate_spike_zscore"](spark, SF_SMOKE), "simple")
+    assert "SinglePartition" not in plan
