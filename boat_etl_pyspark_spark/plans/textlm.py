@@ -56,28 +56,40 @@ def _docs_view(spark: SparkSession, sf_dir: str, name: str) -> str:
 # Unigram LM surprisal
 # ---------------------------------------------------------------------------
 
-_SURPRISAL_SPARK = """
-WITH tok AS (
-  SELECT doc_id, tok
-  FROM (SELECT doc_id, filter(split(text, ' '), x -> x != '') AS t FROM {docs})
-  LATERAL VIEW explode(t) e AS tok
-), counts AS (
-  SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok
-), tot AS (
-  SELECT SUM(c) AS s FROM counts
-), scored AS (
-  SELECT t.doc_id,
-         CAST(floor(-ln(CAST(c.c AS DOUBLE) / tot.s) * 1000000) AS BIGINT)
-           AS cost_micro
-  FROM tok t JOIN counts c ON t.tok = c.tok CROSS JOIN tot
-)
-SELECT doc_id,
-       CAST(COUNT(*) AS BIGINT) AS n_tokens,
-       SUM(cost_micro) AS surprisal_micro,
-       SUM(cost_micro) DIV COUNT(*) AS avg_surprisal_micro
-FROM scored
-GROUP BY doc_id
-"""
+def _surprisal_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame form of the unigram-surprisal plan. The vocabulary
+    (token -> corpus count) is persisted via ``track_persist``: it is
+    bounded by vocabulary size (not corpus size — ~1M rows for a web
+    corpus), and without the persist each of its three consumers
+    (scored join, total-token scalar) would re-run the corpus
+    explode+count."""
+    from pyspark.sql import functions as F
+
+    from . import track_persist
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.expr("filter(split(text, ' '), x -> x != '')")).alias(
+            "tok"
+        ),
+    )
+    counts = track_persist(tok.groupBy("tok").agg(F.count("*").alias("c")))
+    tot = counts.agg(F.sum("c").alias("s"))
+    scored = (
+        tok.join(counts, "tok")
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "doc_id",
+            "CAST(floor(-ln(CAST(c AS DOUBLE) / s) * 1000000) AS BIGINT)"
+            " AS cost_micro",
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.sum("cost_micro").alias("surprisal_micro"),
+        F.expr("SUM(cost_micro) DIV COUNT(*)").alias("avg_surprisal_micro"),
+    )
 
 _SURPRISAL_DUCK = """
 WITH tok AS (
@@ -87,7 +99,7 @@ WITH tok AS (
 ), counts AS (
   SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok
 ), tot AS (
-  SELECT SUM(c) AS s FROM counts
+  SELECT CAST(SUM(c) AS BIGINT) AS s FROM counts
 ), scored AS (
   SELECT t.doc_id,
          CAST(floor(-ln(CAST(c.c AS DOUBLE) / tot.s) * 1000000) AS BIGINT)
@@ -104,13 +116,13 @@ GROUP BY doc_id
 
 
 def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus unigram LM + per-document surprisal. Two shuffles total
-    (token counts; doc re-aggregation); the token->count join is on
-    the exploded token column and AQE may broadcast the vocabulary
-    side (tiny here; at 100 TB prune to a min-count vocab and
-    broadcast explicitly, back-off cost for OOV)."""
-    docs = _docs_view(spark, sf_dir, "textlm_surprisal_docs")
-    return spark.sql(_SURPRISAL_SPARK.format(docs=docs))
+    """Corpus unigram LM + per-document surprisal. The corpus is
+    exploded ONCE (the persisted vocabulary severs the other two
+    consumers' lineage); shuffles are the vocabulary count and the
+    doc re-aggregation, and the token->count join is AQE-broadcast
+    when the vocabulary fits (at 100 TB prune to a min-count vocab,
+    back-off cost for OOV)."""
+    return _surprisal_plan(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------
