@@ -41,6 +41,7 @@ from boat_etl_pyspark_spark.plans import (
     relational14,
     relational15,
     relational16,
+    relational17,
     textlm,
     io_plans2,
     mlprep,
@@ -85,6 +86,7 @@ _PLAN_MODULES = (
     textlm,
     relational15,
     relational16,
+    relational17,
 )
 
 _QUERIES, _ORACLE = collect_registries(*_PLAN_MODULES)
@@ -92,14 +94,17 @@ _QUERIES, _ORACLE = collect_registries(*_PLAN_MODULES)
 # The driver's correctness gate checks the FIRST 50 registry entries in
 # order. After round 3 every one of the 140 round-3 queries has a green
 # driver row (r01: 50, r02: 49 more, r03: the final 41 + 9 re-confirms).
-# Round 4 front-loads the 40 NEW queries (never driver-checked), then
+# Round 4 front-loads the 43 NEW queries (never driver-checked), then
 # the stalest greens: the 8 streaming queries whose last row (r02)
 # predates the events-fixture regeneration, the exact-median query
-# whose plan was rewritten single-pass after the r03 bank, and 1 of
-# the 41 queries whose latest row is r01 (40 + 8 + 1 + 1 = 50; the
-# remaining r01-era greens rotate in next round).
+# whose plan was rewritten single-pass after the r03 bank — the
+# stream-family re-confirms shrink to 6 to fit (43 + 6 + 1 = 50; the
+# remaining stale greens rotate in next round).
 _CHECK_FIRST = (
-    # --- new in round 4, never driver-checked (40) ---
+    # --- new in round 4, never driver-checked (43) ---
+    "graph_bfs_reachability",
+    "agg_welch_ttest",
+    "window_rolling_regression",
     "agg_chi2_independence",
     "agg_gini_concentration",
     "text_zipf_fit",
@@ -147,12 +152,8 @@ _CHECK_FIRST = (
     "stream_stateful_user_totals",
     "stream_stream_attribution",
     "stream_kafka_roundtrip",
-    "stream_dedup_user_event_types",
-    "stream_static_value_buckets",
     # --- plan rewritten after the r03 bank (1) ---
     "agg_exact_median_distributed",
-    # --- latest driver row is r01 (1 of 41) ---
-    "q1_pricing_summary",
 )
 
 
