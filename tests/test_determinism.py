@@ -78,6 +78,10 @@ RANK_QUERIES = [
     "text_zipf_fit",
     "agg_chi2_independence",
     "events_rate_spike_zscore",
+    # batch 9: iterative BFS and windowed/inferential statistics
+    "graph_bfs_reachability",
+    "agg_welch_ttest",
+    "window_rolling_regression",
 ]
 
 

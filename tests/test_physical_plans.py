@@ -374,3 +374,24 @@ def test_rate_spike_single_exchange_for_window(spark, queries):
     global sort."""
     plan = plan_of(queries["events_rate_spike_zscore"](spark, SF_SMOKE), "simple")
     assert "SinglePartition" not in plan
+
+
+def test_bfs_broadcasts_distance_relation(spark, queries):
+    """Every BFS round joins edges against the node-sized distance
+    relation — all iterations must broadcast it, never sort-merge
+    the edge table."""
+    from boat_etl_pyspark_spark.plans import release_caches
+
+    try:
+        plan = plan_of(queries["graph_bfs_reachability"](spark, SF_SMOKE), "simple")
+        assert plan.count("BroadcastHashJoin") >= 4
+    finally:
+        release_caches(spark)
+
+
+def test_rolling_regression_one_window_node(spark, queries):
+    """All five power sums must share one frame: a single Window node
+    computes them, on the event_type exchange, with no global sort."""
+    plan = plan_of(queries["window_rolling_regression"](spark, SF_SMOKE), "simple")
+    assert plan.count("Window") == 1
+    assert "SinglePartition" not in plan
