@@ -148,7 +148,19 @@ def get_spark(app_name: str = "boat-etl-pyspark-spark",
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # 8g capped the 183-query x 3-rep bench sweep at its own heap
+        # (JVM RSS measured 8.9 GB = the limit): GC churn and persist
+        # spills slowed unrelated queries mid-sweep. The container has
+        # 128 GiB; 32g leaves storage memory for the session caches.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+        # ~550 codegen'd stages exhaust the default 240m JIT code
+        # cache; once full, HotSpot stops compiling and later queries
+        # run partially interpreted (observed: identical plans 3x
+        # slower late in a long sweep than in a fresh session).
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=512m",
+        )
         .config("spark.ui.enabled", "false")
         # keep managed tables (bucketing tests etc.) out of the repo tree
         .config(

@@ -1,0 +1,442 @@
+"""Third-implementation cross-checks for the round-4 statistics and
+corpus-scoring operators: every expected value is recomputed in pure
+Python/pandas from the parquet fixtures — independent of BOTH the
+Spark plan and the DuckDB oracle, so a formula error shared by plan
+and oracle (the failure mode DuckDB parity cannot see) fails here.
+
+Exactness: the operators' contracts floor every float to scaled
+integers before aggregation, and Python's arbitrary-precision ints
+match the DECIMAL(38,0)/HUGEINT accumulators exactly; math.log /
+math.sqrt are the same libm doubles the engines use (verified bit-
+identical earlier in the build), so comparisons are ==, not approx.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+
+import pandas as pd
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+
+def rnd(v: float) -> int:
+    """Engine ROUND(): half away from zero (Spark HALF_UP on a double,
+    DuckDB round)."""
+    return int(math.copysign(math.floor(abs(v) + 0.5), v))
+
+
+@pytest.fixture(scope="module")
+def tables():
+    import glob
+    import os
+
+    out = {}
+    for p in glob.glob(os.path.join(SF_SMOKE, "*.parquet")):
+        out[os.path.basename(p).replace(".parquet", "")] = pd.read_parquet(p)
+    return out
+
+
+@pytest.fixture(scope="module")
+def run(spark):
+    import __spark_entry__ as m
+
+    qs = m.queries()
+
+    def _run(name: str) -> pd.DataFrame:
+        from boat_etl_pyspark_spark.plans import release_caches
+
+        try:
+            return qs[name](spark, SF_SMOKE).toPandas()
+        finally:
+            release_caches(spark)
+
+    return _run
+
+
+def test_ewma_matches_naive_recursion(run, tables):
+    got = {
+        r.o_custkey: (r.n_orders, r.ewma_milli_cents)
+        for r in run("window_ewma_spend").itertuples()
+    }
+    orders = tables["orders"].copy()
+    orders["cents"] = orders["o_totalprice"].map(lambda v: rnd(v * 100))
+    for ck, g in orders.sort_values(["o_orderdate", "o_orderkey"]).groupby(
+        "o_custkey"
+    ):
+        xs = [int(c) * 1000 for c in g["cents"]]
+        n = len(xs)
+        # shift-exact EWMA: per-term floor(m / 2^k), not the float
+        # recursion — the operator's declared fixed-point contract
+        # position p (1-based) carries weight 2^-(n-p+1) for p >= 2 and
+        # 2^-(n-1) for p = 1; with 0-based i = p-1 the shift is n - i
+        total = xs[0] >> min(n - 1, 63)
+        for i in range(1, n):
+            total += xs[i] >> min(n - i, 63)
+        assert got[ck] == (n, total), f"custkey {ck}"
+
+
+def test_gini_matches_naive_formula(run, tables):
+    row = run("agg_gini_concentration").iloc[0]
+    orders = tables["orders"].copy()
+    orders["cents"] = orders["o_totalprice"].map(lambda v: rnd(v * 100))
+    spend = orders.groupby("o_custkey")["cents"].sum().astype(int)
+    s = sorted(zip(spend.values.tolist(), spend.index.tolist()))
+    n = len(s)
+    t = sum(v for v, _ in s)
+    w = sum((i + 1) * v for i, (v, _) in enumerate(s))
+    gini = math.floor(float(2 * w - (n + 1) * t) / float(n * t) * 1e6)
+    assert (row.n_customers, row.total_cents, row.gini_micro) == (n, t, gini)
+
+
+def test_benford_matches_log10(run, tables):
+    got = run("agg_benford_profile").set_index("digit")
+    orders = tables["orders"]
+    digits = orders["o_totalprice"].map(lambda v: int(str(rnd(v * 100))[0]))
+    counts = digits.value_counts()
+    total = int(counts.sum())
+    for d, cnt in counts.items():
+        exp_ppm = math.floor(math.log10(1 + 1.0 / d) * 1e6)
+        obs_ppm = 1000000 * int(cnt) // total
+        r = got.loc[d]
+        assert (r.n, r.observed_ppm, r.expected_ppm) == (cnt, obs_ppm, exp_ppm)
+        assert r.deviation_ppm == abs(obs_ppm - exp_ppm)
+
+
+def test_chi2_matches_naive(run, tables):
+    row = run("agg_chi2_independence").iloc[0]
+    merged = tables["orders"].merge(
+        tables["customer"], left_on="o_custkey", right_on="c_custkey"
+    )
+    tab = merged.groupby(["c_mktsegment", "o_orderpriority"]).size()
+    n = int(tab.sum())
+    rows = tab.groupby(level=0).sum()
+    cols = tab.groupby(level=1).sum()
+    chi2 = 0
+    for (seg, pri), o in tab.items():
+        e = float(rows[seg]) * cols[pri] / n
+        chi2 += math.floor((o - e) * (o - e) / e * 1e6)
+    assert row.n_orders == n
+    assert row.dof == (len(rows) - 1) * (len(cols) - 1)
+    assert row.chi2_micro == chi2
+
+
+def test_linear_regression_matches_power_sums(run, tables):
+    got = run("agg_linear_regression").set_index("grp")
+    li = tables["lineitem"]
+    for grp, g in li.groupby("l_returnflag"):
+        x = g["l_quantity"].astype(int)
+        y = g["l_extendedprice"].map(lambda v: rnd(v * 100))
+        n = len(g)
+        sx, sy = int(x.sum()), int(y.sum())
+        sxx = int((x * x).sum())
+        sxy = int((x * y).sum())
+        syy = sum(int(v) * int(v) for v in y)
+        num, den, deny = n * sxy - sx * sy, n * sxx - sx * sx, n * syy - sy * sy
+        r = got.loc[grp]
+        assert r.slope_micro_cents == math.floor(float(num) / float(den) * 1e6)
+        assert r.intercept_milli_cents == math.floor(
+            (float(sy) - float(num) / float(den) * float(sx)) / float(n) * 1e3
+        )
+        assert r.r2_micro == math.floor(
+            float(num) * float(num) / (float(den) * float(deny)) * 1e6
+        )
+
+
+def test_welch_matches_naive(run, tables):
+    row = run("agg_welch_ttest").iloc[0]
+    ev = tables["events"]
+    ev = ev[ev["event_type"] == "purchase"]
+    arms = {}
+    for variant, g in ev.groupby(ev["user_id"] % 2):
+        v = g["value"].map(lambda x: rnd(x * 100))
+        arms["A" if variant == 0 else "B"] = (
+            len(v),
+            int(v.sum()),
+            sum(int(t) * int(t) for t in v),
+        )
+    (na, s1a, s2a), (nb, s1b, s2b) = arms["A"], arms["B"]
+    ma, mb = float(s1a) / na, float(s1b) / nb
+    sea = (float(na) * float(s2a) - float(s1a) * float(s1a)) / (
+        float(na) * (na - 1) * na
+    )
+    seb = (float(nb) * float(s2b) - float(s1b) * float(s1b)) / (
+        float(nb) * (nb - 1) * nb
+    )
+    assert (row.n_a, row.n_b) == (na, nb)
+    assert row.t_milli == math.floor((ma - mb) / math.sqrt(sea + seb) * 1000)
+    assert row.dof_milli == math.floor(
+        (sea + seb) * (sea + seb)
+        / (sea * sea / (na - 1) + seb * seb / (nb - 1))
+        * 1000
+    )
+
+
+def test_bfs_matches_naive_python(run, tables):
+    got = {
+        int(r.nation): (None if pd.isna(r.hops) else int(r.hops))
+        for r in run("graph_bfs_reachability").itertuples()
+    }
+    li = tables["lineitem"][["l_orderkey", "l_suppkey"]]
+    o = tables["orders"][["o_orderkey", "o_custkey"]]
+    s = tables["supplier"][["s_suppkey", "s_nationkey"]]
+    c = tables["customer"][["c_custkey", "c_nationkey"]]
+    e = (
+        li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+        .merge(s, left_on="l_suppkey", right_on="s_suppkey")
+        .merge(c, left_on="o_custkey", right_on="c_custkey")
+        .groupby(["s_nationkey", "c_nationkey"])
+        .size()
+        .reset_index(name="w")
+    )
+    adj: dict[int, list[int]] = {}
+    for src, g in e.groupby("s_nationkey"):
+        top = g.sort_values(["w", "c_nationkey"], ascending=[False, True]).head(3)
+        adj[int(src)] = [int(d) for d in top["c_nationkey"]]
+    nodes = set(adj) | {d for ds in adj.values() for d in ds}
+    dist = {n: (0 if n == 0 else None) for n in nodes}
+    for _ in range(4):
+        new = dict(dist)
+        for src, ds in adj.items():
+            if dist[src] is not None:
+                for d in ds:
+                    cand = dist[src] + 1
+                    if new[d] is None or cand < new[d]:
+                        new[d] = cand
+        dist = new
+    assert got == dist
+
+
+def test_rate_spike_matches_pandas_rolling(run, tables):
+    got = run("events_rate_spike_zscore")
+    ev = tables["events"].copy()
+    ev["day"] = ev["ts"].dt.strftime("%Y-%m-%d")
+    daily = ev.groupby(["event_type", "day"]).size().reset_index(name="n")
+    expected = {}
+    for et, g in daily.groupby("event_type"):
+        g = g.sort_values("day")
+        ns = [int(x) for x in g["n"]]
+        for i, day in enumerate(g["day"]):
+            window = ns[max(0, i - 7) : i]
+            z = None
+            if len(window) == 7:
+                ssum, ssq = sum(window), sum(v * v for v in window)
+                var = 7 * ssq - ssum * ssum
+                if var > 0:
+                    z = math.floor(
+                        float(7 * ns[i] - ssum) / math.sqrt(float(var)) * 1000
+                    )
+            expected[(et, day)] = (ns[i], z)
+    for r in got.itertuples():
+        z = None if pd.isna(r.z_milli) else int(r.z_milli)
+        assert expected[(r.event_type, r.day)] == (r.n, z)
+
+
+def test_rolling_regression_matches_pandas(run, tables):
+    got = run("window_rolling_regression")
+    ev = tables["events"].copy()
+    ev["x"] = (ev["ts"].dt.floor("D") - pd.Timestamp("1970-01-01")).dt.days
+    ev["cents"] = ev["value"].map(lambda v: rnd(v * 100))
+    daily = ev.groupby(["event_type", "x"])["cents"].sum().reset_index(name="y")
+    expected = {}
+    for et, g in daily.groupby("event_type"):
+        g = g.sort_values("x")
+        pts = [(int(a), int(b)) for a, b in zip(g["x"], g["y"])]
+        for i in range(len(pts)):
+            window = pts[max(0, i - 6) : i + 1]
+            slope = None
+            if len(window) == 7:
+                n = 7
+                sx = sum(x for x, _ in window)
+                sy = sum(y for _, y in window)
+                sxx = sum(x * x for x, _ in window)
+                sxy = sum(x * y for x, y in window)
+                den = n * sxx - sx * sx
+                if den > 0:
+                    slope = math.floor(
+                        float(n * sxy - sx * sy) / float(den) * 1000
+                    )
+            expected[(et, pts[i][0])] = (pts[i][1], slope)
+    for r in got.itertuples():
+        slope = (
+            None
+            if pd.isna(r.slope_milli_cents_per_day)
+            else int(r.slope_milli_cents_per_day)
+        )
+        assert expected[(r.event_type, r.epoch_day)] == (r.day_cents, slope)
+
+
+def test_surprisal_matches_counter(run, tables):
+    got = run("text_unigram_surprisal").set_index("doc_id")
+    docs = tables["documents"]
+    from collections import Counter
+
+    toks = {
+        int(r.doc_id): [t for t in r.text.split(" ") if t]
+        for r in docs.itertuples()
+    }
+    counts: Counter = Counter()
+    for ts in toks.values():
+        counts.update(ts)
+    total = sum(counts.values())
+    for doc_id, ts in toks.items():
+        cost = sum(
+            math.floor(-math.log(float(counts[t]) / total) * 1000000)
+            for t in ts
+        )
+        r = got.loc[doc_id]
+        assert (r.n_tokens, r.surprisal_micro, r.avg_surprisal_micro) == (
+            len(ts),
+            cost,
+            cost // len(ts),
+        )
+
+
+def test_readability_matches_re(run, tables):
+    got = run("text_readability").set_index("doc_id")
+    for r in tables["documents"].itertuples():
+        text = r.text
+        w = len([t for t in text.split(" ") if t])
+        if w == 0:
+            continue
+        enders = len(re.split(r"[.!?]+", text)) - 1
+        s = enders if enders > 0 else math.ceil(w / 15.0)
+        lower = text.lower()
+        syl = len(re.sub(r"[aeiouy]+", "@", lower)) - len(
+            re.sub(r"[aeiouy]", "", lower)
+        )
+        syl = max(syl, 1)
+        flesch = math.floor(
+            (206.835 - 1.015 * (float(w) / s) - 84.6 * (float(syl) / w)) * 1000
+        )
+        g = got.loc[r.doc_id]
+        assert (g.n_words, g.n_sentences, g.n_syllables, g.flesch_milli) == (
+            w,
+            s,
+            syl,
+            flesch,
+        )
+
+
+def test_boilerplate_strip_matches_hashlib(run, tables):
+    got = run("text_boilerplate_strip").set_index("doc_id")
+    from collections import defaultdict
+
+    blocks = {}
+    for r in tables["documents"].itertuples():
+        words = [t for t in r.text.split(" ") if t]
+        bs = [
+            " ".join(words[i * 3 : i * 3 + 3])
+            for i in range(math.ceil(len(words) / 3.0))
+        ]
+        blocks[int(r.doc_id)] = bs
+    docs_per_hash = defaultdict(set)
+    for doc_id, bs in blocks.items():
+        for b in bs:
+            docs_per_hash[b].add(doc_id)
+    boiler = {b for b, ds in docs_per_hash.items() if len(ds) >= 5}
+    for doc_id, bs in blocks.items():
+        kept = [b for b in bs if b not in boiler]
+        clean = hashlib.md5(" ".join(kept).encode()).hexdigest()
+        g = got.loc[doc_id]
+        assert (g.n_blocks, g.n_boiler, g.clean_md5) == (
+            len(bs),
+            sum(1 for b in bs if b in boiler),
+            clean,
+        )
+
+
+def test_importance_weights_match_hashlib(run, tables):
+    got = run("curate_importance_weights").set_index("doc_id")
+    from collections import Counter, defaultdict
+
+    B = 256
+    per_doc: dict[int, Counter] = {}
+    q_c: Counter = Counter()
+    p_c: Counter = Counter()
+    for r in tables["documents"].itertuples():
+        ts = [t for t in r.text.split(" ") if t]
+        if len(ts) < 2:
+            continue
+        is_target = r.n_chars >= 400
+        c: Counter = Counter()
+        for a, b in zip(ts, ts[1:]):
+            h = hashlib.md5(f"{a} {b}".encode()).hexdigest()
+            bucket = int(h[:15], 16) % B
+            c[bucket] += 1
+        per_doc[int(r.doc_id)] = c
+        q_c.update(c)
+        if is_target:
+            p_c.update(c)
+    tq, tp = sum(q_c.values()), sum(p_c.values())
+    lam = {
+        b: math.log(
+            (float(p_c.get(b, 0) + 1) / float(tp + B))
+            / (float(q_c[b] + 1) / float(tq + B))
+        )
+        for b in q_c
+    }
+    for doc_id, c in per_doc.items():
+        weight = sum(
+            math.floor(cnt * lam[b] * 1000000) for b, cnt in c.items()
+        )
+        g = got.loc[doc_id]
+        assert (g.n_bigrams, g.weight_micro) == (sum(c.values()), weight)
+
+
+def test_pca_power_matches_numpy(run, tables):
+    import numpy as np
+
+    got = run("embed_pca_power").set_index("dim").sort_index()
+    emb = tables["embeddings"]
+    q = np.stack(
+        [
+            np.array([rnd(float(x) * 1000) for x in v[:16]], dtype=object)
+            for v in emb["embedding"]
+        ]
+    )
+    gram = q.T @ q  # python ints, exact
+    v = np.array([1000] * 16, dtype=object)
+    for _ in range(3):
+        gv = gram @ v
+        mx = max(abs(int(x)) for x in gv)
+        v = np.array(
+            [math.floor(float(int(x)) * 1000 / mx) for x in gv], dtype=object
+        )
+    gv = gram @ v
+    vgv = int(v @ gv)
+    vv = int(v @ v)
+    rayleigh = math.floor(float(vgv) / float(vv) * 1e6)
+    assert [int(x) for x in got["v_scaled"]] == [int(x) for x in v]
+    assert set(got["rayleigh_micro"]) == {rayleigh}
+
+
+def test_zipf_matches_counter(run, tables):
+    row = run("text_zipf_fit").iloc[0]
+    from collections import Counter
+
+    counts: Counter = Counter()
+    for r in tables["documents"].itertuples():
+        counts.update(t for t in r.text.split(" ") if t)
+    vocab = sorted(
+        ((c, t) for t, c in counts.items() if c >= 5),
+        key=lambda p: (-p[0], p[1]),
+    )
+    pts = [
+        (
+            math.floor(math.log(float(i + 1)) * 1e6),
+            math.floor(math.log(float(c)) * 1e6),
+        )
+        for i, (c, _) in enumerate(vocab)
+    ]
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    sxy = sum(x * y for x, y in pts)
+    num, den = n * sxy - sx * sy, n * sxx - sx * sx
+    assert row.n_vocab == n
+    assert row.slope_micro == math.floor(float(num) / float(den) * 1e6)
