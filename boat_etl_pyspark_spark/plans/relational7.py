@@ -321,6 +321,19 @@ def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def trade_edges_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached trade-edge relation (tiny: <= nations² rows, but
+    the build is a full lineitem⋈orders shuffle). PageRank and BFS
+    both consume it; the shared-cache registry (same mechanism as the
+    dedup family's shingle cache, released by ``release_caches``)
+    makes the second consumer pay nothing."""
+    from .textdedup import _cached
+
+    return _cached(
+        spark, sf_dir, "trade_edges", lambda: _trade_edges(spark, sf_dir)
+    )
+
+
 def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted PageRank, 3 unrolled iterations, ENTIRELY in int64
     fixed-point (scale 1e9): per-edge contribution is
@@ -334,7 +347,7 @@ def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds scale with graph diameter, not size. Nodes without
     out-edges leak their damped mass (documented classic simplification
     — identical in the oracle)."""
-    edges = _trade_edges(spark, sf_dir)
+    edges = trade_edges_cached(spark, sf_dir)
     out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
     # persist the JOINED edge relation — it is scanned once per
     # iteration; persisting only the raw edges would re-run the
