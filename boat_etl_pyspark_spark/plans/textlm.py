@@ -253,8 +253,8 @@ SELECT doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_blocks,
        CAST(SUM(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT)
          AS n_boiler,
-       md5(array_to_string(list(block ORDER BY block_idx)
-             FILTER (WHERE NOT is_boiler), ' ')) AS clean_md5
+       md5(coalesce(array_to_string(list(block ORDER BY block_idx)
+             FILTER (WHERE NOT is_boiler), ' '), '')) AS clean_md5
 FROM flagged
 GROUP BY doc_id
 """
