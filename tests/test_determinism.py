@@ -82,6 +82,8 @@ RANK_QUERIES = [
     "graph_bfs_reachability",
     "agg_welch_ttest",
     "window_rolling_regression",
+    # batch 10: native recursive CTE
+    "graph_recursive_route_cost",
 ]
 
 
