@@ -82,8 +82,9 @@ RANK_QUERIES = [
     "graph_bfs_reachability",
     "agg_welch_ttest",
     "window_rolling_regression",
-    # batch 10: native recursive CTE
+    # batch 10-11: native recursive CTE; pipeline composition
     "graph_recursive_route_cost",
+    "curate_corpus_pipeline_report",
 ]
 
 
