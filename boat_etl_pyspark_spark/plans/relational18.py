@@ -96,5 +96,79 @@ def graph_recursive_route_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_RECURSIVE_SQL.format(edges="r18_routes_edges"))
 
 
-QUERIES = {"graph_recursive_route_cost": graph_recursive_route_cost}
-ORACLE = {"graph_recursive_route_cost": _RECURSIVE_DUCK}
+# ---------------------------------------------------------------------------
+# Nearest-in-time as-of join (bidirectional, with tolerance)
+# ---------------------------------------------------------------------------
+
+_NEAREST_TOL_US = 2 * 3600 * 1_000_000  # 2 hours
+
+_NEAREST_CORE = f"""
+WITH tagged AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS kind
+  FROM {{events}} WHERE event_type IN ('view', 'purchase')
+), fenced AS (
+  SELECT event_id, user_id, ts, kind,
+         max(CASE WHEN kind = 0 THEN ts END) OVER (
+           PARTITION BY user_id ORDER BY ts, kind, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_view,
+         min(CASE WHEN kind = 0 THEN ts END) OVER (
+           PARTITION BY user_id ORDER BY ts, kind, event_id
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_view
+  FROM tagged
+), deltas AS (
+  SELECT event_id AS purchase_id, user_id,
+         {{us}}(ts) AS purchase_ts_us,
+         {{us}}(ts) - {{us}}(prev_view) AS back_us,
+         {{us}}(next_view) - {{us}}(ts) AS fwd_us
+  FROM fenced WHERE kind = 1
+)
+SELECT purchase_id, user_id, purchase_ts_us,
+       CASE
+         WHEN back_us IS NOT NULL AND back_us <= {_NEAREST_TOL_US}
+              AND (fwd_us IS NULL OR back_us <= fwd_us
+                   OR fwd_us > {_NEAREST_TOL_US})
+           THEN purchase_ts_us - back_us
+         WHEN fwd_us IS NOT NULL AND fwd_us <= {_NEAREST_TOL_US}
+           THEN purchase_ts_us + fwd_us
+         ELSE NULL
+       END AS nearest_view_ts_us,
+       CASE
+         WHEN back_us IS NOT NULL AND back_us <= {_NEAREST_TOL_US}
+              AND (fwd_us IS NULL OR back_us <= fwd_us
+                   OR fwd_us > {_NEAREST_TOL_US})
+           THEN 'backward'
+         WHEN fwd_us IS NOT NULL AND fwd_us <= {_NEAREST_TOL_US}
+           THEN 'forward'
+         ELSE NULL
+       END AS direction
+FROM deltas
+"""
+
+_NEAREST_SPARK = _NEAREST_CORE.format(events="{events}", us="unix_micros")
+_NEAREST_DUCK = _NEAREST_CORE.format(events="events", us="epoch_us")
+
+
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-in-time as-of join with a ±2h tolerance: every purchase
+    matches its closest same-user view in EITHER direction (ties and
+    equal distances prefer the earlier/backward view). Both direction
+    fences come from one tagged union + ONE user_id window exchange —
+    two frame-restricted conditional extrema, no N×M interval
+    expansion, same scale shape as the backward-only ``asof_join``
+    primitive. Purchases with no view inside the tolerance survive
+    with NULLs (left-outer semantics)."""
+    from ..sources.readers import load_table as _lt
+
+    _lt(spark, sf_dir, "events").createOrReplaceTempView("r18_nearest_events")
+    return spark.sql(_NEAREST_SPARK.format(events="r18_nearest_events"))
+
+
+QUERIES = {
+    "graph_recursive_route_cost": graph_recursive_route_cost,
+    "join_asof_nearest": join_asof_nearest,
+}
+ORACLE = {
+    "graph_recursive_route_cost": _RECURSIVE_DUCK,
+    "join_asof_nearest": _NEAREST_DUCK,
+}

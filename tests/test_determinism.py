@@ -85,6 +85,7 @@ RANK_QUERIES = [
     # batch 10-11: native recursive CTE; pipeline composition
     "graph_recursive_route_cost",
     "curate_corpus_pipeline_report",
+    "join_asof_nearest",
 ]
 
 
