@@ -98,14 +98,15 @@ _QUERIES, _ORACLE = collect_registries(*_PLAN_MODULES)
 # The driver's correctness gate checks the FIRST 50 registry entries in
 # order. After round 3 every one of the 140 round-3 queries has a green
 # driver row (r01: 50, r02: 49 more, r03: the final 41 + 9 re-confirms).
-# Round 4 front-loads the 46 NEW queries (never driver-checked), then
+# Round 4 front-loads the 47 NEW queries (never driver-checked), then
 # the stalest greens: the 8 streaming queries whose last row (r02)
 # predates the events-fixture regeneration, the exact-median query
 # whose plan was rewritten single-pass after the r03 bank — the
-# stream-family re-confirms shrink to 3 to fit (46 + 3 + 1 = 50; the
+# stream-family re-confirms shrink to 2 to fit (47 + 2 + 1 = 50; the
 # remaining stale greens rotate in next round).
 _CHECK_FIRST = (
-    # --- new in round 4, never driver-checked (46) ---
+    # --- new in round 4, never driver-checked (47) ---
+    "text_entropy_per_source",
     "join_asof_nearest",
     "curate_corpus_pipeline_report",
     "graph_recursive_route_cost",
@@ -155,7 +156,6 @@ _CHECK_FIRST = (
     # --- streaming greens from r02 predating the events-fixture change (8) ---
     "stream_tumbling_6h",
     "stream_sliding_6h_3h",
-    "stream_session_windows",
     # --- plan rewritten after the r03 bank (1) ---
     "agg_exact_median_distributed",
 )

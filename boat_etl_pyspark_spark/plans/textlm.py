@@ -374,3 +374,66 @@ ORACLE = {
     "text_boilerplate_strip": _BOILER_DUCK,
     "curate_importance_weights": _DSIR_DUCK,
 }
+
+
+# ---------------------------------------------------------------------------
+# Per-source token entropy
+# ---------------------------------------------------------------------------
+
+_ENTROPY_SPARK = """
+WITH tok AS (
+  SELECT source, tok
+  FROM (SELECT source, filter(split(text, ' '), x -> x != '') AS t
+        FROM {docs})
+  LATERAL VIEW explode(t) e AS tok
+), counts AS (
+  SELECT source, tok, COUNT(*) AS c FROM tok GROUP BY source, tok
+), tot AS (
+  SELECT source, SUM(c) AS s, COUNT(*) AS vocab FROM counts GROUP BY source
+)
+SELECT c.source,
+       CAST(max(t.s) AS BIGINT) AS n_tokens,
+       CAST(max(t.vocab) AS BIGINT) AS n_vocab,
+       CAST(SUM(CAST(floor(-(CAST(c.c AS DOUBLE) / t.s)
+                           * ln(CAST(c.c AS DOUBLE) / t.s) * 1e9)
+                     AS BIGINT)) AS BIGINT) AS entropy_nano_nats
+FROM counts c JOIN tot t ON c.source = t.source
+GROUP BY c.source
+"""
+
+_ENTROPY_DUCK = """
+WITH tok AS (
+  SELECT source, tok
+  FROM (SELECT source, list_filter(string_split(text, ' '), x -> x != '') AS t
+        FROM documents), UNNEST(t) AS u(tok)
+), counts AS (
+  SELECT source, tok, COUNT(*) AS c FROM tok GROUP BY source, tok
+), tot AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS s, COUNT(*) AS vocab
+  FROM counts GROUP BY source
+)
+SELECT c.source,
+       CAST(max(t.s) AS BIGINT) AS n_tokens,
+       CAST(max(t.vocab) AS BIGINT) AS n_vocab,
+       CAST(SUM(CAST(floor(-(CAST(c.c AS DOUBLE) / t.s)
+                           * ln(CAST(c.c AS DOUBLE) / t.s) * 1e9)
+                     AS BIGINT)) AS BIGINT) AS entropy_nano_nats
+FROM counts c JOIN tot t ON c.source = t.source
+GROUP BY c.source
+"""
+
+
+def text_entropy_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each source's token distribution (nano-nats,
+    per-term floor before the sum so the statistic is exact). Low
+    entropy flags TEMPLATED/repetitive sources in a training mix; the
+    cost is one (source, token) count aggregate — map-side combined —
+    plus a per-source rollup. The per-term expression is written with
+    p multiplied before ln so both engines evaluate the identical
+    double tree."""
+    docs = _docs_view(spark, sf_dir, "textlm_entropy_docs")
+    return spark.sql(_ENTROPY_SPARK.format(docs=docs))
+
+
+QUERIES["text_entropy_per_source"] = text_entropy_per_source
+ORACLE["text_entropy_per_source"] = _ENTROPY_DUCK

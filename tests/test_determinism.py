@@ -86,6 +86,7 @@ RANK_QUERIES = [
     "graph_recursive_route_cost",
     "curate_corpus_pipeline_report",
     "join_asof_nearest",
+    "text_entropy_per_source",
 ]
 
 
