@@ -440,3 +440,159 @@ def test_zipf_matches_counter(run, tables):
     num, den = n * sxy - sx * sy, n * sxx - sx * sx
     assert row.n_vocab == n
     assert row.slope_micro == math.floor(float(num) / float(den) * 1e6)
+
+
+def test_entropy_matches_counter(run, tables):
+    from collections import Counter, defaultdict
+
+    got = run("text_entropy_per_source").set_index("source")
+    per_src: dict[str, Counter] = defaultdict(Counter)
+    for r in tables["documents"].itertuples():
+        per_src[r.source].update(t for t in r.text.split(" ") if t)
+    for src, counts in per_src.items():
+        s = sum(counts.values())
+        ent = sum(
+            math.floor(-(float(c) / s) * math.log(float(c) / s) * 1e9)
+            for c in counts.values()
+        )
+        g = got.loc[src]
+        assert (g.n_tokens, g.n_vocab, g.entropy_nano_nats) == (
+            s,
+            len(counts),
+            ent,
+        )
+
+
+def test_asof_nearest_matches_naive(run, tables):
+    got = {
+        int(r.purchase_id): (
+            None if pd.isna(r.nearest_view_ts_us) else int(r.nearest_view_ts_us),
+            None if (r.direction is None or pd.isna(r.direction)) else r.direction,
+        )
+        for r in run("join_asof_nearest").itertuples()
+    }
+    TOL = 2 * 3600 * 1_000_000
+    ev = tables["events"]
+    ev = ev[ev["event_type"].isin(["view", "purchase"])].copy()
+    # normalize to microseconds regardless of the parquet->pandas unit
+    ev["us"] = ev["ts"].astype("datetime64[us]").astype("int64")
+    expected = {}
+    for _, g in ev.groupby("user_id"):
+        g = g.copy()
+        g["kind"] = (g["event_type"] == "purchase").astype(int)
+        g = g.sort_values(["us", "kind", "event_id"]).reset_index(drop=True)
+        for i, row in g.iterrows():
+            if row["kind"] != 1:
+                continue
+            prev_views = [
+                int(u) for u in g.loc[: i - 1][g["kind"] == 0]["us"].dropna()
+            ] if i > 0 else []
+            next_views = [
+                int(u) for u in g.loc[i + 1 :][g["kind"] == 0]["us"].dropna()
+            ]
+            back = int(row["us"]) - max(prev_views) if prev_views else None
+            fwd = min(next_views) - int(row["us"]) if next_views else None
+            if back is not None and back <= TOL and (
+                fwd is None or back <= fwd or fwd > TOL
+            ):
+                expected[int(row["event_id"])] = (
+                    int(row["us"]) - back,
+                    "backward",
+                )
+            elif fwd is not None and fwd <= TOL:
+                expected[int(row["event_id"])] = (int(row["us"]) + fwd, "forward")
+            else:
+                expected[int(row["event_id"])] = (None, None)
+    assert got == expected
+
+
+def test_pipeline_report_matches_naive(run, tables):
+    got = {
+        r.stage: (r.n_docs, r.n_tokens)
+        for r in run("curate_corpus_pipeline_report").itertuples()
+    }
+    docs = tables["documents"]
+    pool = [
+        (int(r.doc_id), r.text, int(r.n_chars),
+         len([t for t in r.text.split(" ") if t]))
+        for r in docs.itertuples()
+        if r.doc_id % 11 != 0
+    ]
+    q = [d for d in pool if d[3] >= 20 and 100 <= d[2] <= 2000]
+    seen: dict[str, int] = {}
+    for doc_id, text, nc, nt in sorted(q):
+        h = hashlib.md5(text.encode()).hexdigest()
+        seen.setdefault(h, doc_id)
+    kept_ids = set(seen.values())
+    d = [x for x in q if x[0] in kept_ids]
+
+    def grams(text):
+        t = text.split(" ")
+        n = max(len(t) - 7, 1)
+        return {
+            hashlib.md5(" ".join(t[i : i + 8]).encode()).hexdigest()
+            for i in range(n)
+        }
+
+    eval_grams = set()
+    for r in docs.itertuples():
+        if r.doc_id % 11 == 0:
+            eval_grams |= grams(r.text)
+    clean = [x for x in d if not (grams(x[1]) & eval_grams)]
+    split = {}
+    for doc_id, text, nc, nt in clean:
+        b = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:6], 16) % 100
+        split.setdefault("5_train" if b < 90 else "5_val", []).append(nt)
+    expected = {
+        "0_pool": (len(pool), sum(x[3] for x in pool)),
+        "1_quality": (len(q), sum(x[3] for x in q)),
+        "2_dedup": (len(d), sum(x[3] for x in d)),
+        "3_decontaminated": (len(clean), sum(x[3] for x in clean)),
+    }
+    for k, v in split.items():
+        expected[k] = (len(v), sum(v))
+    assert got == expected
+
+
+def test_recursive_routes_match_naive(run, tables):
+    got = {
+        int(r.nation): (int(r.min_hops), int(r.min_cost), int(r.n_paths))
+        for r in run("graph_recursive_route_cost").itertuples()
+    }
+    li = tables["lineitem"][["l_orderkey", "l_suppkey"]]
+    o = tables["orders"][["o_orderkey", "o_custkey"]]
+    s = tables["supplier"][["s_suppkey", "s_nationkey"]]
+    c = tables["customer"][["c_custkey", "c_nationkey"]]
+    e = (
+        li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+        .merge(s, left_on="l_suppkey", right_on="s_suppkey")
+        .merge(c, left_on="o_custkey", right_on="c_custkey")
+        .groupby(["s_nationkey", "c_nationkey"])
+        .size()
+        .reset_index(name="w")
+    )
+    adj: dict[int, list[tuple[int, int]]] = {}
+    for src, g in e.groupby("s_nationkey"):
+        top = g.sort_values(["w", "c_nationkey"], ascending=[False, True]).head(3)
+        adj[int(src)] = [(int(d), 1000000 // int(w)) for d, w in
+                         zip(top["c_nationkey"], top["w"])]
+    # enumerate all paths from seed 3 up to 3 hops
+    paths = []  # (dst, hops, cost)
+    frontier = [(3, 0, 0)]
+    for _ in range(3):
+        nxt = []
+        for node, hops, cost in frontier:
+            for d, ec in adj.get(node, []):
+                rec = (d, hops + 1, cost + ec)
+                paths.append(rec)
+                nxt.append(rec)
+        frontier = nxt
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [99, 10**18, 0])
+    for d, h, cst in paths:
+        a = agg[d]
+        a[0] = min(a[0], h)
+        a[1] = min(a[1], cst)
+        a[2] += 1
+    assert got == {d: tuple(a) for d, a in agg.items()}
