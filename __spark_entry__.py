@@ -96,68 +96,73 @@ _PLAN_MODULES = (
 _QUERIES, _ORACLE = collect_registries(*_PLAN_MODULES)
 
 # The driver's correctness gate checks the FIRST 50 registry entries in
-# order. After round 3 every one of the 140 round-3 queries has a green
-# driver row (r01: 50, r02: 49 more, r03: the final 41 + 9 re-confirms).
-# Round 4 front-loads the 47 NEW queries (never driver-checked), then
-# the stalest greens: the 8 streaming queries whose last row (r02)
-# predates the events-fixture regeneration, the exact-median query
-# whose plan was rewritten single-pass after the r03 bank — the
-# stream-family re-confirms shrink to 2 to fit (47 + 2 + 1 = 50; the
-# remaining stale greens rotate in next round).
+# order. After round 4 all 187 queries have at least one green driver
+# row (r01: 50, r02: 49, r03: 41, r04: 47 new), but 88 rows are stale
+# (last checked r01/r02). Round 5 drains the freshness backlog: ALL 47
+# queries whose latest row is r02 — the 6 streaming queries whose last
+# check predates the r03 events-fixture regeneration first, then the
+# dedup / similarity / multimodal / text families and the r02 TPC-H
+# block — plus the 3 oldest r01 TPC-H queries (47 + 3 = 50). The
+# remaining 38 r01-era greens rotate in round 6.
 _CHECK_FIRST = (
-    # --- new in round 4, never driver-checked (47) ---
-    "text_entropy_per_source",
-    "join_asof_nearest",
-    "curate_corpus_pipeline_report",
-    "graph_recursive_route_cost",
-    "graph_bfs_reachability",
-    "agg_welch_ttest",
-    "window_rolling_regression",
-    "agg_chi2_independence",
-    "agg_gini_concentration",
-    "text_zipf_fit",
-    "events_rate_spike_zscore",
-    "agg_linear_regression",
-    "agg_benford_profile",
-    "window_ewma_spend",
-    "events_ab_test_lift",
-    "embed_pca_power",
-    "text_unigram_surprisal",
-    "text_readability",
-    "text_boilerplate_strip",
-    "curate_importance_weights",
-    "join_hybrid_skew_split",
-    "curate_quality_filter_cascade",
-    "agg_histogram_quantile_merge",
-    "join_point_in_time",
-    "text_source_divergence",
-    "curate_dataset_cards",
-    "ts_ohlc_bars",
-    "graph_hierarchy_rollup",
-    "events_pattern_vshape",
-    "io_corrupt_record_quarantine",
-    "anomaly_mad_outliers",
-    "ts_weekday_seasonality",
-    "validate_data_contract",
-    "graph_triangle_count",
-    "join_interval_overlap",
-    "text_bigram_rarity",
-    "text_bpe_pair_stats",
-    "curate_mixture_weights",
-    "embed_kmeans_lloyd",
-    "embed_gram_matrix",
-    "io_orc_roundtrip",
-    "io_small_file_compaction",
-    "io_snapshot_diff",
-    "join_spatial_grid",
-    "window_running_distinct",
-    "stream_stream_left_outer",
-    "sim_product_quantize",
-    # --- streaming greens from r02 predating the events-fixture change (8) ---
-    "stream_tumbling_6h",
-    "stream_sliding_6h_3h",
-    # --- plan rewritten after the r03 bank (1) ---
-    "agg_exact_median_distributed",
+    # --- streaming greens from r02 predating the events-fixture change (6) ---
+    "stream_session_windows",
+    "stream_stateful_user_totals",
+    "stream_stream_attribution",
+    "stream_kafka_roundtrip",
+    "stream_dedup_user_event_types",
+    "stream_static_value_buckets",
+    # --- r02 dedup family (7) ---
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_incremental",
+    "dedup_clusters",
+    "dedup_embedding_cosine",
+    # --- r02 similarity family (4) ---
+    "sim_bruteforce_topk",
+    "sim_ivf_topk",
+    "sim_rp_lsh_buckets",
+    "sim_norm_stats",
+    # --- r02 multimodal family (4) ---
+    "multimodal_binary_meta",
+    "multimodal_decode_features",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    # --- r02 text-analysis family (8) ---
+    "text_token_stats",
+    "text_quality_score",
+    "text_language_id",
+    "text_fingerprints",
+    "text_tfidf_top_terms",
+    "text_chunking",
+    "text_stopword_removal",
+    "text_keyword_spans",
+    # --- r02 curation / reshape / sketch (3) ---
+    "curate_pack_sequences",
+    "agg_approx_sketches",
+    "unpivot_customer_metrics",
+    # --- r02 TPC-H block (15) ---
+    "q6_forecast_revenue",
+    "q7_nation_trade_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_item_customers",
+    "q11_important_stock",
+    "q12_priority_by_ship_year",
+    "q13_order_count_histogram",
+    "q15_top_suppliers",
+    "q16_parts_supplier_variety",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q20_excess_stock_suppliers",
+    "q21_sole_delaying_supplier",
+    "q22_dormant_positive_customers",
+    # --- oldest r01 greens (3) ---
+    "q1_pricing_summary",
+    "q2_cheapest_supplier_per_part",
+    "q3_shipping_priority",
 )
 
 

@@ -23,6 +23,15 @@ import sys
 import time
 
 
+# stream_stream_left_outer replays 3 files through availableNow so the
+# watermark genuinely advances across micro-batches; the replay harness
+# itself costs ~3.9s of the query's ~4.3s (dropping to 2 files saved
+# only 0.35s — measured round 4, SCALE.md "bench-regression
+# attribution"). Recorded into bench_full.json so a future slowdown on
+# that query can be split into harness floor vs plan regression.
+_SSLO_REPLAY_FLOOR_SEC = 3.9
+
+
 def _cpu_fingerprint() -> float:
     """Single-thread CPU speed probe (seconds for a fixed pure-python
     loop). Recorded into bench_full.json so cross-round comparisons
@@ -124,6 +133,35 @@ def main() -> None:
     spread = {name: round(max(ts) - min(ts), 3) for name, ts in sorted(runs.items())}
     total = round(sum(timings.values()), 3)
 
+    # Host-drift normalization + per-query comparison vs the best prior
+    # round (bench_baseline.json, checked in; fp_ref is the CPU
+    # fingerprint measured alongside those timings). normalized_sec =
+    # measured * fp_ref / fp_measured: a slower host (bigger
+    # fingerprint) scales timings DOWN, so cross-round ratios compare
+    # code, not hosts. Ratios > 2.0 are flagged as regressions.
+    fp_measured = round((fp_start + fp_end) / 2, 4)
+    normalized_value = None
+    vs_best_prior: dict[str, float] = {}
+    regressions: dict[str, float] = {}
+    baseline_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json"
+    )
+    baseline = None
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            baseline = json.load(f)
+    # per-query ratios only make sense at the baseline's scale factor —
+    # at a smaller sf, fixed per-query overhead dominates and every
+    # ratio reads as a phantom regression
+    if baseline is not None and baseline.get("sf") == sf:
+        scale = baseline["fp_ref"] / fp_measured
+        normalized_value = round(total * scale, 3)
+        for name, sec in timings.items():
+            prior = baseline["queries"].get(name)
+            if prior:
+                vs_best_prior[name] = round(sec * scale / prior, 2)
+        regressions = {n: r for n, r in vs_best_prior.items() if r > 2.0}
+
     # Full detail goes to a FILE (the driver's stdout capture keeps only
     # the last 2000 characters — verified in BENCH_r01/r02, where the
     # ~4.5 KB all-queries JSON line was truncated and "parsed" came back
@@ -142,6 +180,10 @@ def main() -> None:
                 },
                 "rss_per_rep_mb": rss_per_rep,
                 "cpu_fingerprint_sec": {"start": fp_start, "end": fp_end},
+                "normalized_value": normalized_value,
+                "vs_best_prior": vs_best_prior,
+                "regressions_gt_2x": regressions,
+                "stream_stream_left_outer_replay_floor_sec": _SSLO_REPLAY_FLOOR_SEC,
                 "caches_released": released,
                 "reps": reps,
                 "unit": "sec",
@@ -165,7 +207,14 @@ def main() -> None:
         "sf": sf,
         "reps": reps,
         "n_queries": len(timings),
-        "cpu_fp_sec": fp_start,
+        "cpu_fp_sec": fp_measured,
+        "normalized_value": normalized_value,
+        "n_regressed_gt_2x": len(regressions),
+        # worst normalized ratios vs the best prior round, capped so the
+        # headline per-query timings still fit the driver's tail window
+        "vs_best_prior": dict(
+            sorted(vs_best_prior.items(), key=lambda kv: -kv[1])[:8]
+        ),
         "detail": "bench_full.json",
     }
     for name, sec in sorted(timings.items(), key=lambda kv: -kv[1]):

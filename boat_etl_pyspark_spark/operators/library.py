@@ -172,11 +172,20 @@ def pack_sequences(
     return df.withColumn("seq_id", seq)
 
 
+# Auto-sizing target: rows per range partition when the caller doesn't
+# pin `partitions`. 2^26 (~67M) narrow rows is a few GB sorted in one
+# task — comfortably inside executor memory — and sits a factor of 128
+# below the 2^33 monotonically_increasing_id counter bound, so the
+# fail-fast guard below can never fire on an auto-sized rank.
+_RANK_TARGET_ROWS_PER_PARTITION = 1 << 26
+
+
 def global_rank(
     df: DataFrame,
     order_by: list[str],
-    partitions: int = 32,
+    partitions: int | None = None,
     partition_by: list[str] | None = None,
+    rows: int | None = None,
 ) -> DataFrame:
     """Exact global rank (1-based) over ``order_by`` with ONE fact
     exchange and NO global window: range partition (partitions are
@@ -198,10 +207,22 @@ def global_rank(
     HARD BOUND: ``monotonically_increasing_id`` allocates 33 bits to
     the per-partition counter, so any single range partition holding
     more than 2^33 (~8.6e9) rows overflows the local counter into the
-    partition bits and silently corrupts ranks. Size ``partitions`` so
-    rows/partitions stays far below 2^33 — at 100 TB (~1e12 rows)
-    that means >= ~500 partitions, not the local-mode default. The
-    guard below fails fast instead of corrupting."""
+    partition bits and silently corrupts ranks. With ``partitions=None``
+    (the default) the count is sized automatically from the input
+    cardinality — ``rows`` if the caller already knows it, else one
+    map-combined ``df.count()`` — at ``_RANK_TARGET_ROWS_PER_PARTITION``
+    rows per partition (floored at the cluster's default parallelism),
+    which keeps every partition 128x under the bound at any scale: at
+    100 TB (~1e12 rows) that auto-sizes to ~15k partitions. Explicit
+    ``partitions`` is still honored for plan-shape pinning; the guard
+    below fails fast instead of corrupting if it's sized too low."""
+    if partitions is None:
+        n = df.count() if rows is None else rows
+        partitions = max(
+            df.sparkSession.sparkContext.defaultParallelism,
+            -(-n // _RANK_TARGET_ROWS_PER_PARTITION),
+            1,
+        )
     keys = [*(partition_by or []), *order_by]
     numbered = (
         df.repartitionByRange(partitions, *[F.col(c) for c in keys])

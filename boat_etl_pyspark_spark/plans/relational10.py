@@ -80,8 +80,7 @@ def anomaly_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus", cents(F.col("o_totalprice")).alias("p")
     )
     counts = orders.groupBy("o_orderstatus").agg(F.count("*").alias("__n"))
-    ranked = global_rank(orders, ["p"], partitions=8,
-                         partition_by=["o_orderstatus"])
+    ranked = global_rank(orders, ["p"], partition_by=["o_orderstatus"])
     # med/mad are |statuses|-row relations but sit on expensive rank
     # subtrees with multiple downstream consumers — without a persist
     # the dev->mad->final chain re-executes the rank pipeline
@@ -95,8 +94,7 @@ def anomaly_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.lit(2) * F.col("p") - F.col("med2")).alias("d"),
         )
     )
-    ranked_dev = global_rank(dev, ["d"], partitions=8,
-                             partition_by=["o_orderstatus"])
+    ranked_dev = global_rank(dev, ["d"], partition_by=["o_orderstatus"])
     mad = track_persist(_exact_median_2x(ranked_dev, counts, "d", "mad2"))
 
     return (

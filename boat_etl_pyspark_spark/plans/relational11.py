@@ -154,14 +154,17 @@ FROM flagged
 # ---------------------------------------------------------------------------
 
 _SSLO_WM_MIN = 30
+_SSLO_JOIN_INTERVAL_SEC = 3600  # the join's "views from the preceding hour"
 # Null-row cut: a left row's state is evicted (and its NULL emitted)
-# only once the watermark passes p_time + the 1-hour join interval —
-# Spark holds the row for the full interval even though the condition
+# only once the watermark passes p_time + the join interval — Spark
+# holds the row for the full interval even though the condition
 # (v_time <= p_time) means no later view could match. The safety cut
 # therefore subtracts watermark + interval + a 1-minute margin from
-# the global max, measured empirically (2 unmatched purchases inside
-# the final hour never emitted at sf0.01 with an interval-free cut).
-_SSLO_MARGIN_US = (3600 + 60) * 1_000_000
+# the global max (margin validated empirically: 2 unmatched purchases
+# inside the final hour never emitted at sf0.01 with an interval-free
+# cut). Derived from the same constant the join condition uses, so the
+# two can't drift apart.
+_SSLO_MARGIN_US = (_SSLO_JOIN_INTERVAL_SEC + 60) * 1_000_000
 
 
 def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -206,7 +209,11 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         views,
         (F.col("p_user") == F.col("v_user"))
         & (F.col("v_time") <= F.col("p_time"))
-        & (F.col("v_time") >= F.col("p_time") - F.expr("INTERVAL 1 HOUR")),
+        & (
+            F.col("v_time")
+            >= F.col("p_time")
+            - F.expr(f"INTERVAL {_SSLO_JOIN_INTERVAL_SEC} SECONDS")
+        ),
         "left_outer",
     ).select(
         "purchase_id",
@@ -244,7 +251,7 @@ LEFT JOIN events v
   ON v.event_type = 'view'
  AND p.user_id = v.user_id
  AND v.ts <= p.ts
- AND v.ts >= p.ts - INTERVAL 1 HOUR
+ AND v.ts >= p.ts - INTERVAL {_SSLO_JOIN_INTERVAL_SEC} SECONDS
 CROSS JOIN wm
 WHERE p.event_type = 'purchase'
   AND epoch_us(p.ts) <= wm.wm_us - {_SSLO_MARGIN_US}

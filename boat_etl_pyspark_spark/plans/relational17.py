@@ -191,8 +191,8 @@ WITH vals AS (
 )
 SELECT CAST(na AS BIGINT) AS n_a,
        CAST(nb AS BIGINT) AS n_b,
-       CAST(floor(ma * 10) AS BIGINT) AS mean_a_milli_cents,
-       CAST(floor(mb * 10) AS BIGINT) AS mean_b_milli_cents,
+       CAST(floor(ma * 10) AS BIGINT) AS mean_a_deci_cents,
+       CAST(floor(mb * 10) AS BIGINT) AS mean_b_deci_cents,
        CAST(floor((ma - mb) / sqrt(sea + seb) * 1000) AS BIGINT)
          AS t_milli,
        CAST(floor((sea + seb) * (sea + seb)
@@ -236,8 +236,8 @@ WITH vals AS (
 )
 SELECT CAST(na AS BIGINT) AS n_a,
        CAST(nb AS BIGINT) AS n_b,
-       CAST(floor(ma * 10) AS BIGINT) AS mean_a_milli_cents,
-       CAST(floor(mb * 10) AS BIGINT) AS mean_b_milli_cents,
+       CAST(floor(ma * 10) AS BIGINT) AS mean_a_deci_cents,
+       CAST(floor(mb * 10) AS BIGINT) AS mean_b_deci_cents,
        CAST(floor((ma - mb) / sqrt(sea + seb) * 1000) AS BIGINT)
          AS t_milli,
        CAST(floor((sea + seb) * (sea + seb)

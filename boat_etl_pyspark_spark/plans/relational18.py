@@ -81,7 +81,8 @@ GROUP BY dst
 
 
 def graph_recursive_route_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All trade routes from nation 0 up to 3 hops via Spark 4's
+    """All trade routes from the seed nation (``_SEED`` = 3, chosen
+    because it has out-edges at every fixture scale) up to 3 hops via Spark 4's
     native WITH RECURSIVE, aggregated per destination (min hops, min
     additive rarity cost, path count). The engine owns the fixpoint;
     the recursion is bounded by the hops predicate and the

@@ -220,9 +220,7 @@ def agg_exact_median_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderstatus", cents(F.col("o_totalprice")).alias("price_cents")
     )
-    ranked = global_rank(
-        orders, ["price_cents"], partitions=8, partition_by=["o_orderstatus"]
-    )
+    ranked = global_rank(orders, ["price_cents"], partition_by=["o_orderstatus"])
     counts = orders.groupBy("o_orderstatus").agg(F.count("*").alias("__n"))
     lo = F.expr("(__n + 1) DIV 2")
     hi = F.expr("(__n + 2) DIV 2")
@@ -279,7 +277,7 @@ def agg_customer_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "decile_spend_cents bigint, min_spend_cents bigint, "
                 "max_spend_cents bigint"
         )
-    ranked = global_rank(spend, ["spend_cents", "o_custkey"], partitions=8)
+    ranked = global_rank(spend, ["spend_cents", "o_custkey"], rows=n)
     return (
         ranked.withColumn(
             "decile", F.expr(f"(rank - 1) * 10 DIV {n}").cast("bigint")

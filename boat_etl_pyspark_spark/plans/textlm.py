@@ -206,6 +206,7 @@ WITH w AS (
   FROM w
   LATERAL VIEW explode(sequence(0,
       CAST(ceil(size(words) / {_BP_TOKENS}.0) AS INT) - 1)) e AS i
+  WHERE size(words) > 0
 ), h AS (
   SELECT doc_id, block_idx, block, md5(block) AS hh FROM c
 ), boiler AS (
@@ -239,6 +240,7 @@ WITH w AS (
            AS block
   FROM w, UNNEST(range(CAST(ceil(len(words) / {_BP_TOKENS}.0) AS BIGINT)))
            AS t(i)
+  WHERE len(words) > 0
 ), h AS (
   SELECT doc_id, block_idx, block, md5(block) AS hh FROM c
 ), boiler AS (

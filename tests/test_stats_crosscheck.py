@@ -167,6 +167,8 @@ def test_welch_matches_naive(run, tables):
         float(nb) * (nb - 1) * nb
     )
     assert (row.n_a, row.n_b) == (na, nb)
+    assert row.mean_a_deci_cents == math.floor(ma * 10)
+    assert row.mean_b_deci_cents == math.floor(mb * 10)
     assert row.t_milli == math.floor((ma - mb) / math.sqrt(sea + seb) * 1000)
     assert row.dof_milli == math.floor(
         (sea + seb) * (sea + seb)
@@ -339,6 +341,9 @@ def test_boilerplate_strip_matches_hashlib(run, tables):
             docs_per_hash[b].add(doc_id)
     boiler = {b for b, ds in docs_per_hash.items() if len(ds) >= 5}
     for doc_id, bs in blocks.items():
+        if not bs:  # whitespace-only doc: both engines emit no row
+            assert doc_id not in got.index
+            continue
         kept = [b for b in bs if b not in boiler]
         clean = hashlib.md5(" ".join(kept).encode()).hexdigest()
         g = got.loc[doc_id]
@@ -596,3 +601,44 @@ def test_recursive_routes_match_naive(run, tables):
         a[1] = min(a[1], cst)
         a[2] += 1
     assert got == {d: tuple(a) for d, a in agg.items()}
+
+
+def test_boilerplate_strip_whitespace_only_doc(spark, oracle, tmp_path):
+    """Regression (round-5 advice): a whitespace-only document made
+    Spark's sequence(0, -1) auto-step DESCENDING to [0, -1], emitting
+    two phantom ''-block rows while DuckDB's range(0) emitted none.
+    Both engines now filter size(words) > 0, so the doc is absent from
+    both outputs and full parity holds on a fixture that contains one."""
+    import glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as m
+    from tests.test_oracle_parity import frames_equal
+
+    d = str(tmp_path / "sf_ws")
+    os.makedirs(d)
+    for p in glob.glob(os.path.join(SF_SMOKE, "*.parquet")):
+        if os.path.basename(p) != "documents.parquet":
+            os.symlink(p, os.path.join(d, os.path.basename(p)))
+    docs = pq.read_table(os.path.join(SF_SMOKE, "documents.parquet"))
+    ws_id = pa.compute.max(docs["doc_id"]).as_py() + 1
+    extra = pa.table(
+        {
+            "doc_id": pa.array([ws_id], pa.int64()),
+            "text": pa.array(["   "], pa.string()),
+            "lang": pa.array(["en"], pa.string()),
+            "source": pa.array(["ws"], pa.string()),
+            "n_chars": pa.array([3], pa.int64()),
+        }
+    )
+    merged = pa.concat_tables([docs.select(extra.column_names), extra])
+    pq.write_table(merged, os.path.join(d, "documents.parquet"), version="2.6")
+
+    spark_pd = m.queries()["text_boilerplate_strip"](spark, d).toPandas()
+    oracle_pd = oracle(d).execute(m.oracle_sql()["text_boilerplate_strip"]).fetchdf()
+    assert ws_id not in set(spark_pd["doc_id"])
+    assert ws_id not in set(oracle_pd["doc_id"])
+    assert not frames_equal(spark_pd, oracle_pd)
