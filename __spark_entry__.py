@@ -102,8 +102,10 @@ _QUERIES, _ORACLE = collect_registries(*_PLAN_MODULES)
 # queries whose latest row is r02 — the 6 streaming queries whose last
 # check predates the r03 events-fixture regeneration first, then the
 # dedup / similarity / multimodal / text families and the r02 TPC-H
-# block — plus the 3 oldest r01 TPC-H queries (47 + 3 = 50). The
-# remaining 38 r01-era greens rotate in round 6.
+# block — plus the round-5-new sampled skew join (never checked) and
+# the 2 oldest r01 TPC-H queries (47 + 1 + 2 = 50). The remaining 39
+# r01-era greens rotate in round 6 (q3 is also entry()'s flagship, so
+# it keeps a per-round smoke check regardless).
 _CHECK_FIRST = (
     # --- streaming greens from r02 predating the events-fixture change (6) ---
     "stream_session_windows",
@@ -159,10 +161,11 @@ _CHECK_FIRST = (
     "q20_excess_stock_suppliers",
     "q21_sole_delaying_supplier",
     "q22_dormant_positive_customers",
-    # --- oldest r01 greens (3) ---
+    # --- new in round 5, never driver-checked (1) ---
+    "join_hybrid_skew_sampled",
+    # --- oldest r01 greens (2) ---
     "q1_pricing_summary",
     "q2_cheapest_supplier_per_part",
-    "q3_shipping_priority",
 )
 
 

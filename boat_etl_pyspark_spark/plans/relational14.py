@@ -29,31 +29,22 @@ from ..sources.readers import load_table
 # ---------------------------------------------------------------------------
 
 _HOT_KEYS = 100
+# Hot-set sampling for the production variant: at any realistic skew a
+# dominant key appears thousands of times per 1e6 rows, so a 2%
+# Bernoulli sample still surfaces it with near certainty, and the
+# sample's count/top-k cost is 50x smaller than the exact scan. The
+# seed is fixed for run-to-run stability; correctness never depends on
+# WHICH keys are picked (any split is result-identical).
+_HOT_SAMPLE_FRACTION = 0.02
+_HOT_SAMPLE_SEED = 42
 
 
-def join_hybrid_skew_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lineitem ⋈ orders split by key temperature: the ``_HOT_KEYS``
-    most frequent orderkeys join through a broadcast of their (tiny)
-    orders slice; the remaining keys join through the normal
-    shuffle path (pinned to sort-merge so the split is visible in the
-    plan); the union re-aggregates. Result-identical to the plain
-    join by construction — every lineitem row takes exactly one path
-    and meets exactly its matching orders rows. In production the hot
-    set comes from stats or a sample, not a full count; here it is
-    computed exactly so the oracle can reproduce the same split."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_extendedprice", "l_discount"
-    )
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderpriority"
-    )
-    hot = (
-        li.groupBy("l_orderkey")
-        .count()
-        .orderBy(F.desc("count"), "l_orderkey")
-        .limit(_HOT_KEYS)
-        .select(F.col("l_orderkey").alias("hot_key"))
-    )
+def _hybrid_split_join(li: DataFrame, orders: DataFrame, hot: DataFrame) -> DataFrame:
+    """Split both sides on membership in ``hot`` (a tiny one-column
+    key relation), broadcast-join the hot slices, sort-merge-join the
+    cold remainder, union, and re-aggregate. Result-identical to the
+    plain join for ANY ``hot`` set: every lineitem row takes exactly
+    one path and meets exactly its matching orders rows."""
     li_hot = li.join(F.broadcast(hot), li.l_orderkey == hot.hot_key).drop("hot_key")
     li_cold = li.join(
         F.broadcast(hot), li.l_orderkey == hot.hot_key, "left_anti"
@@ -77,6 +68,60 @@ def join_hybrid_skew_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
         ).alias("revenue_cents"),
     )
+
+
+def _hybrid_inputs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    return li, orders
+
+
+def join_hybrid_skew_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem ⋈ orders split by key temperature: the ``_HOT_KEYS``
+    most frequent orderkeys join through a broadcast of their (tiny)
+    orders slice; the remaining keys join through the normal shuffle
+    path (pinned to sort-merge so the split is visible in the plan);
+    the union re-aggregates. This variant computes the hot set with an
+    exact count (top-k via TakeOrderedAndProject, so the full sort
+    never materializes); ``join_hybrid_skew_sampled`` is the
+    production form whose hot set comes from a sample. Both are
+    result-identical to the plain join — the oracle IS the plain
+    join."""
+    li, orders = _hybrid_inputs(spark, sf_dir)
+    hot = (
+        li.groupBy("l_orderkey")
+        .count()
+        .orderBy(F.desc("count"), "l_orderkey")
+        .limit(_HOT_KEYS)
+        .select(F.col("l_orderkey").alias("hot_key"))
+    )
+    return _hybrid_split_join(li, orders, hot)
+
+
+def join_hybrid_skew_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production form of the hybrid skew join: the hot-key set comes
+    from a fixed-seed Bernoulli sample of the fact side
+    (``_HOT_SAMPLE_FRACTION``), not an exact full count — at 100 TB
+    the exact frequency scan is a full extra pass over the fact table,
+    while the sample reads ~2% and any truly hot key is still caught
+    with near certainty. Correctness does NOT depend on the sample:
+    the split is result-identical to the plain join for any hot set
+    (a missed hot key only moves rows to the shuffle path), which is
+    why the oracle is the same plain join as the exact variant."""
+    li, orders = _hybrid_inputs(spark, sf_dir)
+    hot = (
+        li.sample(fraction=_HOT_SAMPLE_FRACTION, seed=_HOT_SAMPLE_SEED)
+        .groupBy("l_orderkey")
+        .count()
+        .orderBy(F.desc("count"), "l_orderkey")
+        .limit(_HOT_KEYS)
+        .select(F.col("l_orderkey").alias("hot_key"))
+    )
+    return _hybrid_split_join(li, orders, hot)
 
 
 _HYBRID_SQL = """
@@ -186,10 +231,14 @@ FROM (
 
 QUERIES = {
     "join_hybrid_skew_split": join_hybrid_skew_split,
+    "join_hybrid_skew_sampled": join_hybrid_skew_sampled,
     "curate_quality_filter_cascade": curate_quality_filter_cascade,
 }
 
 ORACLE = {
     "join_hybrid_skew_split": _HYBRID_SQL,
+    # split-invariance: ANY hot set yields the plain join's result, so
+    # the sampled variant shares the exact variant's oracle verbatim
+    "join_hybrid_skew_sampled": _HYBRID_SQL,
     "curate_quality_filter_cascade": _CASCADE_SQL,
 }

@@ -395,3 +395,14 @@ def test_rolling_regression_one_window_node(spark, queries):
     plan = plan_of(queries["window_rolling_regression"](spark, SF_SMOKE), "simple")
     assert plan.count("Window") == 1
     assert "SinglePartition" not in plan
+
+
+def test_hybrid_skew_sampled_broadcasts_hot_path(spark, queries):
+    """The production skew-join variant must (1) compute its hot set
+    from a Sample of the fact side — never a second full frequency
+    scan — and (2) broadcast the hot slice while the cold remainder
+    takes the pinned sort-merge path."""
+    plan = plan_of(queries["join_hybrid_skew_sampled"](spark, SF_SMOKE), "simple")
+    assert "Sample" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" in plan
