@@ -43,6 +43,7 @@ from boat_etl_pyspark_spark.plans import (
     relational16,
     relational17,
     relational18,
+    relational19,
     curation3,
     textlm,
     io_plans2,
@@ -90,6 +91,7 @@ _PLAN_MODULES = (
     relational16,
     relational17,
     relational18,
+    relational19,
     curation3,
 )
 
@@ -102,11 +104,19 @@ _QUERIES, _ORACLE = collect_registries(*_PLAN_MODULES)
 # queries whose latest row is r02 — the 6 streaming queries whose last
 # check predates the r03 events-fixture regeneration first, then the
 # dedup / similarity / multimodal / text families and the r02 TPC-H
-# block — plus the round-5-new sampled skew join (never checked) and
-# the 2 oldest r01 TPC-H queries (47 + 1 + 2 = 50). The remaining 39
-# r01-era greens rotate in round 6 (q3 is also entry()'s flagship, so
-# it keeps a per-round smoke check regardless).
+# block — minus three r02 TPC-H re-confirms to make room for the SIX
+# round-5-new queries, which have no driver row at all and therefore
+# outrank any stale green (44 + 6 = 50). The remaining 44 stale greens
+# (41 r01 + q20/q21/q22 from r02) rotate in round 6; all were
+# re-verified green this session in the in-repo 187-query sf0.01 sweep.
 _CHECK_FIRST = (
+    # --- new in round 5, never driver-checked (6) ---
+    "join_hybrid_skew_sampled",
+    "ml_target_encoding",
+    "ml_feature_hashing",
+    "ml_class_weights",
+    "window_time_weighted_avg",
+    "agg_weighted_median_twopass",
     # --- streaming greens from r02 predating the events-fixture change (6) ---
     "stream_session_windows",
     "stream_stateful_user_totals",
@@ -158,14 +168,6 @@ _CHECK_FIRST = (
     "q16_parts_supplier_variety",
     "q17_small_quantity_revenue",
     "q19_disjunctive_revenue",
-    "q20_excess_stock_suppliers",
-    "q21_sole_delaying_supplier",
-    "q22_dormant_positive_customers",
-    # --- new in round 5, never driver-checked (1) ---
-    "join_hybrid_skew_sampled",
-    # --- oldest r01 greens (2) ---
-    "q1_pricing_summary",
-    "q2_cheapest_supplier_per_part",
 )
 
 

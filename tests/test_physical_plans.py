@@ -406,3 +406,22 @@ def test_hybrid_skew_sampled_broadcasts_hot_path(spark, queries):
     assert "Sample" in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" in plan
+
+
+def test_twap_single_user_exchange(spark, queries):
+    """The LEAD window and the per-user aggregate must share ONE
+    user_id exchange — hashpartitioning(user_id) satisfies both."""
+    plan = plan_of(queries["window_time_weighted_avg"](spark, SF_SMOKE), "simple")
+    assert plan.count("Exchange") == 1
+
+
+def test_weighted_median_pushes_bucket_filter_no_global_sort(spark, queries):
+    """Pass 2 of the two-pass weighted median must reach the scan with
+    a raw-column predicate (round() on cents is not pushable) and the
+    fact table must never be globally range-sorted — that is the whole
+    point of the histogram-then-refine shape."""
+    plan = plan_of(queries["agg_weighted_median_twopass"](spark, SF_SMOKE))
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters", 1)[1][:400]
+    assert "l_extendedprice" in pushed
+    assert "rangepartitioning" not in plan

@@ -642,3 +642,109 @@ def test_boilerplate_strip_whitespace_only_doc(spark, oracle, tmp_path):
     assert ws_id not in set(spark_pd["doc_id"])
     assert ws_id not in set(oracle_pd["doc_id"])
     assert not frames_equal(spark_pd, oracle_pd)
+
+
+def test_target_encoding_matches_naive(run, tables):
+    got = {r.segment: r for r in run("ml_target_encoding").itertuples()}
+    j = tables["orders"].merge(
+        tables["customer"], left_on="o_custkey", right_on="c_custkey"
+    )
+    j["cents"] = j["o_totalprice"].map(lambda v: rnd(v * 100))
+    seg = {
+        s: (len(g), int(g["cents"].sum()))
+        for s, g in j.groupby("c_mktsegment")
+    }
+    gn = sum(n for n, _ in seg.values())
+    gs = sum(s for _, s in seg.values())
+    assert set(got) == set(seg)
+    for s, (n, tot) in seg.items():
+        r = got[s]
+        assert (r.n_orders, r.mean_cents, r.encoded_cents) == (
+            n,
+            tot // n,
+            (tot * gn + 100 * gs) // ((n + 100) * gn),
+        )
+
+
+def test_feature_hashing_matches_hashlib(run, tables):
+    got = {r.bucket: r for r in run("ml_feature_hashing").itertuples()}
+    from collections import defaultdict
+
+    n_tok = defaultdict(int)
+    toks = defaultdict(set)
+    sgn = defaultdict(int)
+    for name in tables["part"]["p_name"]:
+        for t in name.split(" "):
+            if not t:
+                continue
+            h = hashlib.md5(t.encode()).hexdigest()
+            b = int(h[:6], 16) % 64
+            n_tok[b] += 1
+            toks[b].add(t)
+            sgn[b] += 1 if int(h[6], 16) % 2 == 0 else -1
+    assert set(got) == set(n_tok)
+    for b in n_tok:
+        r = got[b]
+        assert (r.n_tokens, r.n_distinct_tokens, r.feature_val) == (
+            n_tok[b],
+            len(toks[b]),
+            sgn[b],
+        )
+
+
+def test_class_weights_match_naive(run, tables):
+    got = {r.label: r for r in run("ml_class_weights").itertuples()}
+    counts = tables["embeddings"]["label"].value_counts().to_dict()
+    tot, k = sum(counts.values()), len(counts)
+    assert set(got) == set(counts)
+    for lbl, n in counts.items():
+        r = got[lbl]
+        assert (r.n_vectors, r.weight_ppm) == (n, tot * 1_000_000 // (k * n))
+
+
+def test_twap_matches_naive(run, tables):
+    got = {r.user_id: r for r in run("window_time_weighted_avg").itertuples()}
+    ev = tables["events"].copy()
+    ev["us"] = ev["ts"].astype("datetime64[us]").astype("int64")
+    ev["cents"] = ev["value"].map(lambda v: rnd(v * 100))
+    expected = {}
+    for uid, g in ev.groupby("user_id"):
+        g = g.sort_values(["us", "event_id"])
+        us, cents = g["us"].tolist(), g["cents"].tolist()
+        num = den = n_int = 0
+        for i in range(len(us) - 1):
+            dt = us[i + 1] - us[i]
+            if dt > 0:
+                num += int(cents[i]) * dt
+                den += dt
+                n_int += 1
+        if den:
+            expected[uid] = (n_int, den, num // den)
+    assert set(got) == set(expected)
+    for uid, (n_int, den, twap) in expected.items():
+        r = got[uid]
+        assert (r.n_intervals, r.total_dt_us, r.twap_cents) == (n_int, den, twap)
+
+
+def test_weighted_median_matches_naive(run, tables):
+    row = run("agg_weighted_median_twopass").iloc[0]
+    li = tables["lineitem"]
+    vals = sorted(
+        zip(
+            li["l_extendedprice"].map(lambda v: rnd(v * 100)),
+            li["l_quantity"].map(rnd),
+        )
+    )
+    total = sum(w for _, w in vals)
+    run_w = 0
+    med = None
+    for c, w in vals:
+        run_w += w
+        if 2 * run_w >= total:
+            med = c
+            break
+    assert (row.n_items, row.total_weight, row.weighted_median_cents) == (
+        len(vals),
+        total,
+        med,
+    )
