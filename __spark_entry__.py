@@ -44,6 +44,7 @@ from boat_etl_pyspark_spark.plans import (
     relational17,
     relational18,
     relational19,
+    relational20,
     curation3,
     textlm,
     io_plans2,
@@ -92,6 +93,7 @@ _PLAN_MODULES = (
     relational17,
     relational18,
     relational19,
+    relational20,
     curation3,
 )
 
@@ -104,19 +106,20 @@ _QUERIES, _ORACLE = collect_registries(*_PLAN_MODULES)
 # queries whose latest row is r02 — the 6 streaming queries whose last
 # check predates the r03 events-fixture regeneration first, then the
 # dedup / similarity / multimodal / text families and the r02 TPC-H
-# block — minus three r02 TPC-H re-confirms to make room for the SIX
+# block — minus four r02 TPC-H re-confirms to make room for the SEVEN
 # round-5-new queries, which have no driver row at all and therefore
-# outrank any stale green (44 + 6 = 50). The remaining 44 stale greens
-# (41 r01 + q20/q21/q22 from r02) rotate in round 6; all were
+# outrank any stale green (43 + 7 = 50). The remaining 45 stale greens
+# (41 r01 + q19/q20/q21/q22 from r02) rotate in round 6; all were
 # re-verified green this session in the in-repo 187-query sf0.01 sweep.
 _CHECK_FIRST = (
-    # --- new in round 5, never driver-checked (6) ---
+    # --- new in round 5, never driver-checked (7) ---
     "join_hybrid_skew_sampled",
     "ml_target_encoding",
     "ml_feature_hashing",
     "ml_class_weights",
     "window_time_weighted_avg",
     "agg_weighted_median_twopass",
+    "events_user_journey_paths",
     # --- streaming greens from r02 predating the events-fixture change (6) ---
     "stream_session_windows",
     "stream_stateful_user_totals",
@@ -155,7 +158,7 @@ _CHECK_FIRST = (
     "curate_pack_sequences",
     "agg_approx_sketches",
     "unpivot_customer_metrics",
-    # --- r02 TPC-H block (15) ---
+    # --- r02 TPC-H block (11 of 15; q19-q22 rotate in round 6) ---
     "q6_forecast_revenue",
     "q7_nation_trade_volume",
     "q8_market_share",
@@ -167,7 +170,6 @@ _CHECK_FIRST = (
     "q15_top_suppliers",
     "q16_parts_supplier_variety",
     "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue",
 )
 
 

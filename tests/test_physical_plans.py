@@ -425,3 +425,11 @@ def test_weighted_median_pushes_bucket_filter_no_global_sort(spark, queries):
     pushed = plan.split("PushedFilters", 1)[1][:400]
     assert "l_extendedprice" in pushed
     assert "rangepartitioning" not in plan
+
+
+def test_journey_paths_topk_no_global_sort(spark, queries):
+    """The top-20 path cut must ride TakeOrderedAndProject
+    (per-partition heaps), never a global sort of all paths."""
+    plan = plan_of(queries["events_user_journey_paths"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan

@@ -748,3 +748,27 @@ def test_weighted_median_matches_naive(run, tables):
         total,
         med,
     )
+
+
+def test_journey_paths_match_naive(run, tables):
+    got = [
+        (r.path, r.n_occurrences, r.n_users)
+        for r in run("events_user_journey_paths").itertuples()
+    ]
+    from collections import defaultdict
+
+    occ = defaultdict(int)
+    users = defaultdict(set)
+    ev = tables["events"]
+    for uid, g in ev.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        types = g["event_type"].tolist()
+        for i in range(len(types) - 2):
+            p = ">".join(types[i : i + 3])
+            occ[p] += 1
+            users[p].add(uid)
+    expected = sorted(
+        ((p, occ[p], len(users[p])) for p in occ),
+        key=lambda t: (-t[1], t[0]),
+    )[:20]
+    assert got == expected
