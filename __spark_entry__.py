@@ -106,13 +106,13 @@ _QUERIES, _ORACLE = collect_registries(*_PLAN_MODULES)
 # queries whose latest row is r02 — the 6 streaming queries whose last
 # check predates the r03 events-fixture regeneration first, then the
 # dedup / similarity / multimodal / text families and the r02 TPC-H
-# block — minus four r02 TPC-H re-confirms to make room for the SEVEN
+# block — minus six r02 TPC-H re-confirms to make room for the NINE
 # round-5-new queries, which have no driver row at all and therefore
-# outrank any stale green (43 + 7 = 50). The remaining 45 stale greens
-# (41 r01 + q19/q20/q21/q22 from r02) rotate in round 6; all were
-# re-verified green this session in the in-repo 187-query sf0.01 sweep.
+# outrank any stale green (41 + 9 = 50). The remaining 47 stale greens
+# (41 r01 + q16/q17/q19/q20/q21/q22 from r02) rotate in round 6; all
+# were re-verified green this session in the in-repo full sf0.01 sweep.
 _CHECK_FIRST = (
-    # --- new in round 5, never driver-checked (7) ---
+    # --- new in round 5, never driver-checked (9) ---
     "join_hybrid_skew_sampled",
     "ml_target_encoding",
     "ml_feature_hashing",
@@ -120,6 +120,8 @@ _CHECK_FIRST = (
     "window_time_weighted_avg",
     "agg_weighted_median_twopass",
     "events_user_journey_paths",
+    "validate_drift_psi",
+    "events_time_to_convert",
     # --- streaming greens from r02 predating the events-fixture change (6) ---
     "stream_session_windows",
     "stream_stateful_user_totals",
@@ -158,7 +160,7 @@ _CHECK_FIRST = (
     "curate_pack_sequences",
     "agg_approx_sketches",
     "unpivot_customer_metrics",
-    # --- r02 TPC-H block (11 of 15; q19-q22 rotate in round 6) ---
+    # --- r02 TPC-H block (9 of 15; q16-q22 rotate in round 6) ---
     "q6_forecast_revenue",
     "q7_nation_trade_volume",
     "q8_market_share",
@@ -168,8 +170,6 @@ _CHECK_FIRST = (
     "q12_priority_by_ship_year",
     "q13_order_count_histogram",
     "q15_top_suppliers",
-    "q16_parts_supplier_variety",
-    "q17_small_quantity_revenue",
 )
 
 

@@ -772,3 +772,50 @@ def test_journey_paths_match_naive(run, tables):
         key=lambda t: (-t[1], t[0]),
     )[:20]
     assert got == expected
+
+
+def test_drift_psi_matches_naive(run, tables):
+    got = {r.bucket: r for r in run("validate_drift_psi").itertuples()}
+    o = tables["orders"]
+    ref = {}
+    cur = {}
+    for r in o.itertuples():
+        b = min(rnd(r.o_totalprice * 100) * 10 // 60_000_000, 9)
+        era = cur if str(r.o_orderdate) >= "1996-01-01" else ref
+        era[b] = era.get(b, 0) + 1
+    buckets = set(ref) | set(cur)
+    tr, tc, nb = sum(ref.values()), sum(cur.values()), len(buckets)
+    assert set(got) == buckets
+    for b in buckets:
+        nr, nc = ref.get(b, 0), cur.get(b, 0)
+        pr, pc = (nr + 1) / (tr + nb), (nc + 1) / (tc + nb)
+        r = got[b]
+        assert (r.n_ref, r.n_cur) == (nr, nc)
+        assert r.psi_nano == math.floor((pc - pr) * math.log(pc / pr) * 1e9)
+
+
+def test_time_to_convert_matches_naive(run, tables):
+    row = run("events_time_to_convert").iloc[0]
+    ev = tables["events"].copy()
+    ev["us"] = ev["ts"].astype("datetime64[us]").astype("int64")
+    deltas = []
+    n_viewers = 0
+    for uid, g in ev.groupby("user_id"):
+        views = g[g["event_type"] == "view"]["us"]
+        if views.empty:
+            continue
+        n_viewers += 1
+        fv = int(views.min())
+        purchases = g[(g["event_type"] == "purchase") & (g["us"] >= fv)]["us"]
+        if not purchases.empty:
+            deltas.append((int(purchases.min()) - fv) // 1_000_000)
+    deltas.sort()
+    n = len(deltas)
+    lo, hi = (n + 1) // 2, (n + 2) // 2
+    med2 = deltas[lo - 1] + deltas[hi - 1]  # == 2x median for odd n
+    assert (row.n_viewers, row.n_converters, row.conversion_ppm) == (
+        n_viewers,
+        n,
+        n * 1_000_000 // n_viewers,
+    )
+    assert row.median_2x_delta_s == med2
