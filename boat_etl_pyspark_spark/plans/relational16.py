@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 
 from ..operators.library import global_rank
 from ..sources.readers import load_table
+from . import track_persist
 
 # ---------------------------------------------------------------------------
 # Chi-square independence
@@ -122,7 +123,9 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     — ONE range exchange over the per-customer aggregate, never a
     single-partition window — and the i·s_i moment accumulates in
     DECIMAL(38,0), overflow-proof past 1e9 customers."""
-    spend = (
+    # persisted: global_rank's auto-sizing counts its input, and an
+    # unpersisted aggregate would run twice (count + rank passes)
+    spend = track_persist(
         load_table(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(
@@ -198,7 +201,9 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     token): at web-corpus scale the vocabulary is far too large for a
     single-partition ORDER BY window."""
     docs = load_table(spark, sf_dir, "documents")
-    vocab = (
+    # persisted: the tokenize+count aggregate would otherwise run twice
+    # (global_rank's auto-sizing count pass + the rank pass)
+    vocab = track_persist(
         docs.select(
             F.explode(
                 F.expr("filter(split(text, ' '), x -> x != '')")

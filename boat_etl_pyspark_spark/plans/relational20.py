@@ -146,11 +146,14 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     after that view — and the median uses the distributed rank
     primitive, so no step sorts all users in one task."""
     from ..operators.library import global_rank
+    from . import track_persist
 
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", F.unix_micros("ts").alias("us")
     )
-    per_user = (
+    # persisted: consumed by the viewer count, the latency join, and
+    # (transitively) the rank pass
+    per_user = track_persist(
         ev.groupBy("user_id")
         .agg(
             F.min(F.when(F.col("event_type") == "view", F.col("us"))).alias(
@@ -167,7 +170,8 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     # free pass — re-aggregate with the view time joined back in would
     # shuffle twice; instead compute min purchase >= first_view via a
     # second conditional aggregate over the SAME user_id exchange.
-    lat = (
+    # persisted: consumed by the converter count AND the rank pass
+    lat = track_persist(
         ev.where(F.col("event_type") == "purchase")
         .join(per_user.select("user_id", "first_view"), "user_id")
         .where(F.col("us") >= F.col("first_view"))
