@@ -433,3 +433,11 @@ def test_journey_paths_topk_no_global_sort(spark, queries):
     plan = plan_of(queries["events_user_journey_paths"](spark, SF_SMOKE))
     assert "TakeOrderedAndProject" in plan
     assert "rangepartitioning" not in plan
+
+
+def test_batch_diversity_sample_is_topk(spark, queries):
+    """The deterministic 32-vector sample must ride
+    TakeOrderedAndProject — an ORDER BY + LIMIT over the corpus that
+    planned as a global sort would not survive a fleet-scale table."""
+    plan = plan_of(queries["sim_batch_diversity"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan

@@ -819,3 +819,119 @@ def test_time_to_convert_matches_naive(run, tables):
         n * 1_000_000 // n_viewers,
     )
     assert row.median_2x_delta_s == med2
+
+
+def test_ngram_novelty_matches_hashlib(run, tables):
+    got = {r.source: r for r in run("curate_ngram_novelty").itertuples()}
+    from collections import defaultdict
+
+    occ = []  # (source, hash)
+    counts = defaultdict(int)
+    for r in tables["documents"].itertuples():
+        words = [t for t in r.text.split(" ") if t]
+        for i in range(len(words) - 7):
+            h = hashlib.md5(" ".join(words[i : i + 8]).encode()).hexdigest()
+            occ.append((r.source, h))
+            counts[h] += 1
+    per_src = defaultdict(lambda: [0, 0])
+    for src, h in occ:
+        per_src[src][0] += 1
+        per_src[src][1] += counts[h] == 1
+    assert set(got) == set(per_src)
+    for src, (n, u) in per_src.items():
+        r = got[src]
+        assert (r.n_shingles, r.n_unique, r.novelty_ppm) == (
+            n,
+            u,
+            u * 1_000_000 // n,
+        )
+
+
+def test_batch_diversity_matches_numpy(run, tables):
+    row = run("sim_batch_diversity").iloc[0]
+    emb = tables["embeddings"]
+    ordered = sorted(
+        (hashlib.md5(str(int(v)).encode()).hexdigest(), int(v))
+        for v in emb["vec_id"]
+    )[:32]
+    chosen = {v for _, v in ordered}
+    vecs = {
+        int(r.vec_id): [rnd(float(x) * 1000) for x in r.embedding]
+        for r in emb.itertuples()
+        if int(r.vec_id) in chosen
+    }
+    cos = []
+    ids = sorted(vecs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            va, vb = vecs[a], vecs[b]
+            dot = sum(x * y for x, y in zip(va, vb))
+            na = sum(x * x for x in va)
+            nb = sum(y * y for y in vb)
+            if na > 0 and nb > 0:
+                cos.append(math.floor(dot / math.sqrt(na * nb) * 1e6))
+    assert (row.n_pairs, row.sum_cos_micro, row.min_cos_micro, row.max_cos_micro) == (
+        len(cos),
+        sum(cos),
+        min(cos),
+        max(cos),
+    )
+
+
+def test_heaps_law_matches_naive(run, tables):
+    got = {
+        r.decile: (r.cum_docs, r.cum_tokens, r.cum_vocab)
+        for r in run("text_heaps_law").itertuples()
+    }
+    docs = tables["documents"]
+    lo = int(docs["doc_id"].min())
+    hi = int(docs["doc_id"].max()) + 1
+    first = {}
+    nd = [0] * 10
+    nt = [0] * 10
+    for r in docs.itertuples():
+        b = min((int(r.doc_id) - lo) * 10 // (hi - lo), 9)
+        words = [t for t in r.text.split(" ") if t]
+        nd[b] += 1
+        nt[b] += len(words)
+        for t in words:
+            if t not in first or first[t] > b:
+                first[t] = b
+    nv = [0] * 10
+    for b in first.values():
+        nv[b] += 1
+    cum_d = cum_t = cum_v = 0
+    expected = {}  # only deciles holding at least one doc emit a row
+    for b in range(10):
+        cum_d += nd[b]
+        cum_t += nt[b]
+        cum_v += nv[b]
+        if nd[b]:
+            expected[b] = (cum_d, cum_t, cum_v)
+    assert got == expected
+
+
+def test_centroid_drift_matches_numpy(run, tables):
+    got = {r.label: r for r in run("embed_centroid_drift").itertuples()}
+    from collections import defaultdict
+
+    sums = defaultdict(lambda: [0] * 64)
+    ns = defaultdict(int)
+    gsum = [0] * 64
+    gn = 0
+    for r in tables["embeddings"].itertuples():
+        q = [rnd(float(x) * 1000) for x in r.embedding]
+        lbl = int(r.label)
+        ns[lbl] += 1
+        gn += 1
+        for i, v in enumerate(q):
+            sums[lbl][i] += v
+            gsum[i] += v
+    assert set(got) == set(ns)
+    for lbl in ns:
+        diffs = [
+            sums[lbl][i] / ns[lbl] - gsum[i] / gn for i in range(64)
+        ]
+        drift = math.floor(math.sqrt(sum(d * d for d in diffs)))
+        r = got[lbl]
+        assert (r.n_vectors, r.drift_milli) == (ns[lbl], drift)
