@@ -46,6 +46,7 @@ from boat_etl_pyspark_spark.plans import (
     relational19,
     relational20,
     relational21,
+    relational22,
     curation3,
     textlm,
     io_plans2,
@@ -96,6 +97,7 @@ _PLAN_MODULES = (
     relational19,
     relational20,
     relational21,
+    relational22,
     curation3,
 )
 
@@ -108,14 +110,16 @@ _QUERIES, _ORACLE = collect_registries(*_PLAN_MODULES)
 # queries whose latest row is r02 — the 6 streaming queries whose last
 # check predates the r03 events-fixture regeneration first, then the
 # dedup / similarity / multimodal / text families and the r02 TPC-H
-# block — minus ten r02 TPC-H re-confirms to make room for the
-# THIRTEEN round-5-new queries, which have no driver row at all and
-# therefore outrank any stale green (37 + 13 = 50). The remaining 51
-# stale greens (41 r01 + q11/q12/q13/q15/q16/q17/q19/q20/q21/q22 from
-# r02) rotate in round 6; all were re-verified green this session in
-# the in-repo full sf0.01 AND sf0.1 sweeps (`make verify-scale`).
+# block — minus twelve r02 TPC-H re-confirms to make room for the
+# FIFTEEN round-5-new queries, which have no driver row at all and
+# therefore outrank any stale green (35 + 15 = 50). The remaining 53
+# stale greens (41 r01 + the twelve r02 TPC-H queries q9-q22) rotate
+# in round 6; all were re-verified green this session in the in-repo
+# full sf0.01 AND sf0.1 sweeps (`make verify-scale`).
 _CHECK_FIRST = (
-    # --- new in round 5, never driver-checked (13) ---
+    # --- new in round 5, never driver-checked (15) ---
+    "agg_bootstrap_ci_poisson",
+    "window_cusum_changepoint",
     "curate_ngram_novelty",
     "sim_batch_diversity",
     "text_heaps_law",
@@ -167,12 +171,10 @@ _CHECK_FIRST = (
     "curate_pack_sequences",
     "agg_approx_sketches",
     "unpivot_customer_metrics",
-    # --- r02 TPC-H block (5 of 15; q11-q22 rotate in round 6) ---
+    # --- r02 TPC-H block (3 of 15; q9-q22 rotate in round 6) ---
     "q6_forecast_revenue",
     "q7_nation_trade_volume",
     "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_item_customers",
 )
 
 

@@ -935,3 +935,68 @@ def test_centroid_drift_matches_numpy(run, tables):
         drift = math.floor(math.sqrt(sum(d * d for d in diffs)))
         r = got[lbl]
         assert (r.n_vectors, r.drift_milli) == (ns[lbl], drift)
+
+
+def test_bootstrap_ci_matches_hashlib(run, tables):
+    row = run("agg_bootstrap_ci_poisson").iloc[0]
+    o = tables["orders"]
+    o = o.assign(cents=o["o_totalprice"].map(lambda v: rnd(v * 100)))
+    spend = o.groupby("o_custkey")["cents"].sum().astype(int)
+    T = [6172840, 12345680, 15430100, 16458567, 16715718, 16767148]
+
+    def pois(u):
+        for k, t in enumerate(T):
+            if u < t:
+                return k
+        return 6
+
+    B, PER = 60, 5
+    ns = [0] * B
+    ss = [0] * B
+    for ck, cents in spend.items():
+        for j in range(12):
+            h = hashlib.md5(f"{int(ck)}:{j}".encode()).hexdigest()
+            for k in range(PER):
+                b = j * PER + k
+                m = pois(int(h[k * 6 : k * 6 + 6], 16))
+                ns[b] += m
+                ss[b] += m * int(cents)
+    mus = sorted(
+        (ss[b] / ns[b], b) for b in range(B) if ns[b] > 0
+    )
+    nb = len(mus)
+    lo_idx = max(nb * 5 // 100, 1) - 1
+    hi_idx = min(nb * 95 // 100 + 1, nb) - 1
+    assert row.n_resamples == nb
+    assert row.boot_mean_cents == sum(
+        math.floor(mu) for mu, _ in mus
+    ) // nb
+    assert row.ci_lo_cents == math.floor(mus[lo_idx][0])
+    assert row.ci_hi_cents == math.floor(mus[hi_idx][0])
+
+
+def test_cusum_changepoint_matches_naive(run, tables):
+    got = {r.event_type: r for r in run("window_cusum_changepoint").itertuples()}
+    ev = tables["events"].copy()
+    ev["us"] = ev["ts"].astype("datetime64[us]").astype("int64")
+    ev["d"] = ev["us"] // 86_400_000_000
+    expected = {}
+    for et, g in ev.groupby("event_type"):
+        daily = g.groupby("d").size().sort_index()
+        xs = daily.tolist()
+        ds = daily.index.tolist()
+        n, total = len(xs), sum(xs)
+        prefix = 0
+        best = None
+        for t, (d, x) in enumerate(zip(ds, xs), start=1):
+            prefix += x
+            c = n * prefix - t * total
+            key = (-abs(c), d)
+            if best is None or key < best[0]:
+                best = (key, d, abs(c))
+        expected[et] = (n, best[1], best[2], best[2] * 1000 // n)
+    assert set(got) == set(expected)
+    for et, (n, d, mc, dev) in expected.items():
+        r = got[et]
+        assert (r.n_days, r.changepoint_day, r.max_abs_cusum_n,
+                r.deviation_milli) == (n, d, mc, dev)
