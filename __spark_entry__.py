@@ -47,6 +47,7 @@ from boat_etl_pyspark_spark.plans import (
     relational20,
     relational21,
     relational22,
+    relational23,
     curation3,
     textlm,
     io_plans2,
@@ -98,6 +99,7 @@ _PLAN_MODULES = (
     relational20,
     relational21,
     relational22,
+    relational23,
     curation3,
 )
 
@@ -110,14 +112,16 @@ _QUERIES, _ORACLE = collect_registries(*_PLAN_MODULES)
 # queries whose latest row is r02 — the 6 streaming queries whose last
 # check predates the r03 events-fixture regeneration first, then the
 # dedup / similarity / multimodal / text families and the r02 TPC-H
-# block — minus twelve r02 TPC-H re-confirms to make room for the
-# FIFTEEN round-5-new queries, which have no driver row at all and
-# therefore outrank any stale green (35 + 15 = 50). The remaining 53
-# stale greens (41 r01 + the twelve r02 TPC-H queries q9-q22) rotate
+# block — minus fourteen r02 TPC-H re-confirms to make room for the
+# SEVENTEEN round-5-new queries, which have no driver row at all and
+# therefore outrank any stale green (33 + 17 = 50). The remaining 55
+# stale greens (41 r01 + the fourteen r02 TPC-H queries q7-q22) rotate
 # in round 6; all were re-verified green this session in the in-repo
 # full sf0.01 AND sf0.1 sweeps (`make verify-scale`).
 _CHECK_FIRST = (
-    # --- new in round 5, never driver-checked (15) ---
+    # --- new in round 5, never driver-checked (17) ---
+    "events_multitouch_attribution",
+    "agg_survival_kaplan_meier",
     "agg_bootstrap_ci_poisson",
     "window_cusum_changepoint",
     "curate_ngram_novelty",
@@ -171,10 +175,8 @@ _CHECK_FIRST = (
     "curate_pack_sequences",
     "agg_approx_sketches",
     "unpivot_customer_metrics",
-    # --- r02 TPC-H block (3 of 15; q9-q22 rotate in round 6) ---
+    # --- r02 TPC-H block (1 of 15; q7-q22 rotate in round 6) ---
     "q6_forecast_revenue",
-    "q7_nation_trade_volume",
-    "q8_market_share",
 )
 
 

@@ -1000,3 +1000,73 @@ def test_cusum_changepoint_matches_naive(run, tables):
         r = got[et]
         assert (r.n_days, r.changepoint_day, r.max_abs_cusum_n,
                 r.deviation_milli) == (n, d, mc, dev)
+
+
+def test_multitouch_attribution_matches_naive(run, tables):
+    got = {r.channel: r for r in run("events_multitouch_attribution").itertuples()}
+    ev = tables["events"].copy()
+    ev["us"] = ev["ts"].astype("datetime64[us]").astype("int64")
+    from collections import defaultdict
+
+    stats = defaultdict(lambda: [0, 0, 0, 0])  # touches, first, last, linear
+    W = 24 * 3600 * 1_000_000
+    for uid, g in ev.groupby("user_id"):
+        touches = g[g["event_type"].isin(["view", "click", "signup"])]
+        for p in g[g["event_type"] == "purchase"].itertuples():
+            w = touches[(touches["us"] < p.us) & (touches["us"] >= p.us - W)]
+            if w.empty:
+                continue
+            w = w.sort_values(["us", "event_id"])
+            rows = list(w.itertuples())
+            nt = len(rows)
+            for r in rows:
+                stats[r.event_type][0] += 1
+                stats[r.event_type][3] += 1000 // nt
+            stats[rows[0].event_type][1] += 1000
+            stats[rows[-1].event_type][2] += 1000
+    assert set(got) == set(stats)
+    for ch, (nt, ft, lt, lin) in stats.items():
+        r = got[ch]
+        assert (r.n_touches, r.first_touch_milli, r.last_touch_milli,
+                r.linear_milli) == (nt, ft, lt, lin)
+
+
+def test_kaplan_meier_matches_naive(run, tables):
+    got = {r.day: r for r in run("agg_survival_kaplan_meier").itertuples()}
+    ev = tables["events"].copy()
+    ev["us"] = ev["ts"].astype("datetime64[us]").astype("int64")
+    durs = []
+    for uid, g in ev.groupby("user_id"):
+        start = int(g["us"].min())
+        errs = g[g["event_type"] == "error"]["us"]
+        if errs.empty:
+            durs.append(((int(g["us"].max()) - start) // 86_400_000_000, False))
+        else:
+            durs.append(((int(errs.min()) - start) // 86_400_000_000, True))
+    from collections import Counter
+
+    exits = Counter(d for d, _ in durs)
+    events = Counter(d for d, f in durs if f)
+    total = len(durs)
+    # mirror the declared contract exactly: exp of the ordered ln-sum,
+    # not a sequential float product (last-ulp differences could flip
+    # the micro floor)
+    ln_sum = 0.0
+    wiped = False
+    exited = 0
+    expected = {}
+    for day in sorted(exits):
+        n = total - exited
+        ev_d = events.get(day, 0)
+        if ev_d > 0:
+            if ev_d >= n:
+                wiped = True
+            else:
+                ln_sum += math.log(1.0 - float(ev_d) / n)
+            s = 0.0 if wiped else math.exp(ln_sum)
+            expected[day] = (n, ev_d, math.floor(s * 1e6))
+        exited += exits[day]
+    assert set(got) == set(expected)
+    for day, (n, d, s) in expected.items():
+        r = got[day]
+        assert (r.n_risk, r.n_events, r.survival_micro) == (n, d, s)
