@@ -48,6 +48,7 @@ from boat_etl_pyspark_spark.plans import (
     relational21,
     relational22,
     relational23,
+    relational24,
     curation3,
     textlm,
     io_plans2,
@@ -100,6 +101,7 @@ _PLAN_MODULES = (
     relational21,
     relational22,
     relational23,
+    relational24,
     curation3,
 )
 
@@ -112,14 +114,17 @@ _QUERIES, _ORACLE = collect_registries(*_PLAN_MODULES)
 # queries whose latest row is r02 — the 6 streaming queries whose last
 # check predates the r03 events-fixture regeneration first, then the
 # dedup / similarity / multimodal / text families and the r02 TPC-H
-# block — minus fourteen r02 TPC-H re-confirms to make room for the
-# SEVENTEEN round-5-new queries, which have no driver row at all and
-# therefore outrank any stale green (33 + 17 = 50). The remaining 55
-# stale greens (41 r01 + the fourteen r02 TPC-H queries q7-q22) rotate
-# in round 6; all were re-verified green this session in the in-repo
-# full sf0.01 AND sf0.1 sweeps (`make verify-scale`).
+# block — minus the whole r02 TPC-H block and one reshape re-confirm
+# to make room for the NINETEEN round-5-new queries, which have no
+# driver row at all and therefore outrank any stale green
+# (31 + 19 = 50). The remaining 57 stale greens (41 r01 + the fifteen
+# r02 TPC-H queries + unpivot_customer_metrics) rotate in round 6; all
+# were re-verified green this session in the in-repo full sf0.01 AND
+# sf0.1 sweeps (`make verify-scale`).
 _CHECK_FIRST = (
-    # --- new in round 5, never driver-checked (17) ---
+    # --- new in round 5, never driver-checked (19) ---
+    "agg_mann_whitney_u",
+    "io_binary_manifest",
     "events_multitouch_attribution",
     "agg_survival_kaplan_meier",
     "agg_bootstrap_ci_poisson",
@@ -171,12 +176,9 @@ _CHECK_FIRST = (
     "text_chunking",
     "text_stopword_removal",
     "text_keyword_spans",
-    # --- r02 curation / reshape / sketch (3) ---
+    # --- r02 curation / sketch (2 of 3) ---
     "curate_pack_sequences",
     "agg_approx_sketches",
-    "unpivot_customer_metrics",
-    # --- r02 TPC-H block (1 of 15; q7-q22 rotate in round 6) ---
-    "q6_forecast_revenue",
 )
 
 

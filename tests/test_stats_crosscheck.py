@@ -1070,3 +1070,39 @@ def test_kaplan_meier_matches_naive(run, tables):
     for day, (n, d, s) in expected.items():
         r = got[day]
         assert (r.n_risk, r.n_events, r.survival_micro) == (n, d, s)
+
+
+def test_mann_whitney_matches_scipy_free_naive(run, tables):
+    row = run("agg_mann_whitney_u").iloc[0]
+    ev = tables["events"]
+    ev = ev[ev["event_type"] == "purchase"]
+    arms = {0: [], 1: []}
+    for r in ev.itertuples():
+        arms[int(r.user_id) % 2].append(rnd(r.value * 100))
+    allv = sorted(arms[0] + arms[1])
+    n0, n1 = len(arms[0]), len(arms[1])
+    # midrank per distinct value, doubled to stay integral
+    from collections import Counter
+
+    cnt = Counter(allv)
+    before = 0
+    rank2 = {}
+    tie3 = 0
+    for v in sorted(cnt):
+        c = cnt[v]
+        rank2[v] = 2 * (before + 1) + c - 1
+        tie3 += c * c * c - c
+        before += c
+    r0x2 = sum(rank2[v] for v in arms[0])
+    u_a_x2 = r0x2 - n0 * (n0 + 1)
+    n = n0 + n1
+    z = (u_a_x2 / 2 - n0 * n1 / 2) / math.sqrt(
+        n0 * n1 / 12 * ((n + 1) - tie3 / (n * (n - 1)))
+    )
+    assert (row.n_a, row.n_b, row.rank_sum_a_x2, row.u_a_x2) == (
+        n0,
+        n1,
+        r0x2,
+        u_a_x2,
+    )
+    assert row.z_milli == math.floor(z * 1000)
