@@ -49,6 +49,7 @@ from boat_etl_pyspark_spark.plans import (
     relational22,
     relational23,
     relational24,
+    relational25,
     curation3,
     textlm,
     io_plans2,
@@ -102,6 +103,7 @@ _PLAN_MODULES = (
     relational22,
     relational23,
     relational24,
+    relational25,
     curation3,
 )
 
@@ -114,15 +116,18 @@ _QUERIES, _ORACLE = collect_registries(*_PLAN_MODULES)
 # queries whose latest row is r02 — the 6 streaming queries whose last
 # check predates the r03 events-fixture regeneration first, then the
 # dedup / similarity / multimodal / text families and the r02 TPC-H
-# block — minus the whole r02 TPC-H block and one reshape re-confirm
-# to make room for the NINETEEN round-5-new queries, which have no
+# block — minus the whole r02 TPC-H / curation-reshape re-confirms to
+# make room for the TWENTY-ONE round-5-new queries, which have no
 # driver row at all and therefore outrank any stale green
-# (31 + 19 = 50). The remaining 57 stale greens (41 r01 + the fifteen
-# r02 TPC-H queries + unpivot_customer_metrics) rotate in round 6; all
-# were re-verified green this session in the in-repo full sf0.01 AND
-# sf0.1 sweeps (`make verify-scale`).
+# (29 + 21 = 50). The remaining 59 stale greens (41 r01 + the fifteen
+# r02 TPC-H queries + unpivot_customer_metrics, curate_pack_sequences,
+# agg_approx_sketches) rotate in round 6; all were re-verified green
+# this session in the in-repo full sf0.01 AND sf0.1 sweeps
+# (`make verify-scale`).
 _CHECK_FIRST = (
-    # --- new in round 5, never driver-checked (19) ---
+    # --- new in round 5, never driver-checked (21) ---
+    "events_rfm_segmentation",
+    "agg_pareto_abc",
     "agg_mann_whitney_u",
     "io_binary_manifest",
     "events_multitouch_attribution",
@@ -176,9 +181,6 @@ _CHECK_FIRST = (
     "text_chunking",
     "text_stopword_removal",
     "text_keyword_spans",
-    # --- r02 curation / sketch (2 of 3) ---
-    "curate_pack_sequences",
-    "agg_approx_sketches",
 )
 
 

@@ -1106,3 +1106,71 @@ def test_mann_whitney_matches_scipy_free_naive(run, tables):
         u_a_x2,
     )
     assert row.z_milli == math.floor(z * 1000)
+
+
+def test_rfm_segmentation_matches_naive(run, tables):
+    got = {r.segment: (r.n_users, r.segment_cents)
+           for r in run("events_rfm_segmentation").itertuples()}
+    ev = tables["events"]
+    ev = ev[ev["event_type"] == "purchase"].copy()
+    ev["us"] = ev["ts"].astype("datetime64[us]").astype("int64")
+    ev["cents"] = ev["value"].map(lambda v: rnd(v * 100))
+    pu = ev.groupby("user_id").agg(
+        last_us=("us", "max"), freq=("us", "size"), m_cents=("cents", "sum")
+    )
+    n = len(pu)
+
+    def quint(series):
+        order = sorted(zip(series.tolist(), series.index.tolist()))
+        return {
+            uid: (rank * 5) // n + 1
+            for rank, (_, uid) in enumerate(order)
+        }
+
+    rq, fq, mq = quint(pu["last_us"]), quint(pu["freq"]), quint(pu["m_cents"])
+    from collections import defaultdict
+
+    expected = defaultdict(lambda: [0, 0])
+    for uid, row in pu.iterrows():
+        seg = f"R{rq[uid]}F{fq[uid]}M{mq[uid]}"
+        expected[seg][0] += 1
+        expected[seg][1] += int(row.m_cents)
+    assert got == {s: tuple(v) for s, v in expected.items()}
+
+
+def test_pareto_abc_matches_naive(run, tables):
+    got = {r.abc_class: (r.n_parts, r.class_cents, r.revenue_share_ppm)
+           for r in run("agg_pareto_abc").itertuples()}
+    li = tables["lineitem"].copy()
+    li["rev"] = [
+        rnd(p * (1 - d) * 100)
+        for p, d in zip(li["l_extendedprice"], li["l_discount"])
+    ]
+    pp = li.groupby("l_partkey")["rev"].sum().astype(int)
+    lo, hi, total = int(pp.min()), int(pp.max()), int(pp.sum())
+    width = max((hi - lo) // 1024 + 1, 1)
+    from collections import Counter
+
+    hist = Counter()
+    for rev in pp:
+        hist[(int(rev) - lo) // width] += int(rev)
+    cuts = [total * 80 // 100, total * 95 // 100]
+    th, run_w, ci = [], 0, 0
+    for b in sorted(hist, reverse=True):
+        run_w += hist[b]
+        while ci < len(cuts) and run_w >= cuts[ci]:
+            th.append(lo + b * width)
+            ci += 1
+    while len(th) < 2:
+        th.append(lo)
+    t_a, t_b = th
+    expected = {}
+    for cls, sel in (
+        ("A", pp[pp >= t_a]),
+        ("B", pp[(pp >= t_b) & (pp < t_a)]),
+        ("C", pp[pp < t_b]),
+    ):
+        if len(sel):
+            s = int(sel.sum())
+            expected[cls] = (len(sel), s, s * 1_000_000 // total)
+    assert got == expected
