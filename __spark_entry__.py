@@ -50,6 +50,7 @@ from boat_etl_pyspark_spark.plans import (
     relational23,
     relational24,
     relational25,
+    relational26,
     curation3,
     textlm,
     io_plans2,
@@ -104,6 +105,7 @@ _PLAN_MODULES = (
     relational23,
     relational24,
     relational25,
+    relational26,
     curation3,
 )
 
@@ -116,16 +118,19 @@ _QUERIES, _ORACLE = collect_registries(*_PLAN_MODULES)
 # queries whose latest row is r02 — the 6 streaming queries whose last
 # check predates the r03 events-fixture regeneration first, then the
 # dedup / similarity / multimodal / text families and the r02 TPC-H
-# block — minus the whole r02 TPC-H / curation-reshape re-confirms to
-# make room for the TWENTY-ONE round-5-new queries, which have no
-# driver row at all and therefore outrank any stale green
-# (29 + 21 = 50). The remaining 59 stale greens (41 r01 + the fifteen
-# r02 TPC-H queries + unpivot_customer_metrics, curate_pack_sequences,
-# agg_approx_sketches) rotate in round 6; all were re-verified green
+# block — minus the r02 TPC-H / curation-reshape / two text
+# re-confirms to make room for the TWENTY-THREE round-5-new queries,
+# which have no driver row at all and therefore outrank any stale
+# green (27 + 23 = 50). The remaining 61 stale greens (41 r01 + the
+# fifteen r02 TPC-H queries + unpivot_customer_metrics,
+# curate_pack_sequences, agg_approx_sketches, text_stopword_removal,
+# text_keyword_spans) rotate in round 6; all were re-verified green
 # this session in the in-repo full sf0.01 AND sf0.1 sweeps
 # (`make verify-scale`).
 _CHECK_FIRST = (
-    # --- new in round 5, never driver-checked (21) ---
+    # --- new in round 5, never driver-checked (23) ---
+    "window_max_drawdown",
+    "agg_spearman_rho",
     "events_rfm_segmentation",
     "agg_pareto_abc",
     "agg_mann_whitney_u",
@@ -172,15 +177,13 @@ _CHECK_FIRST = (
     "multimodal_decode_features",
     "multimodal_frame_sample",
     "multimodal_resize",
-    # --- r02 text-analysis family (8) ---
+    # --- r02 text-analysis family (6 of 8) ---
     "text_token_stats",
     "text_quality_score",
     "text_language_id",
     "text_fingerprints",
     "text_tfidf_top_terms",
     "text_chunking",
-    "text_stopword_removal",
-    "text_keyword_spans",
 )
 
 

@@ -1174,3 +1174,56 @@ def test_pareto_abc_matches_naive(run, tables):
             s = int(sel.sum())
             expected[cls] = (len(sel), s, s * 1_000_000 // total)
     assert got == expected
+
+
+def test_max_drawdown_matches_naive(run, tables):
+    got = [
+        (r.user_id, r.n_events, r.max_drawdown_cents)
+        for r in run("window_max_drawdown").itertuples()
+    ]
+    ev = tables["events"].copy()
+    ev["us"] = ev["ts"].astype("datetime64[us]").astype("int64")
+    ev["cents"] = ev["value"].map(lambda v: rnd(v * 100))
+    per_user = []
+    for uid, g in ev.groupby("user_id"):
+        g = g.sort_values(["us", "event_id"])
+        cum = peak = 0
+        dd = 0
+        for c in g["cents"]:
+            cum += int(c)
+            peak = max(peak, cum)
+            dd = max(dd, peak - cum)
+        per_user.append((int(uid), len(g), dd))
+    expected = sorted(per_user, key=lambda t: (-t[2], t[0]))[:20]
+    assert got == [(u, n, d) for u, n, d in expected]
+
+
+def test_spearman_matches_naive(run, tables):
+    row = run("agg_spearman_rho").iloc[0]
+    li = tables["lineitem"]
+    xs = [rnd(q) for q in li["l_quantity"]]
+    ys = [rnd(p * 100) for p in li["l_extendedprice"]]
+    from collections import Counter
+
+    def midrank2(vals):
+        cnt = Counter(vals)
+        out = {}
+        before = 0
+        for v in sorted(cnt):
+            out[v] = 2 * (before + 1) + cnt[v] - 1
+            before += cnt[v]
+        return out
+
+    mx, my = midrank2(xs), midrank2(ys)
+    a = [mx[v] for v in xs]
+    b = [my[v] for v in ys]
+    n = len(a)
+    sa, sb = sum(a), sum(b)
+    saa = sum(v * v for v in a)
+    sbb = sum(v * v for v in b)
+    sab = sum(u * v for u, v in zip(a, b))
+    rho = float(n * sab - sa * sb) / math.sqrt(
+        float(n * saa - sa * sa) * float(n * sbb - sb * sb)
+    )
+    assert row.n_items == n
+    assert row.spearman_rho_micro == math.floor(rho * 1e6)
