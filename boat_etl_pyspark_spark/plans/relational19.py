@@ -54,8 +54,13 @@ WITH j AS (
 ), seg AS (
   SELECT segment, COUNT(*) AS n, SUM(CAST(cents AS {{big}})) AS s
   FROM j GROUP BY segment
-), tot AS (
-  SELECT SUM(n) AS gn, SUM(s) AS gs FROM seg
+), segt AS (
+  -- global moments as windows over the tiny segment relation: a
+  -- re-aggregate + cross join would recompute seg (and re-run the
+  -- orders x customer join)
+  SELECT segment, n, s,
+         SUM(n) OVER () AS gn, SUM(s) OVER () AS gs
+  FROM seg
 )
 SELECT segment,
        CAST(n AS BIGINT) AS n_orders,
@@ -63,7 +68,7 @@ SELECT segment,
        CAST((s * gn + {_TE_PRIOR} * gs)
             {{div}} (CAST(n + {_TE_PRIOR} AS {{big}}) * gn) AS BIGINT)
          AS encoded_cents
-FROM seg CROSS JOIN tot
+FROM segt
 """
 
 
@@ -73,8 +78,8 @@ def ml_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     m=100, evaluated as a single integer ratio
     (s*gn + m*gs) / ((n+m)*gn) so no intermediate division loses
     precision. The segment aggregate is map-combined (5 groups); the
-    global moments are a 1-row re-aggregate of it — the fact table is
-    scanned once."""
+    global moments are windows over that tiny relation, so the
+    orders x customer join runs exactly once."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("r19_te_orders")
     load_table(spark, sf_dir, "customer").createOrReplaceTempView(
         "r19_te_customer"
@@ -158,13 +163,13 @@ def ml_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CW_CORE = """
 WITH l AS (
   SELECT label, COUNT(*) AS n FROM {emb} GROUP BY label
-), t AS (
-  SELECT SUM(n) AS tot, COUNT(*) AS k FROM l
+), lt AS (
+  SELECT label, n, SUM(n) OVER () AS tot, COUNT(*) OVER () AS k FROM l
 )
 SELECT CAST(label AS INT) AS label,
        CAST(n AS BIGINT) AS n_vectors,
        CAST(tot * 1000000 {div} (k * n) AS BIGINT) AS weight_ppm
-FROM l CROSS JOIN t
+FROM lt
 """
 
 
@@ -172,8 +177,8 @@ def ml_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Balanced inverse-frequency class weights over embedding labels
     (sklearn's 'balanced' heuristic, integer ppm): weight_c =
     total / (k * n_c). A uniformly-sampled batch reweighted by these
-    trains as if classes were balanced. One tiny aggregate + 1-row
-    cross join."""
+    trains as if classes were balanced. One tiny aggregate; totals are
+    windows over the label relation, so embeddings scan once."""
     load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(
         "r19_cw_emb"
     )

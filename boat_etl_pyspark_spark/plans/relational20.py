@@ -100,8 +100,13 @@ WITH b AS (
          SUM(CASE WHEN era = 0 THEN 1 ELSE 0 END) AS n_ref,
          SUM(CASE WHEN era = 1 THEN 1 ELSE 0 END) AS n_cur
   FROM b GROUP BY bucket
-), t AS (
-  SELECT SUM(n_ref) AS tr, SUM(n_cur) AS tc, COUNT(*) AS nb FROM c
+), ct AS (
+  -- totals as windows over the <=10-row bucket relation: a
+  -- re-aggregate + cross join would recompute c (and rescan orders)
+  SELECT bucket, n_ref, n_cur,
+         SUM(n_ref) OVER () AS tr, SUM(n_cur) OVER () AS tc,
+         COUNT(*) OVER () AS nb
+  FROM c
 )
 SELECT CAST(bucket AS BIGINT) AS bucket,
        CAST(n_ref AS BIGINT) AS n_ref,
@@ -111,7 +116,7 @@ SELECT CAST(bucket AS BIGINT) AS bucket,
                   * ln((CAST(n_cur + 1 AS DOUBLE) / (tc + nb))
                        / (CAST(n_ref + 1 AS DOUBLE) / (tr + nb)))
                   * 1e9) AS BIGINT) AS psi_nano
-FROM c CROSS JOIN t
+FROM ct
 """
 
 
@@ -121,7 +126,8 @@ def validate_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     +1-smoothed so empty buckets stay finite, each term floored to
     nano units before any summing (total PSI = sum of psi_nano
     downstream). Both histograms come from ONE conditional-agg scan;
-    totals are a 1-row broadcast. ln() is the same libm double in
+    totals are windows over the 10-row bucket relation (never a
+    second fact pass). ln() is the same libm double in
     both engines — verified bit-identical earlier in this repo."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView(
         "r20_psi_orders"

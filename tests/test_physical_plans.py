@@ -441,3 +441,43 @@ def test_batch_diversity_sample_is_topk(spark, queries):
     planned as a global sort would not survive a fleet-scale table."""
     plan = plan_of(queries["sim_batch_diversity"](spark, SF_SMOKE))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_bootstrap_has_no_row_explosion(spark, queries):
+    """The Poisson bootstrap's whole point is that 60 resamples cost
+    ZERO row multiplication — the plan must contain no Generate
+    (explode) node over the fact side."""
+    plan = plan_of(queries["agg_bootstrap_ci_poisson"](spark, SF_SMOKE), "simple")
+    assert "Generate" not in plan
+
+
+def test_psi_single_scan(spark, queries):
+    """Both era histograms must come from ONE conditional-agg pass —
+    exactly one parquet scan of orders in the plan (the totals are
+    windows over the bucket relation, not a re-aggregate that would
+    rescan the fact)."""
+    plan = plan_of(queries["validate_drift_psi"](spark, SF_SMOKE), "simple")
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_target_encoding_two_scans(spark, queries):
+    """One scan of orders + one of customer; the global moments are
+    windows over the segment relation, never a second fact pass."""
+    plan = plan_of(queries["ml_target_encoding"](spark, SF_SMOKE), "simple")
+    assert plan.count("FileScan parquet") == 2
+
+
+def test_attribution_windows_share_purchase_exchange(spark, queries):
+    """Both attribution rank windows must ride one purchase_id
+    exchange."""
+    plan = plan_of(
+        queries["events_multitouch_attribution"](spark, SF_SMOKE), "simple"
+    )
+    assert plan.count("hashpartitioning(purchase_id") == 1
+
+
+def test_drawdown_single_user_exchange(spark, queries):
+    """Cumsum, running max, and the per-user reduction share one
+    user_id exchange."""
+    plan = plan_of(queries["window_max_drawdown"](spark, SF_SMOKE), "simple")
+    assert plan.count("hashpartitioning(user_id") == 1
