@@ -119,12 +119,19 @@ GROUP BY 1
 # Per-language corpus divergence (total variation, integer ppm)
 # ---------------------------------------------------------------------------
 
+# built once in the DataFrame layer and persisted (bounded by
+# |vocab| x |langs|, the cacheable summary): four CTE references would
+# inline-and-recompute the tokenize+count pass four times
+_DIVERGENCE_COUNTS_SPARK = """
+SELECT lang, t, COUNT(*) AS c
+FROM (SELECT lang, explode(filter(split(text, ' '), x -> x != '')) AS t
+      FROM {docs})
+GROUP BY 1, 2
+"""
+
 _DIVERGENCE_SPARK = """
-WITH tok AS (
-  SELECT lang, explode(filter(split(text, ' '), x -> x != '')) AS t
-  FROM {docs}
-), lang_counts AS (
-  SELECT lang, t, COUNT(*) AS c FROM tok GROUP BY 1, 2
+WITH lang_counts AS (
+  SELECT lang, t, c FROM {counts}
 ), lang_totals AS (
   SELECT lang, SUM(c) AS n FROM lang_counts GROUP BY 1
 ), corpus_counts AS (
@@ -186,8 +193,14 @@ def text_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary. Floored integer ppm keeps the sum associative; the
     per-language expansion is |vocab| x |langs| rows of three BIGINTs
     — bounded by vocabulary, not corpus size."""
+    from . import track_persist
+
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("__docs_div")
-    return spark.sql(_DIVERGENCE_SPARK.format(docs="__docs_div"))
+    counts = track_persist(
+        spark.sql(_DIVERGENCE_COUNTS_SPARK.format(docs="__docs_div"))
+    )
+    counts.createOrReplaceTempView("__docs_div_counts")
+    return spark.sql(_DIVERGENCE_SPARK.format(counts="__docs_div_counts"))
 
 
 # ---------------------------------------------------------------------------

@@ -283,7 +283,13 @@ def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DSIR_BUCKETS = 256
 _DSIR_TARGET_CHARS = 400
 
-_DSIR_SPARK = f"""
+# the (doc, bucket) count relation is built ONCE in the DataFrame
+# layer and persisted (bounded: docs x <=256 rows) — every downstream
+# relation (bucket distributions, per-doc scoring join) derives from
+# it, so the corpus is tokenized exactly once. Expressing it as a CTE
+# would inline-and-recompute the bigram explode at every reference
+# (measured: 3 tokenize passes).
+_DSIR_DOCBUCKET_SPARK = f"""
 WITH w AS (
   SELECT doc_id, n_chars >= {_DSIR_TARGET_CHARS} AS is_target,
          filter(split(text, ' '), x -> x != '') AS t
@@ -295,25 +301,31 @@ WITH w AS (
                    16, 10) AS BIGINT) % {_DSIR_BUCKETS} AS bucket
   FROM w LATERAL VIEW explode(sequence(1, size(t) - 1)) e AS i
   WHERE size(t) >= 2
-), dist AS (
-  SELECT bucket, COUNT(*) AS q_c,
-         SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS p_c
-  FROM bg GROUP BY bucket
-), tot AS (
-  SELECT SUM(q_c) AS tq, SUM(p_c) AS tp FROM dist
+)
+SELECT doc_id, is_target, bucket, COUNT(*) AS c
+FROM bg GROUP BY doc_id, is_target, bucket
+"""
+
+_DSIR_SCORE_SPARK = f"""
+WITH dist AS (
+  SELECT bucket, SUM(c) AS q_c,
+         SUM(CASE WHEN is_target THEN c ELSE 0 END) AS p_c
+  FROM {{docbucket}} GROUP BY bucket
+), distt AS (
+  SELECT bucket, q_c, p_c,
+         SUM(q_c) OVER () AS tq, SUM(p_c) OVER () AS tp
+  FROM dist
 ), lam AS (
   SELECT bucket,
          ln((CAST(p_c + 1 AS DOUBLE) / CAST(tp + {_DSIR_BUCKETS} AS DOUBLE))
             / (CAST(q_c + 1 AS DOUBLE)
                / CAST(tq + {_DSIR_BUCKETS} AS DOUBLE))) AS lr
-  FROM dist CROSS JOIN tot
-), docbucket AS (
-  SELECT doc_id, bucket, COUNT(*) AS c FROM bg GROUP BY doc_id, bucket
+  FROM distt
 )
 SELECT d.doc_id,
        SUM(d.c) AS n_bigrams,
        SUM(CAST(floor(d.c * l.lr * 1000000) AS BIGINT)) AS weight_micro
-FROM docbucket d JOIN lam l ON d.bucket = l.bucket
+FROM {{docbucket}} d JOIN lam l ON d.bucket = l.bucket
 GROUP BY d.doc_id
 """
 
@@ -356,11 +368,19 @@ def curate_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR hashed-bigram importance weights: target = long documents,
     features = md5-hashed bigrams in 256 buckets, per-document weight
     = sum of count * log-likelihood-ratio, +1-smoothed. ONE corpus
-    shuffle builds (doc, bucket) counts; the 256-row log-ratio table
-    joins back broadcast-size. Terms are floored to integer
-    micro-nats before summing so the weight is order-independent."""
+    shuffle builds the persisted (doc, bucket) counts; both bucket
+    distributions and the scoring join read that relation (the corpus
+    tokenizes exactly once), and the 256-row log-ratio table joins
+    back broadcast-size. Terms are floored to integer micro-nats
+    before summing so the weight is order-independent."""
+    from . import track_persist
+
     docs = _docs_view(spark, sf_dir, "textlm_dsir_docs")
-    return spark.sql(_DSIR_SPARK.format(docs=docs))
+    docbucket = track_persist(
+        spark.sql(_DSIR_DOCBUCKET_SPARK.format(docs=docs))
+    )
+    docbucket.createOrReplaceTempView("textlm_dsir_docbucket")
+    return spark.sql(_DSIR_SCORE_SPARK.format(docbucket="textlm_dsir_docbucket"))
 
 
 QUERIES = {
