@@ -118,14 +118,15 @@ _QUERIES, _ORACLE = collect_registries(*_PLAN_MODULES)
 # queries whose latest row is r02 — the 6 streaming queries whose last
 # check predates the r03 events-fixture regeneration first, then the
 # dedup / similarity / multimodal / text families and the r02 TPC-H
-# block — minus the r02 TPC-H / curation-reshape / two text
-# re-confirms to make room for the TWENTY-THREE round-5-new queries,
-# which have no driver row at all and therefore outrank any stale
-# green (27 + 23 = 50). The remaining 61 stale greens (41 r01 + the
-# fifteen r02 TPC-H queries + unpivot_customer_metrics,
-# curate_pack_sequences, agg_approx_sketches, text_stopword_removal,
-# text_keyword_spans) rotate in round 6; all were re-verified green
-# this session in the in-repo full sf0.01 AND sf0.1 sweeps
+# block — re-confirms trimmed to make room for the TWENTY-THREE
+# round-5-new queries (no driver row at all, so they outrank any stale
+# green) and the TWO queries whose plans were rewritten tokenize-once
+# after their last driver row (23 + 2 + 25 stale = 50). The remaining
+# 63 stale greens (41 r01 + the fifteen r02 TPC-H queries +
+# unpivot_customer_metrics, curate_pack_sequences, agg_approx_sketches,
+# text_stopword_removal, text_keyword_spans, text_tfidf_top_terms,
+# text_chunking) rotate in round 6; all were re-verified green this
+# session in the in-repo full sf0.01 AND sf0.1 sweeps
 # (`make verify-scale`).
 _CHECK_FIRST = (
     # --- new in round 5, never driver-checked (23) ---
@@ -177,13 +178,14 @@ _CHECK_FIRST = (
     "multimodal_decode_features",
     "multimodal_frame_sample",
     "multimodal_resize",
-    # --- r02 text-analysis family (6 of 8) ---
+    # --- r02 text-analysis family (4 of 8) ---
     "text_token_stats",
     "text_quality_score",
     "text_language_id",
     "text_fingerprints",
-    "text_tfidf_top_terms",
-    "text_chunking",
+    # --- plans rewritten tokenize-once after their last driver row (2) ---
+    "curate_importance_weights",
+    "text_source_divergence",
 )
 
 
