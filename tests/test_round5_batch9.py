@@ -1,0 +1,200 @@
+"""Third-implementation cross-checks for the round-5 batch-9
+operators (`plans/relational27.py`): each statistic is recomputed in
+pure Python from the parquet fixtures, independent of both the Spark
+plan and the DuckDB oracle, with exact ``==`` comparisons on the
+scaled-integer contracts (per-term floors + arbitrary-precision int
+sums match the DECIMAL(38,0)/HUGEINT accumulators exactly).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import Counter, defaultdict
+
+import pandas as pd
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+
+def rnd(v: float) -> int:
+    return int(math.copysign(math.floor(abs(v) + 0.5), v))
+
+
+@pytest.fixture(scope="module")
+def tables():
+    import glob
+    import os
+
+    out = {}
+    for p in glob.glob(os.path.join(SF_SMOKE, "*.parquet")):
+        out[os.path.basename(p).replace(".parquet", "")] = pd.read_parquet(p)
+    return out
+
+
+@pytest.fixture(scope="module")
+def run(spark):
+    import __spark_entry__ as m
+
+    qs = m.queries()
+
+    def _run(name: str) -> pd.DataFrame:
+        from boat_etl_pyspark_spark.plans import release_caches
+
+        try:
+            return qs[name](spark, SF_SMOKE).toPandas()
+        finally:
+            release_caches(spark)
+
+    return _run
+
+
+def test_ks_matches_naive_ecdf_scan(run, tables):
+    row = run("agg_ks_test").iloc[0]
+    li = tables["lineitem"]
+    a = sorted(
+        int(math.floor(p))
+        for p in li.loc[li.l_returnflag == "R", "l_extendedprice"]
+    )
+    b = sorted(
+        int(math.floor(p))
+        for p in li.loc[li.l_returnflag == "N", "l_extendedprice"]
+    )
+    na, nb = len(a), len(b)
+    ca, cb = Counter(a), Counter(b)
+    cum_a = cum_b = maxdiff = 0
+    for g in sorted(set(a) | set(b)):
+        cum_a += ca.get(g, 0)
+        cum_b += cb.get(g, 0)
+        maxdiff = max(maxdiff, abs(cum_a * nb - cum_b * na))
+    assert (row.n_r, row.n_n) == (na, nb)
+    assert row.ks_d_ppm == maxdiff * 1_000_000 // (na * nb)
+
+
+def test_autocorrelation_matches_naive_series(run, tables):
+    got = {
+        r.lag_days: (r.n_pairs, r.acf_micro)
+        for r in run("agg_autocorrelation").itertuples()
+    }
+    orders = tables["orders"].copy()
+    orders["d"] = pd.to_datetime(orders["o_orderdate"]).dt.normalize()
+    orders["cents"] = orders["o_totalprice"].map(lambda v: rnd(v * 100))
+    daily = orders.groupby("d")["cents"].sum().to_dict()
+    for lag in (1, 2, 3, 7):
+        pairs = [
+            (int(x), int(daily[d - pd.Timedelta(days=lag)]))
+            for d, x in daily.items()
+            if d - pd.Timedelta(days=lag) in daily
+        ]
+        n = len(pairs)
+        sx = sum(x for x, _ in pairs)
+        sy = sum(y for _, y in pairs)
+        sxx = sum(x * x for x, _ in pairs)
+        syy = sum(y * y for _, y in pairs)
+        sxy = sum(x * y for x, y in pairs)
+        rho = float(n * sxy - sx * sy) / math.sqrt(
+            float(n * sxx - sx * sx) * float(n * syy - sy * sy)
+        )
+        assert got[lag] == (n, math.floor(rho * 1e6)), f"lag {lag}"
+
+
+def test_theil_matches_naive_terms(run, tables):
+    row = run("agg_theil_index").iloc[0]
+    orders = tables["orders"].copy()
+    orders["cents"] = orders["o_totalprice"].map(lambda v: rnd(v * 100))
+    spend = orders.groupby("o_custkey")["cents"].sum()
+    n, s = len(spend), int(spend.sum())
+    term_sum = sum(
+        math.floor((float(c) * n / float(s))
+                   * math.log(float(c) * n / float(s)) * 1e9)
+        for c in spend
+    )
+    assert row.n_customers == n
+    assert row.theil_term_sum_nano == term_sum
+    assert row.theil_nano == term_sum // n
+    assert row.theil_nano > 0  # spread exists; also guards idiv sign
+
+
+def test_mutual_information_matches_naive_counts(run, tables):
+    row = run("ml_mutual_information").iloc[0]
+    li = tables["lineitem"]
+    joint = Counter(zip(li.l_returnflag, li.l_linestatus))
+    n = sum(joint.values())
+    cx = Counter()
+    cy = Counter()
+    for (x, y), c in joint.items():
+        cx[x] += c
+        cy[y] += c
+    mi = sum(
+        math.floor((c / n) * math.log(c * n / (float(cx[x]) * cy[y])) * 1e9)
+        for (x, y), c in joint.items()
+    )
+    hx = sum(
+        math.floor(-(float(c) / n) * math.log(float(c) / n) * 1e9)
+        for c in cx.values()
+    )
+    hy = sum(
+        math.floor(-(float(c) / n) * math.log(float(c) / n) * 1e9)
+        for c in cy.values()
+    )
+    assert row.n_rows == n
+    assert row.mi_nano_nats == mi
+    assert row.h_flag_nano_nats == hx
+    assert row.h_status_nano_nats == hy
+    assert row.nmi_milli == mi * 1000 // min(hx, hy)
+
+
+def test_kfold_matches_naive_md5_and_balances(run, tables):
+    got = run("ml_kfold_assign")
+    cust = tables["customer"].copy()
+    cust["fold"] = cust["c_custkey"].map(
+        lambda k: int(hashlib.md5(str(k).encode()).hexdigest()[:6], 16) % 5
+    )
+    cust["bal_cents"] = cust["c_acctbal"].map(lambda v: rnd(v * 100))
+    grouped = cust.groupby(["c_mktsegment", "fold"])
+    exp = {
+        (seg, fold): (len(g), int(g["bal_cents"].sum()))
+        for (seg, fold), g in grouped
+    }
+    seg_tot = cust.groupby("c_mktsegment").size().to_dict()
+    assert len(got) == len(exp)
+    for r in got.itertuples():
+        n, bal = exp[(r.segment, r.fold)]
+        assert (r.n_customers, r.sum_bal_cents) == (n, bal)
+        assert r.share_milli == n * 1000 // seg_tot[r.segment]
+        if seg_tot[r.segment] >= 100:
+            # stratified balance: fold within ~2x of the uniform share
+            # (statistical property — only meaningful above tiny strata)
+            assert 80 <= r.share_milli <= 320
+    # floors of the five shares sum to ~1000 within each segment
+    for seg, g in got.groupby("segment"):
+        assert 1000 - 5 < g["share_milli"].sum() <= 1000
+
+
+def test_bigram_perplexity_matches_naive_lm(run, tables):
+    got = {
+        r.source: (r.n_bigrams, r.nll_sum_nano, r.xent_nano_per_bigram)
+        for r in run("text_bigram_perplexity").itertuples()
+    }
+    docs = tables["documents"]
+    freq: Counter = Counter()
+    ctx: Counter = Counter()
+    vocab = set()
+    per_source = defaultdict(list)
+    for r in docs.itertuples():
+        toks = [t for t in r.text.split(" ") if t]
+        vocab.update(toks)
+        bgs = list(zip(toks, toks[1:]))
+        per_source[r.source].extend(bgs)
+        freq.update(bgs)
+    for (w1, _), c in freq.items():
+        ctx[w1] += c
+    v = len(vocab)
+    for source, bgs in per_source.items():
+        nll = sum(
+            math.floor(-math.log((freq[bg] + 1) / (float(ctx[bg[0]]) + v))
+                       * 1e9)
+            for bg in bgs
+        )
+        assert got[source] == (len(bgs), nll, nll // len(bgs)), source
