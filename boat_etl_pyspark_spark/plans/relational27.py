@@ -58,18 +58,17 @@ WITH v AS (
          SUM(CASE WHEN flag = 'R' THEN 1 ELSE 0 END) AS ca,
          SUM(CASE WHEN flag = 'N' THEN 1 ELSE 0 END) AS cb
   FROM v GROUP BY g
-), tot AS (
-  SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb
-  FROM cnt
 ), cum AS (
   SELECT SUM(ca) OVER (ORDER BY g) AS cuma,
-         SUM(cb) OVER (ORDER BY g) AS cumb
+         SUM(cb) OVER (ORDER BY g) AS cumb,
+         SUM(ca) OVER () AS na,
+         SUM(cb) OVER () AS nb
   FROM cnt
 ), d AS (
-  SELECT MAX(abs(CAST(cuma AS {big}) * t.nb - CAST(cumb AS {big}) * t.na))
+  SELECT MAX(abs(CAST(cuma AS {big}) * nb - CAST(cumb AS {big}) * na))
            AS maxdiff,
-         MAX(t.na) AS na, MAX(t.nb) AS nb
-  FROM cum CROSS JOIN tot t
+         MAX(na) AS na, MAX(nb) AS nb
+  FROM cum
 )
 SELECT CAST(na AS BIGINT) AS n_r,
        CAST(nb AS BIGINT) AS n_n,
@@ -81,10 +80,12 @@ FROM d
 
 def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact two-sample KS distance between the 'R' and 'N'
-    extended-price distributions on a $1 grid. One conditional count
-    aggregate per grid cell, one window over the grid (cardinality
-    bounded by the grid, not the data), and an integer max — D in ppm
-    with zero float arithmetic."""
+    extended-price distributions on a $1 grid. ONE fact scan: the
+    sample totals ride the same single-partition grid window as the
+    running counts (full-frame SUM() OVER ()), so no second
+    aggregate re-reads the table. The window's cardinality is
+    bounded by the grid, not the data, and D in ppm never touches a
+    float."""
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
         "r27_ks_lineitem"
     )
@@ -103,14 +104,27 @@ _KS_DUCK = _KS_CORE.format(lineitem="lineitem", big="HUGEINT", idiv="//")
 
 _ACF_CORE = """
 WITH daily AS (
-  SELECT CAST(o_orderdate AS DATE) AS d,
+  SELECT {dayidx} AS di,
          SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
   FROM {orders} GROUP BY o_orderdate
+), lagged AS (
+  SELECT cents AS x,
+         MAX(cents) OVER (ORDER BY di
+             RANGE BETWEEN 1 PRECEDING AND 1 PRECEDING) AS y1,
+         MAX(cents) OVER (ORDER BY di
+             RANGE BETWEEN 2 PRECEDING AND 2 PRECEDING) AS y2,
+         MAX(cents) OVER (ORDER BY di
+             RANGE BETWEEN 3 PRECEDING AND 3 PRECEDING) AS y3,
+         MAX(cents) OVER (ORDER BY di
+             RANGE BETWEEN 7 PRECEDING AND 7 PRECEDING) AS y7
+  FROM daily
 ), pairs AS (
-  SELECT l.lag, a.cents AS x, b.cents AS y
-  FROM {lags}
-  JOIN daily a ON true
-  JOIN daily b ON b.d = {datesub}
+  SELECT l.lag, x,
+         CASE l.lag WHEN 1 THEN y1 WHEN 2 THEN y2
+                    WHEN 3 THEN y3 ELSE y7 END AS y
+  FROM lagged CROSS JOIN {lags}
+  WHERE CASE l.lag WHEN 1 THEN y1 WHEN 2 THEN y2
+                   WHEN 3 THEN y3 ELSE y7 END IS NOT NULL
 ), s AS (
   SELECT lag, COUNT(*) AS n,
          SUM(CAST(x AS {big})) AS sx, SUM(CAST(y AS {big})) AS sy,
@@ -131,12 +145,13 @@ ORDER BY lag_days
 
 
 def agg_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lag-{1,2,3,7} autocorrelation of daily order revenue. The fact
-    table collapses to one tiny per-day aggregate first; the lagged
-    self-join and exact integer Pearson sums then run on ~10^3 rows
-    per lag regardless of fact-table scale (broadcast both sides).
-    Pairs exist only where both days are observed — the series has no
-    imputation."""
+    """Lag-{1,2,3,7} autocorrelation of daily order revenue from ONE
+    fact scan: the table collapses to a tiny per-day aggregate, and
+    each lag's partner value comes from a degenerate RANGE frame
+    (exactly `lag` days back) over the same day-index sort — no
+    self-join, so the daily relation is never derived twice. Pairs
+    exist only where both days are observed (NULL frames drop); the
+    Pearson sums are exact DECIMAL(38,0)/HUGEINT."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView(
         "r27_acf_orders"
     )
@@ -144,7 +159,7 @@ def agg_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ACF_CORE.format(
             orders="r27_acf_orders",
             lags="(VALUES (1), (2), (3), (7)) AS l(lag)",
-            datesub="date_sub(a.d, l.lag)",
+            dayidx="datediff(CAST(o_orderdate AS DATE), DATE '1990-01-01')",
             big="DECIMAL(38,0)",
         )
     )
@@ -153,7 +168,7 @@ def agg_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ACF_DUCK = _ACF_CORE.format(
     orders="orders",
     lags="(VALUES (1), (2), (3), (7)) AS l(lag)",
-    datesub="a.d - l.lag",
+    dayidx="CAST(o_orderdate AS DATE) - DATE '1990-01-01'",
     big="HUGEINT",
 )
 
@@ -188,8 +203,12 @@ def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theil T index of per-customer spend: mean of (x/mu)*ln(x/mu)
     over customers with orders. Per-customer terms are floored to
     nano units BEFORE the sum (order-independent, engine-exact); the
-    1-row totals relation broadcasts, so the whole statistic is one
-    aggregate pass over the per-customer aggregate. Theil is
+    1-row totals relation broadcasts. The per-customer relation IS
+    derived twice (totals + terms) — deliberate: it is NOT tiny at
+    scale, so a full-frame window over it would serialize through
+    one task, while the second derivation is a 2-column map-combined
+    re-aggregate of the same pruned scan (see SCALE.md's
+    multi-referenced-CTE audit for the decision rule). Theil is
     additively decomposable — the production form of 'which source
     concentrates the spend' drill-downs."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView(
@@ -212,49 +231,50 @@ _MI_CORE = """
 WITH j AS (
   SELECT l_returnflag AS x, l_linestatus AS y, COUNT(*) AS c
   FROM {lineitem} GROUP BY l_returnflag, l_linestatus
-), tot AS (
-  SELECT CAST(SUM(c) AS BIGINT) AS n FROM j
-), mx AS (
-  SELECT x, SUM(c) AS cx FROM j GROUP BY x
-), my AS (
-  SELECT y, SUM(c) AS cy FROM j GROUP BY y
-), mi AS (
-  SELECT SUM(CAST(floor((CAST(j.c AS DOUBLE) / t.n)
-                        * ln(CAST(j.c AS DOUBLE) * t.n
-                             / (CAST(mx.cx AS DOUBLE) * my.cy))
-                        * 1e9) AS BIGINT)) AS mi_nano
+), w AS (
+  SELECT c,
+         SUM(c) OVER (PARTITION BY x) AS cx,
+         SUM(c) OVER (PARTITION BY y) AS cy,
+         SUM(c) OVER () AS n,
+         ROW_NUMBER() OVER (PARTITION BY x ORDER BY y) AS rnx,
+         ROW_NUMBER() OVER (PARTITION BY y ORDER BY x) AS rny
   FROM j
-  JOIN mx ON j.x = mx.x
-  JOIN my ON j.y = my.y
-  CROSS JOIN tot t
-), hx AS (
-  SELECT SUM(CAST(floor(-(CAST(cx AS DOUBLE) / t.n)
-                        * ln(CAST(cx AS DOUBLE) / t.n) * 1e9)
-             AS BIGINT)) AS h_nano
-  FROM mx CROSS JOIN tot t
-), hy AS (
-  SELECT SUM(CAST(floor(-(CAST(cy AS DOUBLE) / t.n)
-                        * ln(CAST(cy AS DOUBLE) / t.n) * 1e9)
-             AS BIGINT)) AS h_nano
-  FROM my CROSS JOIN tot t
+), s AS (
+  SELECT MAX(n) AS n,
+         SUM(CAST(floor((CAST(c AS DOUBLE) / n)
+                        * ln(CAST(c AS DOUBLE) * n
+                             / (CAST(cx AS DOUBLE) * cy))
+                        * 1e9) AS BIGINT)) AS mi_nano,
+         SUM(CASE WHEN rnx = 1 THEN
+               CAST(floor(-(CAST(cx AS DOUBLE) / n)
+                          * ln(CAST(cx AS DOUBLE) / n) * 1e9) AS BIGINT)
+             ELSE 0 END) AS hx_nano,
+         SUM(CASE WHEN rny = 1 THEN
+               CAST(floor(-(CAST(cy AS DOUBLE) / n)
+                          * ln(CAST(cy AS DOUBLE) / n) * 1e9) AS BIGINT)
+             ELSE 0 END) AS hy_nano
+  FROM w
 )
-SELECT t.n AS n_rows,
-       CAST(mi.mi_nano AS BIGINT) AS mi_nano_nats,
-       CAST(hx.h_nano AS BIGINT) AS h_flag_nano_nats,
-       CAST(hy.h_nano AS BIGINT) AS h_status_nano_nats,
-       CAST(mi.mi_nano * 1000 {idiv} least(hx.h_nano, hy.h_nano) AS BIGINT)
+SELECT CAST(n AS BIGINT) AS n_rows,
+       CAST(mi_nano AS BIGINT) AS mi_nano_nats,
+       CAST(hx_nano AS BIGINT) AS h_flag_nano_nats,
+       CAST(hy_nano AS BIGINT) AS h_status_nano_nats,
+       CAST(mi_nano * 1000 {idiv} least(hx_nano, hy_nano) AS BIGINT)
          AS nmi_milli
-FROM tot t CROSS JOIN mi CROSS JOIN hx CROSS JOIN hy
+FROM s
 """
 
 
 def ml_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mutual information between l_returnflag and l_linestatus with
     both marginal entropies and min-normalized MI. ONE (x, y) count
-    scan of the fact table; everything downstream operates on the
-    ~6-cell contingency relation. Per-cell nano-nat floors make the
-    sums order-independent. This is the feature-selection primitive
-    (rank features by MI with the label) of an ML-prep pipeline."""
+    scan of the fact table; marginals and the grand total are windows
+    over the ~6-cell contingency relation (never a re-aggregate that
+    would re-read the table), and each marginal's entropy term is
+    emitted once via a first-row-per-partition flag. Per-cell
+    nano-nat floors make the sums order-independent. This is the
+    feature-selection primitive (rank features by MI with the label)
+    of an ML-prep pipeline."""
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
         "r27_mi_lineitem"
     )

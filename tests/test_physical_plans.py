@@ -481,3 +481,41 @@ def test_drawdown_single_user_exchange(spark, queries):
     user_id exchange."""
     plan = plan_of(queries["window_max_drawdown"](spark, SF_SMOKE), "simple")
     assert plan.count("hashpartitioning(user_id") == 1
+
+
+def test_ks_single_scan(spark, queries):
+    """Sample totals ride the grid window (full-frame SUM OVER ()),
+    so the lineitem scan happens exactly once and the returnflag
+    filter reaches it."""
+    plan = plan_of(queries["agg_ks_test"](spark, SF_SMOKE), "simple")
+    assert plan.count("FileScan parquet") == 1
+    assert "l_returnflag" in plan.split("PushedFilters", 1)[1][:300]
+
+
+def test_autocorrelation_single_scan_no_self_join(spark, queries):
+    """All four lag partners come from degenerate RANGE frames over
+    one day-index sort — one orders scan, no join of the daily
+    relation against itself."""
+    plan = plan_of(queries["agg_autocorrelation"](spark, SF_SMOKE), "simple")
+    assert plan.count("FileScan parquet") == 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_mutual_information_single_scan(spark, queries):
+    """Marginals and the grand total are windows over the tiny
+    contingency relation — exactly one lineitem scan, pruned to the
+    two categorical columns."""
+    plan = plan_of(queries["ml_mutual_information"](spark, SF_SMOKE), "simple")
+    assert plan.count("FileScan parquet") == 1
+    read_schema = plan.split("ReadSchema", 1)[1][:300]
+    assert "l_extendedprice" not in read_schema
+    assert "l_returnflag" in read_schema
+
+
+def test_theil_prunes_to_two_columns(spark, queries):
+    """The deliberate double derivation of per-customer spend (see
+    docstring) must at least prune both scans to custkey+totalprice."""
+    plan = plan_of(queries["agg_theil_index"](spark, SF_SMOKE), "simple")
+    for seg in plan.split("ReadSchema")[1:]:
+        assert "o_orderdate" not in seg[:300]
+        assert "o_totalprice" in seg[:300]
