@@ -52,6 +52,7 @@ from boat_etl_pyspark_spark.plans import (
     relational25,
     relational26,
     relational27,
+    relational28,
     curation3,
     textlm,
     io_plans2,
@@ -108,6 +109,7 @@ _PLAN_MODULES = (
     relational25,
     relational26,
     relational27,
+    relational28,
     curation3,
 )
 
@@ -120,19 +122,21 @@ _QUERIES, _ORACLE = collect_registries(*_PLAN_MODULES)
 # queries whose latest row is r02 — the 6 streaming queries whose last
 # check predates the r03 events-fixture regeneration first, then the
 # dedup / similarity / multimodal / text families and the r02 TPC-H
-# block — re-confirms trimmed to make room for the TWENTY-NINE
+# block — re-confirms trimmed to make room for the THIRTY-THREE
 # round-5-new queries (no driver row at all, so they outrank any stale
 # green) and the TWO queries whose plans were rewritten tokenize-once
-# after their last driver row (29 + 2 + 19 stale = 50). The remaining
-# 69 stale greens (41 r01 + the fifteen r02 TPC-H queries +
+# after their last driver row (33 + 2 + 15 stale = 50). The remaining
+# 73 stale greens (41 r01 + the fifteen r02 TPC-H queries +
 # unpivot_customer_metrics, curate_pack_sequences, agg_approx_sketches,
 # text_stopword_removal, text_keyword_spans, text_tfidf_top_terms,
 # text_chunking, text_token_stats, text_quality_score,
 # text_language_id, text_fingerprints, multimodal_frame_sample,
-# multimodal_resize) rotate in round 6; all were re-verified green in
-# the in-repo full sf0.01 AND sf0.1 sweeps (`make verify-scale`).
+# multimodal_resize, multimodal_binary_meta,
+# multimodal_decode_features, sim_rp_lsh_buckets, sim_norm_stats)
+# rotate in round 6; all were re-verified green in the in-repo full
+# sf0.01 AND sf0.1 sweeps (`make verify-scale`).
 _CHECK_FIRST = (
-    # --- new in round 5, never driver-checked (29) ---
+    # --- new in round 5, never driver-checked (33) ---
     "window_max_drawdown",
     "agg_spearman_rho",
     "events_rfm_segmentation",
@@ -162,6 +166,10 @@ _CHECK_FIRST = (
     "ml_mutual_information",
     "ml_kfold_assign",
     "text_bigram_perplexity",
+    "agg_kruskal_wallis",
+    "agg_correlation_matrix",
+    "ts_seasonal_decompose",
+    "agg_levene_variance_test",
     # --- streaming greens from r02 predating the events-fixture change (6) ---
     "stream_session_windows",
     "stream_stateful_user_totals",
@@ -177,15 +185,9 @@ _CHECK_FIRST = (
     "dedup_incremental",
     "dedup_clusters",
     "dedup_embedding_cosine",
-    # --- r02 similarity family (4) ---
+    # --- r02 similarity family (2 of 4) ---
     "sim_bruteforce_topk",
     "sim_ivf_topk",
-    "sim_rp_lsh_buckets",
-    "sim_norm_stats",
-    # --- r02 multimodal family (2 of 4; decode path shared with the
-    # deferred frame_sample/resize) ---
-    "multimodal_binary_meta",
-    "multimodal_decode_features",
     # --- plans rewritten tokenize-once after their last driver row (2) ---
     "curate_importance_weights",
     "text_source_divergence",

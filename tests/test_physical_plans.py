@@ -519,3 +519,37 @@ def test_theil_prunes_to_two_columns(spark, queries):
     for seg in plan.split("ReadSchema")[1:]:
         assert "o_orderdate" not in seg[:300]
         assert "o_totalprice" in seg[:300]
+
+
+def test_kruskal_wallis_single_scan(spark, queries):
+    """Midranks, tie terms and rank sums are windows over the (group,
+    value) count relation — one lineitem scan, no join."""
+    plan = plan_of(queries["agg_kruskal_wallis"](spark, SF_SMOKE), "simple")
+    assert plan.count("FileScan parquet") == 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_correlation_matrix_single_scan(spark, queries):
+    """Fourteen power sums in one aggregate row; the 6-pair unpivot is
+    a broadcast against the inline constant table — one scan."""
+    plan = plan_of(queries["agg_correlation_matrix"](spark, SF_SMOKE), "simple")
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_seasonal_decompose_single_scan(spark, queries):
+    """Trend and full-week flags ride one day-index window over the
+    tiny daily relation — one orders scan."""
+    plan = plan_of(queries["ts_seasonal_decompose"](spark, SF_SMOKE), "simple")
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_levene_two_scans_broadcast_means(spark, queries):
+    """Deliberate train-then-score: exactly two 2-column scans, with
+    the 3-row group-means relation broadcast to the deviations pass."""
+    plan = plan_of(
+        queries["agg_levene_variance_test"](spark, SF_SMOKE), "simple"
+    )
+    assert plan.count("FileScan parquet") == 2
+    assert "BroadcastHashJoin" in plan
+    for seg in plan.split("ReadSchema")[1:]:
+        assert "l_quantity" not in seg[:300]

@@ -198,3 +198,117 @@ def test_bigram_perplexity_matches_naive_lm(run, tables):
             for bg in bgs
         )
         assert got[source] == (len(bgs), nll, nll // len(bgs)), source
+
+
+# --- batch 10 (plans/relational28.py) ---
+
+
+def test_kruskal_wallis_matches_naive_ranks(run, tables):
+    row = run("agg_kruskal_wallis").iloc[0]
+    li = tables["lineitem"]
+    vals = [(g, rnd(q)) for g, q in zip(li.l_returnflag, li.l_quantity)]
+    n = len(vals)
+    ct = Counter(v for _, v in vals)
+    below = {}
+    cum = 0
+    for v in sorted(ct):
+        below[v] = cum
+        cum += ct[v]
+    r2 = {v: 2 * below[v] + ct[v] + 1 for v in ct}  # doubled midrank
+    groups = defaultdict(list)
+    for g, v in vals:
+        groups[g].append(v)
+    rsq = sum(
+        (sum(r2[v] for v in xs)) ** 2 / (4.0 * len(xs))
+        for _, xs in sorted(groups.items())
+    )
+    ties = sum(t**3 - t for t in ct.values())
+    h = 12.0 / (n * (n + 1)) * rsq - 3.0 * (n + 1)
+    hc = h / (1.0 - ties / (float(n) * n * n - n))
+    assert row.n_rows == n
+    assert row.dof == 2
+    # fixed-order double arithmetic differs between this naive sum and
+    # the SQL pivot only in association order; allow 1 milli of slack
+    assert abs(row.h_tie_corrected_milli - math.floor(hc * 1000)) <= 1
+
+
+def test_correlation_matrix_matches_naive_sums(run, tables):
+    got = {
+        (r.col_a, r.col_b): (r.n_rows, r.corr_micro)
+        for r in run("agg_correlation_matrix").itertuples()
+    }
+    li = tables["lineitem"]
+    cols = {
+        "quantity": [rnd(v) for v in li.l_quantity],
+        "extendedprice": [rnd(v * 100) for v in li.l_extendedprice],
+        "discount": [rnd(v * 10000) for v in li.l_discount],
+        "tax": [rnd(v * 10000) for v in li.l_tax],
+    }
+    n = len(li)
+    order = ["quantity", "extendedprice", "discount", "tax"]
+    for i, a in enumerate(order):
+        for b in order[i + 1 :]:
+            xs, ys = cols[a], cols[b]
+            sx, sy = sum(xs), sum(ys)
+            sxx = sum(x * x for x in xs)
+            syy = sum(y * y for y in ys)
+            sxy = sum(x * y for x, y in zip(xs, ys))
+            r = float(n * sxy - sx * sy) / math.sqrt(
+                float(n * sxx - sx * sx) * float(n * syy - sy * sy)
+            )
+            key = (a, b) if (a, b) in got else (b, a)
+            assert got[key] == (n, math.floor(r * 1e6)), key
+
+
+def test_seasonal_decompose_matches_naive_windows(run, tables):
+    got = {
+        r.iso_dow: (r.n_days, r.seasonal_milli_cents)
+        for r in run("ts_seasonal_decompose").itertuples()
+    }
+    orders = tables["orders"].copy()
+    orders["d"] = pd.to_datetime(orders["o_orderdate"]).dt.normalize()
+    orders["cents"] = orders["o_totalprice"].map(lambda v: rnd(v * 100))
+    daily = orders.groupby("d")["cents"].sum().to_dict()
+    anchor = pd.Timestamp("1990-01-01")
+    per_dow = defaultdict(list)
+    for d, cents in daily.items():
+        window = [
+            daily[d + pd.Timedelta(days=off)]
+            for off in range(-3, 4)
+            if d + pd.Timedelta(days=off) in daily
+        ]
+        if len(window) == 7:
+            di = (d - anchor).days
+            per_dow[di % 7 + 1].append(7 * int(cents) - sum(window))
+    assert set(got) == set(per_dow)
+    for dow, dets in per_dow.items():
+        n = len(dets)
+        s = sum(dets) * 1000
+        # engine integer division truncates toward zero (Spark DIV,
+        # DuckDB //); Python // floors — emulate truncation
+        q = abs(s) // (7 * n) * (1 if s >= 0 else -1)
+        assert got[dow] == (n, q), dow
+
+
+def test_levene_matches_naive_deviations(run, tables):
+    row = run("agg_levene_variance_test").iloc[0]
+    li = tables["lineitem"]
+    groups = defaultdict(list)
+    for g, p in zip(li.l_returnflag, li.l_extendedprice):
+        groups[g].append(rnd(p * 100))
+    stats = {}
+    for g, xs in groups.items():
+        ng, sg = len(xs), sum(xs)
+        ws = [abs(ng * x - sg) for x in xs]
+        stats[g] = (ng, sum(ws) / ng, sum(w * w for w in ws) / (ng * ng))
+    (n1, z1, q1), (n2, z2, q2), (n3, z3, q3) = (
+        stats["A"], stats["N"], stats["R"]
+    )
+    n = n1 + n2 + n3
+    tz = z1 + z2 + z3
+    between_raw = z1 * z1 / n1 + z2 * z2 / n2 + z3 * z3 / n3
+    within = (q1 - z1 * z1 / n1) + (q2 - z2 * z2 / n2) + (q3 - z3 * z3 / n3)
+    f = (float(n) - 3) / 2.0 * (between_raw - tz * tz / n) / within
+    assert (row.n_rows, row.n_groups) == (n, 3)
+    # same slack rationale as Kruskal-Wallis: association order only
+    assert abs(row.levene_f_milli - math.floor(f * 1000)) <= 1
