@@ -27,6 +27,12 @@ FLOAT_QUERIES = [
     "graph_pagerank_nations",
     "sim_blocked_matmul_topk",
     "agg_equidepth_histogram",
+    # round-5 batch 9-10: per-term nano floors (theil, bigram LM) and
+    # fixed-order pivoted closed forms (levene) — the properties that
+    # make these statistics parallelism-independent
+    "agg_theil_index",
+    "text_bigram_perplexity",
+    "agg_levene_variance_test",
 ]
 
 
