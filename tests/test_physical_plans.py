@@ -553,3 +553,17 @@ def test_levene_two_scans_broadcast_means(spark, queries):
     assert "BroadcastHashJoin" in plan
     for seg in plan.split("ReadSchema")[1:]:
         assert "l_quantity" not in seg[:300]
+
+
+def test_semdedup_persists_assignment_for_pair_join(spark, queries):
+    """The Lloyd-assignment relation must be computed once: both sides
+    of the within-cluster pair join and the final rollup read the
+    persisted (vec_id, cid, qv, n2) relation (3 InMemoryTableScans),
+    not three fresh derivations of the distance/argmin subtree."""
+    from boat_etl_pyspark_spark.plans import release_caches
+
+    try:
+        plan = plan_of(queries["curate_semdedup"](spark, SF_SMOKE), "simple")
+        assert plan.count("InMemoryTableScan") == 3
+    finally:
+        release_caches(spark)

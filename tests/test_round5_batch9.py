@@ -312,3 +312,51 @@ def test_levene_matches_naive_deviations(run, tables):
     assert (row.n_rows, row.n_groups) == (n, 3)
     # same slack rationale as Kruskal-Wallis: association order only
     assert abs(row.levene_f_milli - math.floor(f * 1000)) <= 1
+
+
+# --- batch 11: SemDeDup (plans/mlprep.py) ---
+
+
+def test_semdedup_matches_naive_cluster_prune(run, tables):
+    got = {
+        r.cluster_id: (r.n_members, r.n_removed, r.n_kept)
+        for r in run("curate_semdedup").itertuples()
+    }
+    emb = tables["embeddings"].sort_values("vec_id").reset_index(drop=True)
+    q = {
+        int(r.vec_id): [rnd(float(x) * 1000) for x in r.embedding]
+        for r in emb.itertuples()
+    }
+    seeds = {vid: vec for vid, vec in q.items() if vid < 8}
+    assign = {}
+    for vid, vec in q.items():
+        best = min(
+            seeds.items(),
+            key=lambda kv: (
+                sum((a - b) ** 2 for a, b in zip(vec, kv[1])),
+                kv[0],
+            ),
+        )
+        assign[vid] = best[0]
+    n2 = {vid: sum(x * x for x in vec) for vid, vec in q.items()}
+    clusters = defaultdict(list)
+    for vid in sorted(assign):
+        clusters[assign[vid]].append(vid)
+    removed = set()
+    for members in clusters.values():
+        for i, a in enumerate(members):
+            for b in members[i + 1 :]:
+                dot = sum(x * y for x, y in zip(q[a], q[b]))
+                if dot > 0 and dot * dot * 10000 >= 1600 * n2[a] * n2[b]:
+                    removed.add(b)
+    exp = {
+        cid: (
+            len(m),
+            sum(1 for v in m if v in removed),
+            sum(1 for v in m if v not in removed),
+        )
+        for cid, m in clusters.items()
+    }
+    assert got == exp
+    # the fixture must actually exercise the prune path
+    assert sum(r for _, r, _ in got.values()) > 0
