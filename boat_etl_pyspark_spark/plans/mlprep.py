@@ -20,6 +20,10 @@
     count — the communication shape of distributed PCA/covariance at
     100 TB. The oracle recomputes every entry as a plain SUM of
     products.
+  * ``curate_semdedup`` (round-5 batch 11) — SemDeDup semantic
+    deduplication composing the Lloyd assignment with
+    within-cluster-only integer-exact cosine pruning; see the
+    section comment below.
 """
 
 from __future__ import annotations
