@@ -318,6 +318,78 @@ def global_rank(
     )
 
 
+def global_prefix_sum(
+    df: DataFrame,
+    order_by: list[str],
+    value_col: str,
+    partitions: int | None = None,
+    rows: int | None = None,
+    out_col: str = "prefix_sum",
+) -> DataFrame:
+    """Exact distributed running SUM(``value_col``) over ``order_by``
+    (inclusive of the current row) with ONE range exchange and NO
+    global window: sort within each range partition, take the local
+    cumulative sum, and add the broadcast total of every earlier
+    partition (a 1-row-per-partition relation). This is the scalable
+    replacement for ``SUM(x) OVER (ORDER BY ...)`` — the weighted
+    sibling of ``global_rank`` and the primitive behind large-domain
+    midranks (Spearman/Mann-Whitney machinery when the distinct-value
+    relation outgrows a single task). Include a unique tiebreaker in
+    ``order_by`` for determinism; integer sums stay exact (cast
+    ``value_col`` to DECIMAL first if it can overflow BIGINT).
+
+    Sizing mirrors ``global_rank``: ``partitions=None`` auto-sizes
+    from ``rows`` (or one map-combined ``df.count()``) at
+    ``_RANK_TARGET_ROWS_PER_PARTITION`` rows per partition. The
+    sampled-range-boundary correctness fence also applies — the
+    offsets aggregate and the final join must read ONE
+    materialization, so the partitioned relation is persisted and
+    registered for ``release_rank_caches``."""
+    if partitions is None:
+        n = df.count() if rows is None else rows
+        partitions = max(
+            df.sparkSession.sparkContext.defaultParallelism,
+            -(-n // _RANK_TARGET_ROWS_PER_PARTITION),
+            1,
+        )
+    parted = (
+        df.repartitionByRange(partitions, *[F.col(c) for c in order_by])
+        .sortWithinPartitions(*order_by)
+        .withColumn("__pid", F.spark_partition_id())
+        # CORRECTNESS FENCE: see global_rank — repartitionByRange
+        # samples boundaries per execution; the offsets aggregate and
+        # the final join must agree on one materialization.
+        .persist()
+    )
+    _RANK_PERSISTS.append(parted)
+    offsets = (
+        parted.groupBy("__pid")
+        .agg(F.sum(value_col).alias("__t"))
+        .withColumn(
+            "__off",
+            F.coalesce(
+                F.sum("__t").over(
+                    Window.orderBy("__pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0).cast("long"),
+            ),
+        )
+        .select("__pid", "__off")
+    )
+    local = F.sum(value_col).over(
+        Window.partitionBy("__pid")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        parted.join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, local + F.col("__off"))
+        .drop("__pid")
+    )
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

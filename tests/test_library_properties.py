@@ -283,3 +283,59 @@ def test_running_distinct_equals_python_scan(spark, rows):
         seen.add(str(g))
         want[(k, i)] = len(seen)
     assert got == want
+
+
+_psum_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=-1000, max_value=1000),
+        st.integers(min_value=-50, max_value=50),
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_psum_rows)
+def test_global_prefix_sum_equals_window_cumsum(spark, rows):
+    from boat_etl_pyspark_spark.operators.library import global_prefix_sum
+
+    df = spark.createDataFrame(
+        [(i, k, v) for i, (k, v) in enumerate(rows)],
+        "id long, k long, v long",
+    )
+    got = {
+        (r["id"], r["prefix_sum"])
+        for r in global_prefix_sum(df, ["k", "id"], "v", partitions=3).collect()
+    }
+    w = (
+        Window.orderBy("k", "id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        (r["id"], r["c"])
+        for r in df.withColumn("c", F.sum("v").over(w)).collect()
+    }
+    assert got == want
+
+
+def test_global_prefix_sum_stable_across_partition_counts(spark):
+    from boat_etl_pyspark_spark.operators.library import global_prefix_sum
+
+    df = spark.range(0, 5000).selectExpr(
+        "id", "CAST(id % 997 AS LONG) AS k", "CAST(id % 13 - 6 AS LONG) AS v"
+    )
+    ref = None
+    for parts in (1, 3, 17):
+        got = sorted(
+            (r["id"], r["prefix_sum"])
+            for r in global_prefix_sum(df, ["k", "id"], "v", partitions=parts).collect()
+        )
+        if ref is None:
+            ref = got
+        else:
+            assert got == ref, f"partitions={parts} diverged"
