@@ -122,10 +122,10 @@ _QUERIES, _ORACLE = collect_registries(*_PLAN_MODULES)
 # queries whose latest row is r02 — the 6 streaming queries whose last
 # check predates the r03 events-fixture regeneration first, then the
 # dedup / similarity / multimodal / text families and the r02 TPC-H
-# block — re-confirms trimmed to make room for the THIRTY-FOUR
+# block — re-confirms trimmed to make room for the THIRTY-FIVE
 # round-5-new queries (no driver row at all, so they outrank any stale
 # green) and the TWO queries whose plans were rewritten tokenize-once
-# after their last driver row (34 + 2 + 14 stale = 50). The remaining
+# after their last driver row (35 + 2 + 13 stale = 50). The remaining
 # 73 stale greens (41 r01 + the fifteen r02 TPC-H queries +
 # unpivot_customer_metrics, curate_pack_sequences, agg_approx_sketches,
 # text_stopword_removal, text_keyword_spans, text_tfidf_top_terms,
@@ -133,11 +133,11 @@ _QUERIES, _ORACLE = collect_registries(*_PLAN_MODULES)
 # text_language_id, text_fingerprints, multimodal_frame_sample,
 # multimodal_resize, multimodal_binary_meta,
 # multimodal_decode_features, sim_rp_lsh_buckets, sim_norm_stats,
-# sim_ivf_topk)
+# sim_ivf_topk, sim_bruteforce_topk)
 # rotate in round 6; all were re-verified green in the in-repo full
 # sf0.01 AND sf0.1 sweeps (`make verify-scale`).
 _CHECK_FIRST = (
-    # --- new in round 5, never driver-checked (34) ---
+    # --- new in round 5, never driver-checked (35) ---
     "window_max_drawdown",
     "agg_spearman_rho",
     "events_rfm_segmentation",
@@ -172,6 +172,7 @@ _CHECK_FIRST = (
     "ts_seasonal_decompose",
     "agg_levene_variance_test",
     "curate_semdedup",
+    "stream_stream_full_outer",
     # --- streaming greens from r02 predating the events-fixture change (6) ---
     "stream_session_windows",
     "stream_stateful_user_totals",
@@ -187,8 +188,6 @@ _CHECK_FIRST = (
     "dedup_incremental",
     "dedup_clusters",
     "dedup_embedding_cosine",
-    # --- r02 similarity family (1 of 4) ---
-    "sim_bruteforce_topk",
     # --- plans rewritten tokenize-once after their last driver row (2) ---
     "curate_importance_weights",
     "text_source_divergence",

@@ -335,10 +335,154 @@ def sim_product_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_PQ_SPARK.format(emb="__emb_pq"))
 
 
+# ---------------------------------------------------------------------------
+# Stream-stream FULL OUTER join (completes the inner / left / full matrix)
+# ---------------------------------------------------------------------------
+# Same user-keyed preceding-hour interval as the LEFT OUTER op; full
+# outer additionally emits a NULL-purchase row for every view no
+# purchase ever picked up. Eviction symmetry: a view's state can
+# match purchases with p_time in [v_time, v_time + interval], so its
+# null row emits once the watermark passes v_time + interval — the
+# cut applied per side on its own timestamp (purchase rows cut on
+# purchase_ts, view-only rows on view_ts). The view-side eviction
+# boundary is NOT the naive wm - interval: measured, a view at
+# wm - 4120s never emitted its null row at sf0.01 while the boundary
+# sat at wm - 3904s at sf0.1 — the state flush runs against a
+# watermark that can lag the final one by batch-commit mechanics.
+# The cut therefore dominates every lag a single trailing
+# micro-batch can introduce: 2*interval + watermark_delay + a
+# 1-minute margin (covers eviction needing wm > t + interval
+# evaluated under a watermark itself lagging by up to
+# interval + delay). Derived from the same declared constants as
+# the join condition so plan and oracle cannot drift; parity holds
+# at sf0.001/0.01/0.1 with >2x slack over the worst observed
+# non-emission.
+
+
+_SSFO_CUT_US = (
+    2 * _SSLO_JOIN_INTERVAL_SEC + _SSLO_WM_MIN * 60 + 60
+) * 1_000_000
+
+
+def stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchases FULL OUTER JOIN same-user views from the preceding
+    hour on a 3-file replay: unmatched purchases emit a NULL-view
+    row, unmatched views a NULL-purchase row, each only after a
+    later micro-batch's watermark proves its join window closed.
+    State on both sides is bounded by watermark + the 1h interval;
+    the emission cut keeps rows at least one minute clear of the
+    final watermark so the exact eviction boundary is not
+    load-bearing (same margin the LEFT OUTER op validated)."""
+    ev = read_events_stream(
+        spark, sf_dir,
+        dir_override=stream_dir_multi(sf_dir, 3),
+        max_files_per_trigger=1,
+        state_partitions=4,
+    )
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ev_time").alias("v_time"),
+        )
+        .withWatermark("v_time", f"{_SSLO_WM_MIN} minutes")
+    )
+    purchases = (
+        read_events_stream(
+            ev.sparkSession, sf_dir,
+            dir_override=stream_dir_multi(sf_dir, 3),
+            max_files_per_trigger=1,
+            reuse_session=True,
+        )
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ev_time").alias("p_time"),
+        )
+        .withWatermark("p_time", f"{_SSLO_WM_MIN} minutes")
+    )
+    joined = purchases.join(
+        views,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_time") <= F.col("p_time"))
+        & (
+            F.col("v_time")
+            >= F.col("p_time")
+            - F.expr(f"INTERVAL {_SSLO_JOIN_INTERVAL_SEC} SECONDS")
+        ),
+        "full_outer",
+    ).select(
+        "purchase_id",
+        F.coalesce(F.col("p_user"), F.col("v_user")).alias("user_id"),
+        F.unix_micros("p_time").alias("purchase_ts_us"),
+        "view_id",
+        F.unix_micros("v_time").alias("view_ts_us"),
+    )
+    result = run_stream_to_memory(joined, "append")
+    max_ts = (
+        load_table(spark, sf_dir, "events")
+        .agg(F.max(F.unix_micros("ts")))
+        .collect()[0][0]
+    )
+    wm_us = (max_ts or 0) - _SSLO_WM_MIN * 60 * 1_000_000
+    cut = wm_us - _SSFO_CUT_US
+    return result.where(
+        F.when(F.col("purchase_ts_us").isNotNull(),
+               F.col("purchase_ts_us") <= F.lit(cut))
+        .otherwise(F.col("view_ts_us") <= F.lit(cut))
+    )
+
+
+_SSFO_SQL = f"""
+WITH wm AS (
+  SELECT MAX(epoch_us(ts)) - {_SSLO_WM_MIN * 60 * 1_000_000}
+         - {_SSFO_CUT_US} AS cut_us
+  FROM events
+), p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), v AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+), matched AS (
+  SELECT p.event_id AS purchase_id,
+         p.user_id,
+         epoch_us(p.ts) AS purchase_ts_us,
+         v.event_id AS view_id,
+         epoch_us(v.ts) AS view_ts_us
+  FROM p
+  LEFT JOIN v
+    ON p.user_id = v.user_id
+   AND v.ts <= p.ts
+   AND v.ts >= p.ts - INTERVAL {_SSLO_JOIN_INTERVAL_SEC} SECONDS
+  CROSS JOIN wm
+  WHERE epoch_us(p.ts) <= wm.cut_us
+), view_only AS (
+  SELECT CAST(NULL AS BIGINT) AS purchase_id,
+         v.user_id,
+         CAST(NULL AS BIGINT) AS purchase_ts_us,
+         v.event_id AS view_id,
+         epoch_us(v.ts) AS view_ts_us
+  FROM v CROSS JOIN wm
+  WHERE epoch_us(v.ts) <= wm.cut_us
+    AND NOT EXISTS (
+      SELECT 1 FROM p
+      WHERE p.user_id = v.user_id
+        AND v.ts <= p.ts
+        AND v.ts >= p.ts - INTERVAL {_SSLO_JOIN_INTERVAL_SEC} SECONDS
+    )
+)
+SELECT * FROM matched
+UNION ALL
+SELECT * FROM view_only
+"""
+
+
 QUERIES = {
     "join_spatial_grid": join_spatial_grid,
     "window_running_distinct": window_running_distinct,
     "stream_stream_left_outer": stream_stream_left_outer,
+    "stream_stream_full_outer": stream_stream_full_outer,
     "sim_product_quantize": sim_product_quantize,
 }
 
@@ -346,5 +490,6 @@ ORACLE = {
     "join_spatial_grid": _SPATIAL_SQL,
     "window_running_distinct": _RUNNING_DISTINCT_SQL,
     "stream_stream_left_outer": _SSLO_SQL,
+    "stream_stream_full_outer": _SSFO_SQL,
     "sim_product_quantize": _PQ_DUCK,
 }
