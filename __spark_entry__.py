@@ -53,6 +53,7 @@ from boat_etl_pyspark_spark.plans import (
     relational26,
     relational27,
     relational28,
+    relational29,
     curation3,
     textlm,
     io_plans2,
@@ -110,6 +111,7 @@ _PLAN_MODULES = (
     relational26,
     relational27,
     relational28,
+    relational29,
     curation3,
 )
 

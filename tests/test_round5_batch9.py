@@ -360,3 +360,66 @@ def test_semdedup_matches_naive_cluster_prune(run, tables):
     assert got == exp
     # the fixture must actually exercise the prune path
     assert sum(r for _, r, _ in got.values()) > 0
+
+
+# --- batch 13 (plans/relational29.py) ---
+
+
+def test_substring_dedup_matches_naive_interval_merge(run, tables):
+    got = {
+        r.source: (r.n_docs, r.total_tokens, r.dup_tokens, r.dup_ppm)
+        for r in run("text_substring_dedup").itertuples()
+    }
+    docs = tables["documents"]
+    W = 8
+    span_docs = defaultdict(set)  # span text -> doc ids
+    doc_spans = defaultdict(list)  # doc -> [start0...] (0-based)
+    toks = {}
+    for r in docs.itertuples():
+        ts = [t for t in r.text.split(" ") if t]
+        toks[r.doc_id] = ts
+        for i in range(len(ts) - W + 1):
+            s = " ".join(ts[i : i + W])
+            span_docs[s].add(r.doc_id)
+            doc_spans[r.doc_id].append((i, s))
+    dup_cover = {}
+    for did, spans in doc_spans.items():
+        ivals = sorted(
+            (i, i + W - 1) for i, s in spans if len(span_docs[s]) >= 2
+        )
+        covered = 0
+        cur_s = cur_e = None
+        for a, b in ivals:
+            if cur_s is None:
+                cur_s, cur_e = a, b
+            elif a > cur_e:
+                covered += cur_e - cur_s + 1
+                cur_s, cur_e = a, b
+            else:
+                cur_e = max(cur_e, b)
+        if cur_s is not None:
+            covered += cur_e - cur_s + 1
+        dup_cover[did] = covered
+    exp = {}
+    for src, g in docs.groupby("source"):
+        n_tok = sum(len(toks[d]) for d in g.doc_id)
+        dup = sum(dup_cover.get(d, 0) for d in g.doc_id)
+        exp[src] = (len(g), n_tok, dup, dup * 1_000_000 // n_tok)
+    assert got == exp
+    # the fixture must actually contain cross-document duplication
+    assert sum(v[2] for v in got.values()) > 0
+
+
+def test_dynamic_partition_overwrite_leaves_others_untouched(run, tables):
+    got = {r.status: (r.n_orders, r.total_cents)
+           for r in run("io_dynamic_partition_overwrite").itertuples()}
+    orders = tables["orders"].copy()
+    orders["cents"] = orders["o_totalprice"].map(lambda v: rnd(v * 100))
+    exp = {}
+    for st, g in orders.groupby("o_orderstatus"):
+        if st == "O":
+            g = g[g.o_orderkey % 3 == 0]
+            exp[st] = (len(g), int(g.cents.sum()) * 2)
+        else:
+            exp[st] = (len(g), int(g.cents.sum()))
+    assert got == exp
