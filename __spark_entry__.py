@@ -54,6 +54,7 @@ from boat_etl_pyspark_spark.plans import (
     relational27,
     relational28,
     relational29,
+    relational30,
     curation3,
     textlm,
     io_plans2,
@@ -112,6 +113,7 @@ _PLAN_MODULES = (
     relational27,
     relational28,
     relational29,
+    relational30,
     curation3,
 )
 

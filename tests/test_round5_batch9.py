@@ -423,3 +423,56 @@ def test_dynamic_partition_overwrite_leaves_others_untouched(run, tables):
         else:
             exp[st] = (len(g), int(g.cents.sum()))
     assert got == exp
+
+
+# --- batch 14 (plans/relational30.py) ---
+
+
+def test_roc_auc_matches_naive_pair_count(run, tables):
+    row = run("ml_roc_auc").iloc[0]
+    ev = tables["events"]
+    scores = [(rnd(v * 100), 1 if t == "purchase" else 0)
+              for v, t in zip(ev.value, ev.event_type)]
+    pos = [s for s, y in scores if y == 1]
+    neg = [s for s, y in scores if y == 0]
+    # exact pairwise AUC with half-credit ties, as 2x-scaled integer
+    num2 = sum(2 if p > n else (1 if p == n else 0)
+               for p in pos for n in neg)
+    assert (row.n_pos, row.n_neg) == (len(pos), len(neg))
+    assert row.auc_ppm == num2 * 1_000_000 // (2 * len(pos) * len(neg))
+
+
+def test_calibration_bins_match_naive(run, tables):
+    got = {r.bin: (r.n_events, r.mean_pred_ppm, r.obs_ppm, r.gap_ppm)
+           for r in run("ml_calibration_bins").itertuples()}
+    ev = tables["events"]
+    bins = defaultdict(list)
+    for v, t in zip(ev.value, ev.event_type):
+        p = min(rnd(v * 100) * 2500, 1_000_000)
+        bins[min(p // 100_000, 9)].append((p, 1 if t == "purchase" else 0))
+    exp = {}
+    for b, rows in bins.items():
+        n = len(rows)
+        mp = sum(p for p, _ in rows) // n
+        ob = sum(y for _, y in rows) * 1_000_000 // n
+        exp[b] = (n, mp, ob, mp - ob)
+    assert got == exp
+
+
+def test_confusion_thresholds_match_naive(run, tables):
+    got = {r.thr_cents: (r.tp, r.fp, r.fn, r.tn,
+                         r.precision_milli, r.recall_milli, r.f1_milli)
+           for r in run("ml_confusion_threshold").itertuples()}
+    ev = tables["events"]
+    scores = [(rnd(v * 100), 1 if t == "purchase" else 0)
+              for v, t in zip(ev.value, ev.event_type)]
+    for thr in (2500, 5000, 10000):
+        tp = sum(1 for s, y in scores if s >= thr and y == 1)
+        fp = sum(1 for s, y in scores if s >= thr and y == 0)
+        fn = sum(1 for s, y in scores if s < thr and y == 1)
+        tn = sum(1 for s, y in scores if s < thr and y == 0)
+        assert got[thr] == (
+            tp, fp, fn, tn,
+            tp * 1000 // (tp + fp), tp * 1000 // (tp + fn),
+            2 * tp * 1000 // (2 * tp + fp + fn),
+        ), thr
