@@ -55,6 +55,7 @@ from boat_etl_pyspark_spark.plans import (
     relational28,
     relational29,
     relational30,
+    relational31,
     curation3,
     textlm,
     io_plans2,
@@ -114,6 +115,7 @@ _PLAN_MODULES = (
     relational28,
     relational29,
     relational30,
+    relational31,
     curation3,
 )
 

@@ -476,3 +476,26 @@ def test_confusion_thresholds_match_naive(run, tables):
             tp * 1000 // (tp + fp), tp * 1000 // (tp + fn),
             2 * tp * 1000 // (2 * tp + fp + fn),
         ), thr
+
+
+# --- batch 15 (plans/relational31.py) ---
+
+
+def test_cogrouped_asof_equals_relational_form(run, spark):
+    """Three-way pin: the cogrouped-pandas merge_asof must reproduce
+    the tagged-union window form row-for-row (both already match the
+    SQL oracle independently)."""
+    import __spark_entry__ as m
+
+    qs = m.queries()
+    cog = {
+        (r.purchase_id, r.user_id, r.purchase_ts_us,
+         r.last_view_ts_us, r.gap_us)
+        for r in qs["join_asof_cogrouped"](spark, SF_SMOKE).collect()
+    }
+    rel = {
+        (r.purchase_id, r.user_id, r.purchase_ts_us,
+         r.last_view_ts_us, r.gap_us)
+        for r in qs["join_asof_purchase_last_view"](spark, SF_SMOKE).collect()
+    }
+    assert cog == rel and len(cog) > 0
