@@ -141,7 +141,14 @@ _QUERIES, _ORACLE = collect_registries(*_PLAN_MODULES)
 # multimodal_decode_features, sim_rp_lsh_buckets, sim_norm_stats,
 # sim_ivf_topk, sim_bruteforce_topk)
 # rotate in round 6; all were re-verified green in the in-repo full
-# sf0.01 AND sf0.1 sweeps (`make verify-scale`).
+# sf0.01 AND sf0.1 sweeps (`make verify-scale`). The SIX queries
+# added after the round-5 list saturated (text_substring_dedup,
+# io_dynamic_partition_overwrite, ml_roc_auc, ml_calibration_bins,
+# ml_confusion_threshold, join_asof_cogrouped) sit at registry end
+# deliberately — displacing the streaming/dedup stale re-confirms
+# (the round-4 verdict's named priority) for them would trade the
+# wrong rows; as never-checked queries they outrank every stale
+# green and lead the round-6 rotation.
 _CHECK_FIRST = (
     # --- new in round 5, never driver-checked (35) ---
     "window_max_drawdown",
