@@ -47,3 +47,20 @@ def test_declared_count_is_current():
     assert int(m.group(1)) == len(M.queries()), (
         f"COVERAGE.md says {m.group(1)} queries, registry has {len(M.queries())}"
     )
+
+
+def test_oracle_position_cap_dominates_fixture():
+    """Several DuckDB oracles enumerate token positions via a
+    range(1, 600) cap (DuckDB lacks Spark's lazy sequence-over-size).
+    If a regenerated fixture ever shipped a document with >= 600
+    tokens the oracles would silently truncate and hash-mismatch —
+    fail loudly here instead, with 2x headroom demanded."""
+    import duckdb
+
+    con = duckdb.connect()
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        mx = con.sql(
+            "SELECT MAX(len(list_filter(string_split(text, ' '),"
+            f" x -> x <> ''))) FROM '/root/testdata/{sf}/documents.parquet'"
+        ).fetchone()[0]
+        assert mx * 2 < 600, f"{sf}: max tokens {mx} too close to the cap"
