@@ -64,3 +64,53 @@ def test_oracle_position_cap_dominates_fixture():
             f" x -> x <> ''))) FROM '/root/testdata/{sf}/documents.parquet'"
         ).fetchone()[0]
         assert mx * 2 < 600, f"{sf}: max tokens {mx} too close to the cap"
+
+
+def test_no_row_at_a_time_python_udfs():
+    """The package must not contain a single row-at-a-time Python UDF
+    (`F.udf` / `@udf`) — Arrow-vectorized pandas UDFs and the
+    mapInPandas/cogroup plumbing are the only sanctioned Python
+    entry points (README design rules)."""
+    import subprocess
+
+    pkg = os.path.join(os.path.dirname(_COV), "boat_etl_pyspark_spark")
+    out = subprocess.run(
+        ["grep", "-rn", r"F\.udf(\|@udf", pkg, "--include=*.py"],
+        capture_output=True, text=True,
+    )
+    assert out.stdout == "", f"row-at-a-time UDFs found:\n{out.stdout}"
+
+
+# Every sanctioned driver-side .collect() site, by file: all are
+# bounded scalars or tiny (<= 1024-row) relations, each commented at
+# the call site. A NEW collect anywhere — or an extra one in these
+# files — fails this test and forces the boundedness review.
+_COLLECT_ALLOWLIST = {
+    "plans/relational8.py": 1,       # 1024-word bloom bitmap pull
+    "plans/relational11.py": 2,      # stream max-timestamp scalars
+    "plans/relational19.py": 2,      # histogram lo/hi/total + <=1024 buckets
+    "plans/relational24.py": 1,      # one-row file-manifest summary
+    "plans/relational25.py": 2,      # quantile lo/hi/total + <=1024 buckets
+    "plans/textcuration.py": 1,      # bounded query-vector pull (_MM_NQ)
+    "operators/skew.py": 1,          # diagnostics-only sampler
+    "pipeline/boat.py": 2,           # min-year scalar + validation row
+}
+
+
+def test_collect_sites_are_allowlisted():
+    import subprocess
+
+    pkg = os.path.join(os.path.dirname(_COV), "boat_etl_pyspark_spark")
+    out = subprocess.run(
+        ["grep", "-rc", r"\.collect()", pkg, "--include=*.py"],
+        capture_output=True, text=True,
+    )
+    found = {}
+    for line in out.stdout.splitlines():
+        path, n = line.rsplit(":", 1)
+        if int(n):
+            rel = os.path.relpath(path, pkg)
+            found[rel] = int(n)
+    assert found == _COLLECT_ALLOWLIST, (
+        f"collect sites drifted: {found} vs allowlist {_COLLECT_ALLOWLIST}"
+    )
