@@ -132,7 +132,7 @@ _QUERIES, _ORACLE = collect_registries(*_PLAN_MODULES)
 # round-5-new queries (no driver row at all, so they outrank any stale
 # green) and the TWO queries whose plans were rewritten tokenize-once
 # after their last driver row (35 + 2 + 13 stale = 50). The remaining
-# 73 stale greens (41 r01 + the fifteen r02 TPC-H queries +
+# 75 stale greens (41 r01 + the fifteen r02 TPC-H queries +
 # unpivot_customer_metrics, curate_pack_sequences, agg_approx_sketches,
 # text_stopword_removal, text_keyword_spans, text_tfidf_top_terms,
 # text_chunking, text_token_stats, text_quality_score,

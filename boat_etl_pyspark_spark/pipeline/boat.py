@@ -148,8 +148,8 @@ def clean_lines(raw: DataFrame) -> DataFrame:
     decorator parses its DDL return type through the active session,
     which doesn't exist when a Python worker re-imports this module.
     """
-    udf = pandas_udf(_clean_series, "string")
-    return raw.select(udf(F.col("value")).alias("line"))
+    clean_udf = pandas_udf(_clean_series, "string")
+    return raw.select(clean_udf(F.col("value")).alias("line"))
 
 
 def parse_csv(cleaned: DataFrame) -> DataFrame:

@@ -98,9 +98,7 @@ def join_asof_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         purchases.groupBy("user_id")
         .cogroup(views.groupBy("user_id"))
-        .applyInPandas(
-            lambda p, v: _asof_merge(p, v), schema=_ASOF_COG_SCHEMA
-        )
+        .applyInPandas(_asof_merge, schema=_ASOF_COG_SCHEMA)
     )
 
 

@@ -64,6 +64,15 @@ def test_oracle_position_cap_dominates_fixture():
             f" x -> x <> ''))) FROM '/root/testdata/{sf}/documents.parquet'"
         ).fetchone()[0]
         assert mx * 2 < 600, f"{sf}: max tokens {mx} too close to the cap"
+        # the SemDeDup / kmeans / gram oracles enumerate embedding
+        # positions via range(1, 65): a regenerated fixture with a
+        # different dimensionality would silently truncate (SUM skips
+        # the NULLs past the end) — fail loudly instead
+        dims = con.sql(
+            "SELECT MIN(len(embedding)), MAX(len(embedding)) FROM"
+            f" '/root/testdata/{sf}/embeddings.parquet'"
+        ).fetchone()
+        assert dims == (64, 64), f"{sf}: embedding dims drifted: {dims}"
 
 
 def test_no_row_at_a_time_python_udfs():
@@ -75,10 +84,17 @@ def test_no_row_at_a_time_python_udfs():
 
     pkg = os.path.join(os.path.dirname(_COV), "boat_etl_pyspark_spark")
     out = subprocess.run(
-        ["grep", "-rn", r"F\.udf(\|@udf", pkg, "--include=*.py"],
+        ["grep", "-rnE",
+         r"F\.udf\(|@udf|udf\.register|(^|[ (,=])udf\(",
+         pkg, "--include=*.py"],
         capture_output=True, text=True,
     )
-    assert out.stdout == "", f"row-at-a-time UDFs found:\n{out.stdout}"
+    # grep: 0 = matches found, 1 = none, 2 = error (e.g. bad path) —
+    # an errored grep must not read as a clean pass
+    assert out.returncode == 1, (
+        f"rc={out.returncode}; row-at-a-time UDFs found:\n{out.stdout}"
+        f"{out.stderr}"
+    )
 
 
 # Every sanctioned driver-side .collect() site, by file: all are

@@ -23,10 +23,15 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 
 import pytest
 
 from tests.conftest import SF_SMOKE
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 _BUDGETS = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "plan_budgets.json")
@@ -47,9 +52,6 @@ def test_every_nonstreaming_query_is_budgeted():
 
 @pytest.mark.parametrize("name", sorted(BUDGETS))
 def test_plan_matches_budget(spark, name):
-    import sys
-
-    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import __spark_entry__ as entry
     from boat_etl_pyspark_spark.plans import release_caches
     from tools.plan_budgets import plan_metrics

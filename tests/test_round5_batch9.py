@@ -481,11 +481,12 @@ def test_confusion_thresholds_match_naive(run, tables):
 # --- batch 15 (plans/relational31.py) ---
 
 
-def test_cogrouped_asof_equals_relational_form(run, spark):
+def test_cogrouped_asof_equals_relational_form(spark):
     """Three-way pin: the cogrouped-pandas merge_asof must reproduce
     the tagged-union window form row-for-row (both already match the
     SQL oracle independently)."""
     import __spark_entry__ as m
+    from boat_etl_pyspark_spark.plans import release_caches
 
     qs = m.queries()
     cog = {
@@ -503,4 +504,5 @@ def test_cogrouped_asof_equals_relational_form(run, spark):
         .where("user_id % 7 = 0")
         .collect()
     }
+    release_caches(spark)
     assert cog == rel and len(cog) > 0
