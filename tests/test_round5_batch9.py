@@ -506,3 +506,119 @@ def test_cogrouped_asof_equals_relational_form(spark):
     }
     release_caches(spark)
     assert cog == rel and len(cog) > 0
+
+
+# --- batch 16 (plans/relational32.py) ---
+
+
+def test_heavy_hitters_matches_naive_counter(run, tables):
+    li = tables["lineitem"]
+    keys = [
+        int(ok % 5) if ok % 3 == 0 else int(ok) for ok in li["l_orderkey"]
+    ]
+    counts = Counter(keys)
+    n = len(keys)
+    expected = sorted(
+        ((k, c) for k, c in counts.items() if c * 64 >= n),
+        key=lambda kc: (-kc[1], kc[0]),
+    )
+    got = run("agg_heavy_hitters")
+    assert [(r.hot_key, r.cnt) for r in got.itertuples()] == expected
+    assert all(r.n_total == n for r in got.itertuples())
+    assert all(
+        r.share_ppm == r.cnt * 1_000_000 // n for r in got.itertuples()
+    )
+
+
+def test_mg_candidate_stage_is_superset_under_any_partitioning():
+    """The pass-1 guarantee the plan relies on: for ANY split of the
+    rows into partitions and batches, the Misra-Gries candidate union
+    contains every key with global count >= N/M. Exercised with a
+    64-counter summary against a skewed synthetic stream, sorted vs
+    interleaved vs single-partition layouts."""
+    import pandas as pd
+
+    from boat_etl_pyspark_spark.plans.relational32 import (
+        _HH_M,
+        _mg_summaries,
+    )
+
+    rows = [k for k in range(2000) for _ in ([1] * 400 if k < 3 else [1])]
+    n = len(rows)
+    heavy = {
+        k for k, c in Counter(rows).items() if c * _HH_M >= n
+    }
+    assert heavy == {0, 1, 2}  # the construction actually has hot keys
+
+    def candidates(partitions):
+        out = set()
+        for part in partitions:
+            batches = (
+                pd.DataFrame({"k": part[i:i + 97]})
+                for i in range(0, len(part), 97)
+            )
+            for frame in _mg_summaries(batches):
+                out |= set(frame.loc[frame.k.notna(), "k"].astype(int))
+        return out
+
+    layouts = [
+        [sorted(rows)],
+        [sorted(rows)[i::8] for i in range(8)],
+        [sorted(rows)[i * (n // 8 + 1):(i + 1) * (n // 8 + 1)]
+         for i in range(9)],
+        [rows],
+    ]
+    for layout in layouts:
+        assert heavy <= candidates(layout)
+
+
+def test_negative_sampling_matches_naive_md5(run, tables):
+    orders, li, part = tables["orders"], tables["lineitem"], tables["part"]
+    merged = orders.merge(li, left_on="o_orderkey", right_on="l_orderkey")
+    merged = merged[merged.o_custkey % 53 == 0]
+    pos = set(zip(merged.o_custkey.astype(int), merged.l_partkey.astype(int)))
+    pmax = int(part.p_partkey.max())
+    expected = []
+    for ck, pk in sorted(pos):
+        for j in (1, 2, 3):
+            h = hashlib.md5(f"{ck}:{pk}:{j}".encode()).hexdigest()
+            neg = 1 + int(h[:6], 16) % pmax
+            if (ck, neg) not in pos:
+                expected.append((ck, pk, j, neg))
+    got = run("ml_negative_sampling")
+    assert [
+        (r.custkey, r.pos_partkey, r.sample_j, r.neg_partkey)
+        for r in got.itertuples()
+    ] == expected
+    assert all(1 <= r.neg_partkey <= pmax for r in got.itertuples())
+
+
+def test_hampel_matches_naive_rolling_median(run, tables):
+    from statistics import median
+
+    ev = tables["events"]
+    per_user = defaultdict(list)
+    for r in ev.itertuples():
+        per_user[int(r.user_id)].append(
+            (int(r.ts.value // 1000), int(r.event_id), rnd(r.value * 100))
+        )
+    expected = {}
+    for uid, rows in per_user.items():
+        rows.sort()
+        cents = [c for _, _, c in rows]
+        n_out = max_dev = n_int = 0
+        for i in range(2, len(cents) - 2):
+            win = cents[i - 2:i + 3]
+            med = median(win)
+            mad = median(abs(x - med) for x in win)
+            dev = abs(cents[i] - med)
+            n_int += 1
+            max_dev = max(max_dev, dev)
+            n_out += dev > 3 * mad
+        if n_int:
+            expected[uid] = (n_int, n_out, max_dev)
+    got = run("window_hampel_outliers")
+    assert {
+        r.user_id: (r.n_interior, r.n_outliers, r.max_dev_cents)
+        for r in got.itertuples()
+    } == expected
