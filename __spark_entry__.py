@@ -57,6 +57,7 @@ from boat_etl_pyspark_spark.plans import (
     relational30,
     relational31,
     relational32,
+    relational33,
     curation3,
     textlm,
     io_plans2,
@@ -119,6 +120,7 @@ _PLAN_MODULES = (
     relational31,
     curation3,
     relational32,
+    relational33,
 )
 
 _QUERIES, _ORACLE = collect_registries(*_PLAN_MODULES)
@@ -143,11 +145,13 @@ _QUERIES, _ORACLE = collect_registries(*_PLAN_MODULES)
 # multimodal_decode_features, sim_rp_lsh_buckets, sim_norm_stats,
 # sim_ivf_topk, sim_bruteforce_topk)
 # rotate in round 6; all were re-verified green in the in-repo full
-# sf0.01 AND sf0.1 sweeps (`make verify-scale`). The NINE queries
+# sf0.01 AND sf0.1 sweeps (`make verify-scale`). The TWELVE queries
 # added after the round-5 list saturated (text_substring_dedup,
 # io_dynamic_partition_overwrite, ml_roc_auc, ml_calibration_bins,
 # ml_confusion_threshold, join_asof_cogrouped, agg_heavy_hitters,
-# ml_negative_sampling, window_hampel_outliers) sit at registry end
+# ml_negative_sampling, window_hampel_outliers,
+# curate_token_budget_fill, ml_feature_woe_iv, agg_basket_overlap)
+# sit at registry end
 # deliberately — displacing the streaming/dedup stale re-confirms
 # (the round-4 verdict's named priority) for them would trade the
 # wrong rows; as never-checked queries they outrank every stale

@@ -622,3 +622,72 @@ def test_hampel_matches_naive_rolling_median(run, tables):
         r.user_id: (r.n_interior, r.n_outliers, r.max_dev_cents)
         for r in got.itertuples()
     } == expected
+
+
+# --- batch 17 (plans/relational33.py) ---
+
+
+def test_token_budget_fill_matches_naive_cumsum(run, tables):
+    docs = tables["documents"].copy()
+    docs["n_tokens"] = docs.text.map(lambda t: len(t.split(" ")))
+    docs["hk"] = docs.doc_id.map(
+        lambda d: hashlib.md5(str(int(d)).encode()).hexdigest()
+    )
+    docs = docs.sort_values(["hk", "doc_id"]).reset_index(drop=True)
+    docs["cum"] = docs.n_tokens.cumsum()
+    sel = docs[docs.cum - docs.n_tokens < 15_000]
+    expected = {
+        src: (len(g), int(g.n_tokens.sum()))
+        for src, g in sel.groupby("source")
+    }
+    got = run("curate_token_budget_fill")
+    assert {
+        r.source: (r.n_docs_selected, r.n_tokens_selected)
+        for r in got.itertuples()
+    } == expected
+    # the selection is a real prefix, not the whole corpus
+    assert sel.n_tokens.sum() >= 15_000
+    assert len(sel) < len(docs)
+
+
+def test_woe_iv_matches_naive_log_terms(run, tables):
+    orders = tables["orders"]
+    got = run("ml_feature_woe_iv")
+    gt = int((orders.o_orderstatus != "F").sum())
+    bt = int((orders.o_orderstatus == "F").sum())
+    iv_terms = {}
+    for pri, g in orders.groupby("o_orderpriority"):
+        ng = int((g.o_orderstatus != "F").sum())
+        nb = int((g.o_orderstatus == "F").sum())
+        ratio = (ng * bt) / (nb * gt)
+        woe = math.floor(math.log(ratio) * 1e9)
+        iv = math.floor((ng / gt - nb / bt) * math.log(ratio) * 1e9)
+        iv_terms[pri] = (ng, nb, woe, iv)
+    for r in got.itertuples():
+        assert (r.n_good, r.n_bad, r.woe_nano, r.iv_term_nano) == iv_terms[
+            r.priority
+        ]
+    assert got.iv_total_nano.nunique() == 1
+    assert int(got.iv_total_nano.iloc[0]) == sum(
+        v[3] for v in iv_terms.values()
+    )
+
+
+def test_basket_overlap_matches_naive_sets(run, tables):
+    li, supp = tables["lineitem"], tables["supplier"]
+    merged = li.merge(supp, left_on="l_suppkey", right_on="s_suppkey")
+    baskets = {
+        int(n): set(g.l_partkey.astype(int))
+        for n, g in merged.groupby("s_nationkey")
+    }
+    got = run("agg_basket_overlap")
+    nations = sorted(baskets)
+    assert len(got) == len(nations) * (len(nations) - 1) // 2
+    for r in got.itertuples():
+        a, b = baskets[r.n1], baskets[r.n2]
+        inter = len(a & b)
+        assert r.n1 < r.n2
+        assert (r.n_inter, r.n_parts_1, r.n_parts_2) == (
+            inter, len(a), len(b),
+        )
+        assert r.jaccard_ppm == inter * 1_000_000 // len(a | b)
