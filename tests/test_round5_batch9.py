@@ -691,3 +691,83 @@ def test_basket_overlap_matches_naive_sets(run, tables):
             inter, len(a), len(b),
         )
         assert r.jaccard_ppm == inter * 1_000_000 // len(a | b)
+
+
+# --- batch 18 (plans/relational34.py) ---
+
+
+def test_pr_auc_matches_naive_step_curve(run, tables):
+    ev = tables["events"]
+    scores = [rnd(v * 100) for v in ev.value]
+    ys = [1 if t == "purchase" else 0 for t in ev.event_type]
+    by_s = defaultdict(lambda: [0, 0])
+    for s, y in zip(scores, ys):
+        by_s[s][0] += y
+        by_s[s][1] += 1
+    n_pos = sum(ys)
+    cum_tp = cum_all = 0
+    term_sum = 0
+    for s in sorted(by_s, reverse=True):
+        cp, ct = by_s[s]
+        cum_tp += cp
+        cum_all += ct
+        term_sum += cp * cum_tp * 1_000_000_000 // cum_all
+    row = run("ml_pr_auc").iloc[0]
+    assert (row.n_pos, row.n_neg) == (n_pos, len(ys) - n_pos)
+    assert row.ap_nano == term_sum // n_pos
+    # sanity: AP of a near-random score on a ~20%-positive class sits
+    # between the base rate and a strong classifier
+    assert 0 < row.ap_nano < 1_000_000_000
+
+
+def test_bot_detection_matches_naive_cv(run, tables):
+    ev = tables["events"]
+    per_user = defaultdict(list)
+    for r in ev.itertuples():
+        per_user[int(r.user_id)].append((int(r.ts.value // 1000),
+                                         int(r.event_id)))
+    expected = {}
+    for uid, rows in per_user.items():
+        rows.sort()
+        gaps = [b[0] - a[0] for a, b in zip(rows, rows[1:])]
+        if not gaps:
+            continue
+        n, s1, s2 = len(gaps), sum(gaps), sum(g * g for g in gaps)
+        cv = math.floor(math.sqrt(n * s2 - s1 * s1) / s1 * 1e6)
+        flag = 1 if n >= 19 and cv < 250_000 else 0
+        expected[uid] = (n, s1 // n, cv, flag)
+    got = run("events_bot_detection")
+    assert {
+        r.user_id: (r.n_gaps, r.mean_gap_us, r.cv_ppm, r.bot_flag)
+        for r in got.itertuples()
+    } == expected
+    # random fixture arrivals: CV clusters near 1e6, nothing flags
+    assert got.bot_flag.sum() == 0
+
+
+def test_bot_detection_flags_a_synthetic_bot():
+    """The threshold actually fires on regular spacing: a constant
+    600s cadence over 30 events has CV 0 and must flag."""
+    gaps = [600_000_000] * 29
+    n, s1, s2 = len(gaps), sum(gaps), sum(g * g for g in gaps)
+    cv = math.floor(math.sqrt(n * s2 - s1 * s1) / s1 * 1e6)
+    assert n >= 19 and cv < 250_000
+
+
+def test_trimmed_winsorized_matches_naive_sort(run, tables):
+    orders = tables["orders"]
+    vals = sorted(
+        (rnd(p * 100), int(k))
+        for p, k in zip(orders.o_totalprice, orders.o_orderkey)
+    )
+    n = len(vals)
+    k = n * 5 // 100
+    kept = [c for c, _ in vals[k:n - k]]
+    lo, hi = vals[k][0], vals[n - k - 1][0]
+    row = run("agg_trimmed_winsorized_mean").iloc[0]
+    assert (row.n_orders, row.k_trim) == (n, k)
+    assert (row.lo_clamp_cents, row.hi_clamp_cents) == (lo, hi)
+    assert row.trimmed_mean_micro_cents == sum(kept) * 1_000_000 // len(kept)
+    assert row.winsorized_mean_micro_cents == (
+        (sum(kept) + k * (lo + hi)) * 1_000_000 // n
+    )
