@@ -771,3 +771,90 @@ def test_trimmed_winsorized_matches_naive_sort(run, tables):
     assert row.winsorized_mean_micro_cents == (
         (sum(kept) + k * (lo + hi)) * 1_000_000 // n
     )
+
+
+# --- batch 19 (plans/relational35.py) ---
+
+
+def test_minhash_calibration_matches_naive_python(run, tables):
+    """Full pure-Python recompute of the calibration table — shingles,
+    one md5 per shingle, 12 affine permutations, banded candidates,
+    exact Jaccard — independent of both engines."""
+    from boat_etl_pyspark_spark.plans.textdedup import _MH_A, _MH_B, _MH_P
+
+    shingles = {}
+    for r in tables["documents"].itertuples():
+        t = r.text.split(" ")
+        # mirror the SQL: sequence(1, greatest(size-2, 1)) over t
+        shingles[int(r.doc_id)] = {
+            " ".join(t[i:i + 3]) for i in range(max(len(t) - 2, 1))
+        }
+    sigs, bands = {}, defaultdict(set)
+    for d, sh in shingles.items():
+        h0 = [
+            int(hashlib.md5(x.encode()).hexdigest()[:15], 16) % _MH_P
+            for x in sh
+        ]
+        mh = [
+            min((_MH_A[i] * h + _MH_B[i]) % _MH_P for h in h0)
+            for i in range(12)
+        ]
+        sigs[d] = mh
+        for j in range(4):
+            key = hashlib.md5(
+                ",".join(str(v) for v in mh[j * 3:j * 3 + 3]).encode()
+            ).hexdigest()
+            bands[(j, key)].add(d)
+    cand = set()
+    for members in bands.values():
+        ms = sorted(members)
+        cand |= {(a, b) for i, a in enumerate(ms) for b in ms[i + 1:]}
+    buckets = defaultdict(list)
+    for a, b in cand:
+        matches = sum(x == y for x, y in zip(sigs[a], sigs[b]))
+        inter = len(shingles[a] & shingles[b])
+        ppm = inter * 1_000_000 // len(shingles[a] | shingles[b])
+        buckets[matches].append(ppm)
+    expected = {}
+    for m, ppms in buckets.items():
+        mean = sum(ppms) // len(ppms)
+        expected[m] = (
+            m * 1_000_000 // 12, len(ppms), mean, min(ppms), max(ppms),
+            m * 1_000_000 // 12 - mean,
+        )
+    got = run("dedup_minhash_calibration")
+    assert {
+        r.sig_matches: (
+            r.est_jaccard_ppm, r.n_pairs, r.mean_exact_ppm,
+            r.min_exact_ppm, r.max_exact_ppm, r.bias_ppm,
+        )
+        for r in got.itertuples()
+    } == expected
+    assert len(got) > 0
+
+
+def test_lift_gains_matches_naive_sort(run, tables):
+    ev = tables["events"]
+    rows = sorted(
+        (-rnd(v * 100), int(e), 1 if t == "purchase" else 0)
+        for v, e, t in zip(ev.value, ev.event_id, ev.event_type)
+    )
+    n = len(rows)
+    tot_pos = sum(y for _, _, y in rows)
+    per = defaultdict(lambda: [0, 0])
+    for i, (_, _, y) in enumerate(rows):
+        d = i * 10 // n + 1
+        per[d][0] += 1
+        per[d][1] += y
+    got = run("ml_lift_gains_table")
+    cum_n = cum_p = 0
+    for r in got.itertuples():
+        ne, np_ = per[r.decile]
+        cum_n += ne
+        cum_p += np_
+        assert (r.n_events, r.n_pos) == (ne, np_)
+        assert r.cum_gains_ppm == cum_p * 1_000_000 // tot_pos
+        assert r.cum_lift_milli == cum_p * n * 1000 // (cum_n * tot_pos)
+    assert list(got.decile) == list(range(1, 11))
+    # the model is informative: the top decile over-captures purchases
+    assert got.cum_lift_milli.iloc[0] > 1000
