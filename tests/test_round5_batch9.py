@@ -858,3 +858,75 @@ def test_lift_gains_matches_naive_sort(run, tables):
     assert list(got.decile) == list(range(1, 11))
     # the model is informative: the top decile over-captures purchases
     assert got.cum_lift_milli.iloc[0] > 1000
+
+
+# --- batch 20 (plans/relational36.py) ---
+
+
+def _fold_dot(a, b):
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc
+
+
+def test_mmr_matches_naive_greedy(run, tables):
+    emb = tables["embeddings"]
+    vecs = {
+        int(r.vec_id): [float(x) for x in r.embedding]
+        for r in emb.itertuples()
+    }
+    n2 = {d: _fold_dot(v, v) for d, v in vecs.items()}
+    q = 3
+    rel = {
+        d: _fold_dot(vecs[q], v) / math.sqrt(n2[q] * n2[d])
+        for d, v in vecs.items() if d != q
+    }
+    cands = sorted(rel, key=lambda d: (-rel[d], d))[:16]
+    cos = {
+        (a, b): _fold_dot(vecs[a], vecs[b]) / math.sqrt(n2[a] * n2[b])
+        for a in cands for b in cands if a != b
+    }
+    sel = [min(cands, key=lambda d: (-rel[d], d))]
+    while len(sel) < 5:
+        rest = [d for d in cands if d not in sel]
+        best = min(
+            rest,
+            key=lambda d: (
+                -(0.5 * rel[d] - 0.5 * max(cos[(d, s)] for s in sel)), d,
+            ),
+        )
+        sel.append(best)
+    got = run("sim_mmr_diverse_topk")
+    assert list(got.vec_id) == sel
+    assert list(got.pick_order) == [1, 2, 3, 4, 5]
+    # diversity must actually bite: the MMR picks differ from the
+    # plain relevance top-5 beyond the (shared) first pick
+    assert sel != cands[:5]
+
+
+def test_circular_stats_matches_naive_trig(run, tables):
+    ev = tables["events"]
+    day = 86_400_000_000
+    acc = defaultdict(lambda: [0, 0, 0])
+    for r in ev.itertuples():
+        us = int(r.ts.value // 1000) % day
+        ang = us * 2 * math.pi / day
+        a = acc[r.event_type]
+        a[0] += 1
+        a[1] += math.floor(math.sin(ang) * 1e9)
+        a[2] += math.floor(math.cos(ang) * 1e9)
+    got = run("ts_circular_time_stats")
+    for r in got.itertuples():
+        n, ssum, csum = acc[r.event_type]
+        theta = math.atan2(float(ssum), float(csum))
+        assert r.n_events == n
+        assert r.mean_angle_milli_rad == math.floor(theta * 1000)
+        assert r.mean_second_of_day == math.floor(
+            ((theta + 2 * math.pi) % (2 * math.pi)) / (2 * math.pi) * 86400
+        )
+        assert r.resultant_ppm == math.floor(
+            math.sqrt(float(ssum) ** 2 + float(csum) ** 2) / (n * 1e9) * 1e6
+        )
+    # uniform arrivals: the resultant length is tiny at every type
+    assert (got.resultant_ppm < 200_000).all()
