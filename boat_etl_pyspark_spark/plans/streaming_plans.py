@@ -397,6 +397,113 @@ GROUP BY event_type
 """
 
 
+def stream_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint recovery across a REAL query restart — the
+    production streaming property none of the other replay harnesses
+    exercise: two files arrive, the query runs to completion
+    (availableNow) and STOPS; a third file lands; a NEW query object
+    resumes from the SAME checkpointLocation. The checkpoint must
+    restore both the source offsets (run 2 reads only the new file)
+    and the window state (totals for windows spanning old data stay
+    correct even though their rows are never re-read). Update-mode
+    emissions land via foreachBatch with dynamic partition overwrite
+    keyed by (window, event_type), so each re-emission REPLACES that
+    window's row — idempotent under retry and under the restart. The
+    oracle is the plain batch tumbling aggregate: it can only match
+    if state genuinely survived the restart (losing it would leave
+    run-2-updated windows holding file-3-only counts)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    src3 = stream_dir_multi(sf_dir, 3)
+    files = sorted(
+        f for f in os.listdir(src3) if f.endswith(".parquet")
+    )
+    key = (
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}_{os.getpid()}"
+    )
+    arrival = os.path.join(tempfile.gettempdir(), f"spark_graft_ckr_a_{key}")
+    ckpt = os.path.join(tempfile.gettempdir(), f"spark_graft_ckr_c_{key}")
+    acc = os.path.join(tempfile.gettempdir(), f"spark_graft_ckr_s_{key}")
+    for d in (arrival, ckpt, acc):
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(arrival)
+
+    session_box = {}
+
+    def run_once() -> None:
+        ev = read_events_stream(spark, sf_dir, dir_override=arrival,
+                                max_files_per_trigger=1)
+        session_box["s"] = ev.sparkSession
+        win = (
+            ev.withWatermark("ev_time", "1 hour")
+            .groupBy(F.window("ev_time", "6 hours").alias("w"), "event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(cents(F.col("value"))).alias("value_cents"),
+            )
+            .select(
+                F.unix_micros(F.col("w.start")).alias("ws_us"),
+                "event_type", "n_events", "value_cents",
+            )
+        )
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            (
+                batch_df.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("ws_us", "event_type")
+                .parquet(acc)
+            )
+
+        q = (
+            win.writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(300)
+        finally:
+            if q.isActive:
+                q.stop()
+
+    for f in files[:2]:
+        shutil.copy(os.path.join(src3, f), os.path.join(arrival, f))
+    run_once()
+    shutil.copy(os.path.join(src3, files[2]),
+                os.path.join(arrival, files[2]))
+    run_once()
+
+    acc_schema = (
+        "n_events bigint, value_cents bigint, ws_us bigint,"
+        " event_type string"
+    )
+    out = session_box["s"].read.schema(acc_schema).parquet(acc)
+    return out.select(
+        "ws_us",
+        (F.col("ws_us") + 6 * 3600 * 1_000_000).alias("we_us"),
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("value_cents").cast("bigint").alias("value_cents"),
+    )
+
+
+_CKPT_RESTART_SQL = """
+SELECT
+  (epoch_us(ts) // 21600000000) * 21600000000 AS ws_us,
+  ((epoch_us(ts) // 21600000000) + 1) * 21600000000 AS we_us,
+  event_type,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
 QUERIES = {
     "stream_stream_attribution": stream_stream_attribution,
     "stream_dedup_within_watermark": stream_dedup_within_watermark,
@@ -408,6 +515,7 @@ QUERIES = {
     "stream_sliding_6h_3h": stream_sliding_6h_3h,
     "stream_session_windows": stream_session_windows,
     "stream_stateful_user_totals": stream_stateful_user_totals,
+    "stream_checkpoint_restart": stream_checkpoint_restart,
 }
 
 ORACLE = {
@@ -421,4 +529,5 @@ ORACLE = {
     "stream_sliding_6h_3h": _SLIDING_SQL,
     "stream_session_windows": _SESSION_SQL,
     "stream_stateful_user_totals": _STATEFUL_SQL,
+    "stream_checkpoint_restart": _CKPT_RESTART_SQL,
 }

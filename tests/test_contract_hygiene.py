@@ -108,7 +108,7 @@ _COLLECT_ALLOWLIST = {
     "plans/relational24.py": 1,      # one-row file-manifest summary
     "plans/relational25.py": 2,      # quantile lo/hi/total + <=1024 buckets
     "plans/textcuration.py": 1,      # bounded query-vector pull (_MM_NQ)
-    "plans/relational36.py": 1,      # MMR CxC pair matrix (240 rows)
+    "plans/relational36.py": 2,      # MMR cands (16) + pair matrix (240)
     "operators/skew.py": 1,          # diagnostics-only sampler
     "pipeline/boat.py": 2,           # min-year scalar + validation row
 }

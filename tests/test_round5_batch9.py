@@ -930,3 +930,45 @@ def test_circular_stats_matches_naive_trig(run, tables):
         )
     # uniform arrivals: the resultant length is tiny at every type
     assert (got.resultant_ppm < 200_000).all()
+
+
+# --- batch 21 (streaming_plans.py: checkpoint restart) ---
+
+
+def test_checkpoint_restart_matches_naive_and_is_incremental(run, tables):
+    """The restarted stream's merged sink must equal the batch
+    tumbling aggregate (only possible if window state survived the
+    restart), AND the checkpoint must show exactly five micro-batches
+    (one per run-1 file, 1 for run 2's single new file, plus one no-data
+    watermark-finalization batch per run = 5 total; run 2 re-reading
+    old files would add more). Only-one-data-batch-in-run-2 plus
+    value equality together prove the window STATE was restored from
+    the checkpoint (matching totals without re-reading old rows)."""
+    import hashlib
+    import os
+    import tempfile
+
+    got = run("stream_checkpoint_restart")
+    ev = tables["events"]
+    day6 = 21_600_000_000
+    expected = defaultdict(lambda: [0, 0])
+    for r in ev.itertuples():
+        us = int(r.ts.value // 1000)
+        ws = us // day6 * day6
+        a = expected[(ws, r.event_type)]
+        a[0] += 1
+        a[1] += rnd(r.value * 100)
+    assert {
+        (r.ws_us, r.event_type): [r.n_events, r.value_cents]
+        for r in got.itertuples()
+    } == dict(expected)
+    assert (got.we_us - got.ws_us == day6).all()
+    key = (
+        f"{hashlib.md5(SF_SMOKE.encode()).hexdigest()[:12]}_{os.getpid()}"
+    )
+    ckpt = os.path.join(tempfile.gettempdir(), f"spark_graft_ckr_c_{key}")
+    offsets = [
+        f for f in os.listdir(os.path.join(ckpt, "offsets"))
+        if not f.startswith(".")
+    ]
+    assert len(offsets) == 5, f"expected 5 micro-batches, saw {offsets}"
