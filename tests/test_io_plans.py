@@ -115,3 +115,24 @@ def test_sessionize_invariants(spark):
 
     n_events = load_table(spark, SF_SMOKE, "events").count()
     assert sessions.agg(F.sum("n_events")).collect()[0][0] == n_events
+
+
+def test_codec_tradeoff_zstd_wins_and_roundtrips(spark):
+    import pandas as pd
+
+    import __spark_entry__ as m
+    from tests.conftest import SF_SMOKE
+
+    got = m.queries()["io_codec_tradeoff"](spark, SF_SMOKE).toPandas()
+    # zstd must have actually produced smaller files than snappy
+    assert got.loc[got.codec == "zstd", "smaller_file"].all()
+    assert not got.loc[got.codec == "snappy", "smaller_file"].any()
+    # both codecs round-trip the identical aggregate
+    piv = got.pivot(index="o_orderpriority", columns="codec",
+                    values=["n_orders", "revenue_cents"])
+    assert (piv["n_orders"]["zstd"] == piv["n_orders"]["snappy"]).all()
+    assert (
+        piv["revenue_cents"]["zstd"] == piv["revenue_cents"]["snappy"]
+    ).all()
+    orders = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    assert got.n_orders.sum() == 2 * len(orders)
