@@ -160,11 +160,15 @@ _QUERIES, _ORACLE = collect_registries(*_PLAN_MODULES)
 # ml_pr_auc, events_bot_detection, agg_trimmed_winsorized_mean,
 # dedup_minhash_calibration, ml_lift_gains_table,
 # sim_mmr_diverse_topk, ts_circular_time_stats,
-# stream_checkpoint_restart, io_codec_tradeoff) sit at registry end
-# deliberately — displacing the streaming/dedup stale re-confirms
-# (the round-4 verdict's named priority) for them would trade the
-# wrong rows; as never-checked queries they outrank every stale
-# green and lead the round-6 rotation.
+# stream_checkpoint_restart, io_codec_tradeoff) stay OUT of this
+# round's 50 deliberately — displacing the streaming/dedup stale
+# re-confirms (the round-4 verdict's named priority) for them would
+# trade the wrong rows; as never-checked queries they outrank every
+# stale green and lead the round-6 rotation. (Nineteen land at the
+# registry tail via the relational32-36 modules; stream_checkpoint_
+# restart and io_codec_tradeoff register mid-registry at their host
+# modules' positions — round 6 must name all 21 in _CHECK_FIRST, not
+# slice the tail.)
 _CHECK_FIRST = (
     # --- new in round 5, never driver-checked (35) ---
     "window_max_drawdown",

@@ -103,6 +103,13 @@ ORDER BY source
 # Weight of evidence / information value
 # ---------------------------------------------------------------------------
 
+# WoE/IV with additive (+0.5 per class, the half-integer Laplace /
+# Yates form, kept integral by doubling) smoothing: an unsmoothed
+# ln(good*bt/(bad*gt)) degenerates on a single-class bucket — Spark
+# floor(ln(0)) yields NULL while DuckDB CASTs -inf with an error, so
+# the two engines would diverge instead of failing cleanly. The
+# fixture has no pure buckets, but WoE is defined smoothed precisely
+# so that a drifted input cannot produce one.
 _WOE_CORE = """
 WITH c AS (
   SELECT o_orderpriority AS priority,
@@ -111,18 +118,19 @@ WITH c AS (
   FROM {orders} GROUP BY o_orderpriority
 ), t AS (
   SELECT priority, n_good, n_bad,
-         SUM(n_good) OVER () AS gt,
-         SUM(n_bad) OVER () AS bt
+         2 * n_good + 1 AS g2, 2 * n_bad + 1 AS b2,
+         SUM(2 * n_good + 1) OVER () AS gt2,
+         SUM(2 * n_bad + 1) OVER () AS bt2
   FROM c
 ), terms AS (
   SELECT priority, n_good, n_bad,
-         CAST(floor(ln((CAST(n_good AS DOUBLE) * bt)
-                       / (CAST(n_bad AS DOUBLE) * gt)) * 1e9)
+         CAST(floor(ln((CAST(g2 AS DOUBLE) * bt2)
+                       / (CAST(b2 AS DOUBLE) * gt2)) * 1e9)
               AS BIGINT) AS woe_nano,
-         CAST(floor((CAST(n_good AS DOUBLE) / gt
-                     - CAST(n_bad AS DOUBLE) / bt)
-                    * ln((CAST(n_good AS DOUBLE) * bt)
-                         / (CAST(n_bad AS DOUBLE) * gt)) * 1e9)
+         CAST(floor((CAST(g2 AS DOUBLE) / gt2
+                     - CAST(b2 AS DOUBLE) / bt2)
+                    * ln((CAST(g2 AS DOUBLE) * bt2)
+                         / (CAST(b2 AS DOUBLE) * gt2)) * 1e9)
               AS BIGINT) AS iv_term_nano
   FROM t
 )
@@ -144,7 +152,9 @@ def ml_feature_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-partition exchange is over feature cardinality, never
     rows); each bucket's WoE and IV term is a fixed-order closed-form
     double floored to nano units, so the cross-bucket IV sum is an
-    exact integer in both engines."""
+    exact integer in both engines. Counts carry half-integer additive
+    smoothing (doubled to stay integral) so a single-class bucket in
+    drifted data degrades gracefully instead of hitting ln(0)."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView(
         "r33_woe_orders"
     )

@@ -421,22 +421,25 @@ def stream_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
     files = sorted(
         f for f in os.listdir(src3) if f.endswith(".parquet")
     )
+    import glob
+
     key = (
         f"{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}_{os.getpid()}"
     )
+    # one dir triple per (sf_dir, pid); stale triples from dead pids
+    # would otherwise accumulate in /tmp across CI/bench processes
+    for stale in glob.glob(
+        os.path.join(tempfile.gettempdir(), "spark_graft_ckr_*")
+    ):
+        shutil.rmtree(stale, ignore_errors=True)
     arrival = os.path.join(tempfile.gettempdir(), f"spark_graft_ckr_a_{key}")
     ckpt = os.path.join(tempfile.gettempdir(), f"spark_graft_ckr_c_{key}")
     acc = os.path.join(tempfile.gettempdir(), f"spark_graft_ckr_s_{key}")
-    for d in (arrival, ckpt, acc):
-        shutil.rmtree(d, ignore_errors=True)
     os.makedirs(arrival)
-
-    session_box = {}
 
     def run_once() -> None:
         ev = read_events_stream(spark, sf_dir, dir_override=arrival,
                                 max_files_per_trigger=1)
-        session_box["s"] = ev.sparkSession
         win = (
             ev.withWatermark("ev_time", "1 hour")
             .groupBy(F.window("ev_time", "6 hours").alias("w"), "event_type")
@@ -471,18 +474,23 @@ def stream_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
             if q.isActive:
                 q.stop()
 
+    # copy2 preserves the strictly-increasing mtimes stream_dir_multi
+    # engineers — FileStreamSource orders pending files by ms-granular
+    # modification time, so a plain copy would leave micro-batch order
+    # (and hence the watermark walk) to timestamp luck
     for f in files[:2]:
-        shutil.copy(os.path.join(src3, f), os.path.join(arrival, f))
+        shutil.copy2(os.path.join(src3, f), os.path.join(arrival, f))
     run_once()
-    shutil.copy(os.path.join(src3, files[2]),
-                os.path.join(arrival, files[2]))
+    shutil.copy2(os.path.join(src3, files[2]),
+                 os.path.join(arrival, files[2]))
     run_once()
 
     acc_schema = (
         "n_events bigint, value_cents bigint, ws_us bigint,"
         " event_type string"
     )
-    out = session_box["s"].read.schema(acc_schema).parquet(acc)
+    # plain batch read — no live stream left, any session will do
+    out = spark.read.schema(acc_schema).parquet(acc)
     return out.select(
         "ws_us",
         (F.col("ws_us") + 6 * 3600 * 1_000_000).alias("we_us"),

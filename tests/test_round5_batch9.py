@@ -653,15 +653,17 @@ def test_token_budget_fill_matches_naive_cumsum(run, tables):
 def test_woe_iv_matches_naive_log_terms(run, tables):
     orders = tables["orders"]
     got = run("ml_feature_woe_iv")
-    gt = int((orders.o_orderstatus != "F").sum())
-    bt = int((orders.o_orderstatus == "F").sum())
+    k = orders.o_orderpriority.nunique()
+    gt2 = 2 * int((orders.o_orderstatus != "F").sum()) + k
+    bt2 = 2 * int((orders.o_orderstatus == "F").sum()) + k
     iv_terms = {}
     for pri, g in orders.groupby("o_orderpriority"):
         ng = int((g.o_orderstatus != "F").sum())
         nb = int((g.o_orderstatus == "F").sum())
-        ratio = (ng * bt) / (nb * gt)
+        g2, b2 = 2 * ng + 1, 2 * nb + 1
+        ratio = (g2 * bt2) / (b2 * gt2)
         woe = math.floor(math.log(ratio) * 1e9)
-        iv = math.floor((ng / gt - nb / bt) * math.log(ratio) * 1e9)
+        iv = math.floor((g2 / gt2 - b2 / bt2) * math.log(ratio) * 1e9)
         iv_terms[pri] = (ng, nb, woe, iv)
     for r in got.itertuples():
         assert (r.n_good, r.n_bad, r.woe_nano, r.iv_term_nano) == iv_terms[
