@@ -61,6 +61,7 @@ from boat_etl_pyspark_spark.plans import (
     relational34,
     relational35,
     relational36,
+    relational37,
     curation3,
     textlm,
     io_plans2,
@@ -127,6 +128,7 @@ _PLAN_MODULES = (
     relational34,
     relational35,
     relational36,
+    relational37,
 )
 
 _QUERIES, _ORACLE = collect_registries(*_PLAN_MODULES)
@@ -151,7 +153,7 @@ _QUERIES, _ORACLE = collect_registries(*_PLAN_MODULES)
 # multimodal_decode_features, sim_rp_lsh_buckets, sim_norm_stats,
 # sim_ivf_topk, sim_bruteforce_topk)
 # rotate in round 6; all were re-verified green in the in-repo full
-# sf0.01 AND sf0.1 sweeps (`make verify-scale`). The TWENTY-ONE queries
+# sf0.01 AND sf0.1 sweeps (`make verify-scale`). The TWENTY-FIVE queries
 # added after the round-5 list saturated (text_substring_dedup,
 # io_dynamic_partition_overwrite, ml_roc_auc, ml_calibration_bins,
 # ml_confusion_threshold, join_asof_cogrouped, agg_heavy_hitters,
@@ -160,14 +162,16 @@ _QUERIES, _ORACLE = collect_registries(*_PLAN_MODULES)
 # ml_pr_auc, events_bot_detection, agg_trimmed_winsorized_mean,
 # dedup_minhash_calibration, ml_lift_gains_table,
 # sim_mmr_diverse_topk, ts_circular_time_stats,
-# stream_checkpoint_restart, io_codec_tradeoff) stay OUT of this
+# stream_checkpoint_restart, io_codec_tradeoff,
+# graph_connected_components, agg_count_min_sketch, agg_tail_cvar,
+# join_null_safe) stay OUT of this
 # round's 50 deliberately — displacing the streaming/dedup stale
 # re-confirms (the round-4 verdict's named priority) for them would
 # trade the wrong rows; as never-checked queries they outrank every
-# stale green and lead the round-6 rotation. (Nineteen land at the
-# registry tail via the relational32-36 modules; stream_checkpoint_
+# stale green and lead the round-6 rotation. (Twenty-three land at the
+# registry tail via the relational32-37 modules; stream_checkpoint_
 # restart and io_codec_tradeoff register mid-registry at their host
-# modules' positions — round 6 must name all 21 in _CHECK_FIRST, not
+# modules' positions — round 6 must name all 25 in _CHECK_FIRST, not
 # slice the tail.)
 _CHECK_FIRST = (
     # --- new in round 5, never driver-checked (35) ---
