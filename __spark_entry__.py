@@ -63,6 +63,7 @@ from boat_etl_pyspark_spark.plans import (
     relational36,
     relational37,
     relational38,
+    relational39,
     curation3,
     textlm,
     io_plans2,
@@ -131,6 +132,7 @@ _PLAN_MODULES = (
     relational36,
     relational37,
     relational38,
+    relational39,
 )
 
 _QUERIES, _ORACLE = collect_registries(*_PLAN_MODULES)
@@ -155,7 +157,7 @@ _QUERIES, _ORACLE = collect_registries(*_PLAN_MODULES)
 # multimodal_decode_features, sim_rp_lsh_buckets, sim_norm_stats,
 # sim_ivf_topk, sim_bruteforce_topk)
 # rotate in round 6; all were re-verified green in the in-repo full
-# sf0.01 AND sf0.1 sweeps (`make verify-scale`). The TWENTY-SEVEN queries
+# sf0.01 AND sf0.1 sweeps (`make verify-scale`). The THIRTY queries
 # added after the round-5 list saturated (text_substring_dedup,
 # io_dynamic_partition_overwrite, ml_roc_auc, ml_calibration_bins,
 # ml_confusion_threshold, join_asof_cogrouped, agg_heavy_hitters,
@@ -166,15 +168,17 @@ _QUERIES, _ORACLE = collect_registries(*_PLAN_MODULES)
 # sim_mmr_diverse_topk, ts_circular_time_stats,
 # stream_checkpoint_restart, io_codec_tradeoff,
 # graph_connected_components, agg_count_min_sketch, agg_tail_cvar,
-# join_null_safe, ml_logreg_quality, ts_periodogram) stay OUT of this
+# join_null_safe, ml_logreg_quality, ts_periodogram,
+# multimodal_phash_pairs, validate_referential_integrity,
+# events_diff_in_diff) stay OUT of this
 # round's 50 deliberately — displacing the streaming/dedup stale
 # re-confirms (the round-4 verdict's named priority) for them would
 # trade the wrong rows; as never-checked queries they outrank every
-# stale green and lead the round-6 rotation. (Twenty-five land at the
-# registry tail via the relational32-38 modules; stream_checkpoint_
-# restart and io_codec_tradeoff register mid-registry at their host
-# modules' positions — round 6 must name all 27 in _CHECK_FIRST, not
-# slice the tail.)
+# stale green and lead the round-6 rotation. (Twenty-seven land at the
+# registry tail via the relational32-39 modules; stream_checkpoint_
+# restart, io_codec_tradeoff and multimodal_phash_pairs register
+# mid-registry at their host modules' positions — round 6 must name
+# all 30 in _CHECK_FIRST, not slice the tail.)
 _CHECK_FIRST = (
     # --- new in round 5, never driver-checked (35) ---
     "window_max_drawdown",

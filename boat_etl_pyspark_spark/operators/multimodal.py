@@ -193,3 +193,50 @@ def resize(with_payload: DataFrame, out_w: int = 64, out_h: int = 64) -> DataFra
             )
 
     return with_payload.mapInPandas(batches, RESIZE_SCHEMA)
+
+
+PHASH_SCHEMA = "doc_id BIGINT, k0 BIGINT, k1 BIGINT, k2 BIGINT, k3 BIGINT"
+
+_PHASH_DIM = 64
+
+
+def phash_keys(with_payload: DataFrame) -> DataFrame:
+    """Banded average-hash (aHash) of the payload: 64 intensity bands,
+    each thresholded against the payload's OWN mean intensity — the
+    bit-j test is the exact integer cross-multiplication
+    ``band_sum * n > total_sum * band_len`` (no float mean), so the
+    oracle reproduces every bit. The 64 bits pack into FOUR 16-bit
+    band keys (k0..k3): equality on any one key is the
+    hamming-space LSH band used for candidate generation, exactly the
+    MinHash banding trick transplanted to image near-dup — similar
+    payloads agree on whole 16-bit bands with high probability.
+    Vectorized over the Arrow batch with one reduceat, no per-payload
+    Python loop (the ``decode_features`` pattern)."""
+    dim = _PHASH_DIM
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        w16 = 1 << np.arange(15, -1, -1, dtype=np.int64)
+        for pdf in it:
+            if not len(pdf):
+                continue
+            payloads = pdf["payload"].tolist()
+            n = np.array([len(b) for b in payloads], dtype=np.int64)
+            flat = np.frombuffer(b"".join(payloads) + b"\x00", dtype=np.uint8)
+            off = np.cumsum(n) - n
+            j = np.arange(dim, dtype=np.int64)
+            lo = off[:, None] + (j[None, :] * n[:, None]) // dim
+            hi = off[:, None] + ((j[None, :] + 1) * n[:, None]) // dim
+            cnt = hi - lo
+            sums = np.add.reduceat(flat.astype(np.int64), lo.ravel())
+            sums[cnt.ravel() == 0] = 0
+            sums = sums.reshape(lo.shape)
+            total = sums.sum(axis=1)  # bands tile the payload exactly
+            bits = (sums * n[:, None]) > (total[:, None] * cnt)
+            cols = {"doc_id": pdf["doc_id"]}
+            for b in range(4):
+                cols[f"k{b}"] = (
+                    bits[:, b * 16 : (b + 1) * 16].astype(np.int64) * w16
+                ).sum(axis=1)
+            yield pd.DataFrame(cols)
+
+    return with_payload.mapInPandas(batches, PHASH_SCHEMA)

@@ -1,0 +1,174 @@
+"""Round-5 batch 24 (relational part): data-contract auditing and
+causal inference (SURVEY.md §2.4 validation / §2.9 aggregation
+families; no reference counterpart).
+
+  * ``validate_referential_integrity`` — foreign-key orphan audit
+    across every relationship in the star schema: per FK, child
+    count, orphan count (left-anti join against the parent key set)
+    and orphan ppm. The reference's pandera checks validate single
+    columns (SURVEY §2.4); this is the CROSS-TABLE contract a real
+    warehouse ingest gate needs.
+  * ``events_diff_in_diff`` — difference-in-differences estimate of
+    the treatment effect on event value: users hash-split into
+    treat/control arms, time split at the observed midpoint, the
+    2x2 cell means and the DiD interaction from one conditional
+    aggregate over exact milli-unit integer sums.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit
+# ---------------------------------------------------------------------------
+
+_RI_FKS = (
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+def validate_referential_integrity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Orphan audit for all {n} FK relationships: each row is one FK
+    with its child cardinality, orphan count and orphan ppm. Orphans
+    come from a LEFT ANTI join of child keys against the
+    deduplicated parent key set — Catalyst picks broadcast for the
+    small parents (nation/region) and a shuffled hash anti-join for
+    the big ones, which is exactly the right split at 100 TB; only
+    key columns are scanned (column pruning leaves the wide payload
+    on disk). A healthy pipeline reports all zeros — the query is
+    the gate that PROVES it, and its ppm column is the drift alarm
+    when a late-arriving dimension breaks it.""".format(n=len(_RI_FKS))
+    out = None
+    for child, ck, parent, pk in _RI_FKS:
+        c = load_table(spark, sf_dir, child).select(F.col(ck).alias("k"))
+        p = (
+            load_table(spark, sf_dir, parent)
+            .select(F.col(pk).alias("k"))
+            .distinct()
+        )
+        row = (
+            c.agg(F.count("*").alias("n_child"))
+            .crossJoin(
+                c.join(p, "k", "left_anti").agg(
+                    F.count("*").alias("n_orphans")
+                )
+            )
+            .select(
+                F.lit(f"{child}.{ck}->{parent}.{pk}").alias("fk"),
+                F.col("n_child").cast("bigint").alias("n_child"),
+                F.col("n_orphans").cast("bigint").alias("n_orphans"),
+                F.expr("n_orphans * 1000000 DIV n_child").alias(
+                    "orphan_ppm"
+                ),
+            )
+        )
+        out = row if out is None else out.union(row)
+    return out.orderBy("fk")
+
+
+def _ri_duck() -> str:
+    rows = []
+    for child, ck, parent, pk in _RI_FKS:
+        rows.append(f"""SELECT '{child}.{ck}->{parent}.{pk}' AS fk,
+       CAST((SELECT COUNT(*) FROM {child}) AS BIGINT) AS n_child,
+       CAST((SELECT COUNT(*) FROM {child} c
+             WHERE NOT EXISTS (SELECT 1 FROM {parent} p
+                               WHERE p.{pk} = c.{ck})) AS BIGINT)
+         AS n_orphans,
+       CAST((SELECT COUNT(*) FROM {child} c
+             WHERE NOT EXISTS (SELECT 1 FROM {parent} p
+                               WHERE p.{pk} = c.{ck})) * 1000000
+            // (SELECT COUNT(*) FROM {child}) AS BIGINT) AS orphan_ppm""")
+    return "\nUNION ALL ".join(rows) + "\nORDER BY fk"
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences
+# ---------------------------------------------------------------------------
+
+# Shared core: identical SQL text in both engines modulo the table
+# name, the epoch accessor and the integer-division spelling, so the
+# float expression shapes (and therefore every IEEE operation) match.
+_DID_CORE = """
+WITH e AS (
+  SELECT user_id % 2 AS treat, ({epoch_us}) AS u,
+         CAST(floor(value * 1000) AS BIGINT) AS v
+  FROM {events}
+), span AS (
+  SELECT MIN(u) + (MAX(u) - MIN(u)) {idiv} 2 AS mid FROM e
+), cells AS (
+  SELECT
+    SUM(CASE WHEN treat = 1 AND u >= mid THEN 1 ELSE 0 END) AS n_tp,
+    SUM(CASE WHEN treat = 1 AND u >= mid THEN v ELSE 0 END) AS s_tp,
+    SUM(CASE WHEN treat = 1 AND u <  mid THEN 1 ELSE 0 END) AS n_t0,
+    SUM(CASE WHEN treat = 1 AND u <  mid THEN v ELSE 0 END) AS s_t0,
+    SUM(CASE WHEN treat = 0 AND u >= mid THEN 1 ELSE 0 END) AS n_cp,
+    SUM(CASE WHEN treat = 0 AND u >= mid THEN v ELSE 0 END) AS s_cp,
+    SUM(CASE WHEN treat = 0 AND u <  mid THEN 1 ELSE 0 END) AS n_c0,
+    SUM(CASE WHEN treat = 0 AND u <  mid THEN v ELSE 0 END) AS s_c0
+  FROM e, span
+)
+SELECT CAST(n_tp AS BIGINT) AS n_treat_post,
+       CAST(n_t0 AS BIGINT) AS n_treat_pre,
+       CAST(n_cp AS BIGINT) AS n_ctrl_post,
+       CAST(n_c0 AS BIGINT) AS n_ctrl_pre,
+       CAST(floor(s_tp / n_tp) AS BIGINT) AS mean_treat_post_milli,
+       CAST(floor(s_t0 / n_t0) AS BIGINT) AS mean_treat_pre_milli,
+       CAST(floor(s_cp / n_cp) AS BIGINT) AS mean_ctrl_post_milli,
+       CAST(floor(s_c0 / n_c0) AS BIGINT) AS mean_ctrl_pre_milli,
+       CAST(floor(((s_tp / n_tp - s_t0 / n_t0)
+                   - (s_cp / n_cp - s_c0 / n_c0)) * 1000) AS BIGINT)
+         AS did_micro
+FROM cells
+"""
+
+
+def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: treat = odd user ids, post = second
+    half of the observed time span (midpoint from a 1-row scalar
+    aggregate, crossJoined — no collect). All eight 2x2 cell sums
+    accumulate as exact milli-unit integers in ONE conditional
+    aggregate pass; the four means and the DiD interaction are a
+    fixed-shape float expression over those integers, identical SQL
+    text in both engines (floor to milli/micro). The A/B lift query
+    measures a marginal difference; DiD is the panel version that
+    nets out time trends — the causal-measurement shape for feature
+    launches. One scan, one 1-row broadcast, any scale."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "r39_did_events"
+    )
+    return spark.sql(
+        _DID_CORE.format(
+            events="r39_did_events",
+            epoch_us="unix_micros(ts)",
+            idiv="DIV",
+        )
+    )
+
+
+_DID_DUCK = _DID_CORE.format(
+    events="events", epoch_us="epoch_us(ts)", idiv="//"
+)
+
+
+QUERIES = {
+    "validate_referential_integrity": validate_referential_integrity,
+    "events_diff_in_diff": events_diff_in_diff,
+}
+
+ORACLE = {
+    "validate_referential_integrity": _ri_duck(),
+    "events_diff_in_diff": _DID_DUCK,
+}
