@@ -1,0 +1,251 @@
+"""Round-5 batch 27: co-purchase graph similarity, parquet
+footer-integrity audit, and per-domain cap sampling (SURVEY.md §2.9
+join/IO/curation families; no reference counterpart).
+
+  * ``graph_copurchase_similarity`` — item-item collaborative
+    filtering counts: parts co-occurring in the same order, Jaccard
+    over per-part order sets, top-20. The candidate generator is
+    bounded by order size (intra-order pairs), never all-pairs.
+  * ``io_parquet_footer_audit`` — proves parquet footer statistics
+    (row counts, min/max, null counts) equal the data: the Spark
+    side reads ONLY footers (pyarrow metadata, zero data IO),
+    distributed one task per file; the DuckDB oracle computes the
+    same numbers by scanning the data. Parity = footer integrity.
+  * ``curate_domain_caps`` — CommonCrawl-style per-domain document
+    cap: keep at most N docs per source, chosen by deterministic
+    content-free hash order so reruns and engines agree.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..sources.readers import load_table
+
+# ---------------------------------------------------------------------------
+# Co-purchase similarity
+# ---------------------------------------------------------------------------
+
+_COPURCHASE_TOPK = 20
+
+_COP_CORE = f"""
+WITH deg AS (
+  SELECT p, COUNT(*) AS n FROM {{li}} GROUP BY p
+), pairs AS (
+  SELECT a.p AS pa, b.p AS pb, COUNT(*) AS co
+  FROM {{li}} a JOIN {{li}} b ON a.o = b.o AND a.p < b.p
+  GROUP BY a.p, b.p
+), scored AS (
+  SELECT pa, pb, co,
+         co * 1000000 {{idiv}} (da.n + db.n - co) AS jaccard_micro
+  FROM pairs
+  JOIN deg da ON da.p = pairs.pa
+  JOIN deg db ON db.p = pairs.pb
+)
+SELECT CAST(pa AS BIGINT) AS part_a, CAST(pb AS BIGINT) AS part_b,
+       CAST(co AS BIGINT) AS n_coorders,
+       CAST(jaccard_micro AS BIGINT) AS jaccard_micro
+FROM scored
+ORDER BY n_coorders DESC, jaccard_micro DESC, part_a, part_b
+LIMIT {_COPURCHASE_TOPK}
+"""
+
+
+def graph_copurchase_similarity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Item-item co-purchase similarity: the classic collaborative
+    filtering counting job. The (order, part) incidence relation is
+    DISTINCTed once and persisted (its three consumers — degree
+    counts and both self-join sides — reuse it); candidate pairs
+    come from the order-key self-join, so work per order is
+    O(basket_size^2) with TPC-H baskets <= 7 — bounded fan-out, one
+    shuffle on the order key, never an all-pairs part join. Degrees
+    join back on the part key (a dimension-sized relation Catalyst
+    broadcasts). Jaccard is exact integer micros; top-20 is
+    TakeOrderedAndProject with a full deterministic tie-break. At
+    100 TB this is the co-occurrence shape recommendation pipelines
+    run nightly; a pathological mega-basket would need a per-order
+    pair cap, noted here as the production guard."""
+    from . import track_persist
+
+    li = track_persist(
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+    )
+    li.createOrReplaceTempView("r42_cop_li")
+    return spark.sql(_COP_CORE.format(li="r42_cop_li", idiv="DIV"))
+
+
+_COP_DUCK = (
+    """
+WITH cop_li AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+)"""
+    + _COP_CORE.replace("WITH deg AS (", ", deg AS (", 1).format(
+        li="cop_li", idiv="//"
+    )
+)
+
+# ---------------------------------------------------------------------------
+# Parquet footer audit
+# ---------------------------------------------------------------------------
+
+_AUDIT_TABLES = (
+    ("orders", "o_orderkey"),
+    ("lineitem", "l_orderkey"),
+    ("documents", "doc_id"),
+)
+
+_AUDIT_SCHEMA = StructType(
+    [
+        StructField("tbl", StringType()),
+        StructField("n_files", LongType()),
+        StructField("n_row_groups", LongType()),
+        StructField("num_rows", LongType()),
+        StructField("min_key", LongType()),
+        StructField("max_key", LongType()),
+        StructField("null_count", LongType()),
+    ]
+)
+
+
+def _footer_stats(batches):
+    """mapInPandas worker: per (tbl, path) row, read ONLY the parquet
+    footer and fold row-group stats for the declared key column."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    for pdf in batches:
+        out = []
+        for tbl, path, key in zip(pdf["tbl"], pdf["path"], pdf["key"]):
+            paths = (
+                [
+                    os.path.join(path, f)
+                    for f in sorted(os.listdir(path))
+                    if f.endswith(".parquet")
+                ]
+                if os.path.isdir(path)
+                else [path]
+            )
+            n_rg = rows = nulls = 0
+            mn = mx = None
+            for p in paths:
+                md = pq.ParquetFile(p).metadata
+                idx = md.schema.names.index(key)
+                for g in range(md.num_row_groups):
+                    rg = md.row_group(g)
+                    st = rg.column(idx).statistics
+                    n_rg += 1
+                    rows += rg.num_rows
+                    nulls += st.null_count
+                    mn = st.min if mn is None else min(mn, st.min)
+                    mx = st.max if mx is None else max(mx, st.max)
+            out.append((tbl, len(paths), n_rg, rows, mn, mx, nulls))
+        yield pd.DataFrame(
+            out, columns=[f.name for f in _AUDIT_SCHEMA.fields]
+        )
+
+
+def io_parquet_footer_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Footer-integrity audit: for each table, fold the parquet
+    row-group statistics (row counts, key min/max, null counts) from
+    the file FOOTERS only — the Spark job never touches a data page,
+    one task per file via mapInPandas over the file manifest, which
+    is how a 100 TB lake audits a million files in seconds. The
+    DuckDB oracle computes identical numbers by actually scanning the
+    data, so a green row PROVES the footers tell the truth — the
+    property every min/max-pruning optimizer silently bets on. The
+    comparison columns are exactly the footer fields a scan planner
+    uses for pruning decisions."""
+    rows = [
+        (tbl, os.path.join(sf_dir, f"{tbl}.parquet"), key)
+        for tbl, key in _AUDIT_TABLES
+    ]
+    manifest = spark.createDataFrame(
+        rows, "tbl string, path string, key string"
+    ).repartition(len(rows))
+    return (
+        manifest.mapInPandas(_footer_stats, schema=_AUDIT_SCHEMA)
+        .orderBy("tbl")
+    )
+
+
+def _audit_duck() -> str:
+    parts = []
+    for tbl, key in _AUDIT_TABLES:
+        parts.append(f"""SELECT '{tbl}' AS tbl,
+       CAST(1 AS BIGINT) AS n_files,
+       CAST(1 AS BIGINT) AS n_row_groups,
+       CAST(COUNT(*) AS BIGINT) AS num_rows,
+       CAST(MIN({key}) AS BIGINT) AS min_key,
+       CAST(MAX({key}) AS BIGINT) AS max_key,
+       CAST(COUNT(*) - COUNT({key}) AS BIGINT) AS null_count
+FROM {tbl}""")
+    return "\nUNION ALL ".join(parts) + "\nORDER BY tbl"
+
+
+# ---------------------------------------------------------------------------
+# Per-domain caps
+# ---------------------------------------------------------------------------
+
+_DOMAIN_CAP = 5
+
+_CAPS_CORE = f"""
+WITH ranked AS (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS {{str}})), doc_id)
+           AS rk
+  FROM {{docs}}
+)
+SELECT source, CAST(doc_id AS BIGINT) AS doc_id, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= {_DOMAIN_CAP}
+ORDER BY source, rk
+"""
+
+
+def curate_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (the CommonCrawl 'at most N pages per
+    domain' rule): keep the first {cap} docs per source in
+    deterministic md5(doc_id) order — content-free, so the selection
+    is stable across reruns, engines, and re-partitionings, and
+    adding documents to OTHER domains never changes a domain's kept
+    set. One row_number window per source (single shuffle on the
+    domain key); a hot mega-domain bounds at its own row count, and
+    since only rank <= N survives, a production variant short-circuits
+    via per-partition pre-filtering (rank <= N within each partition
+    first) — the standard top-k-per-group optimization the operator
+    library's topk_per_group documents.""".format(cap=_DOMAIN_CAP)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "r42_caps_docs"
+    )
+    return spark.sql(_CAPS_CORE.format(docs="r42_caps_docs", str="STRING"))
+
+
+_CAPS_DUCK = _CAPS_CORE.format(docs="documents", str="VARCHAR")
+
+
+QUERIES = {
+    "graph_copurchase_similarity": graph_copurchase_similarity,
+    "io_parquet_footer_audit": io_parquet_footer_audit,
+    "curate_domain_caps": curate_domain_caps,
+}
+
+ORACLE = {
+    "graph_copurchase_similarity": _COP_DUCK,
+    "io_parquet_footer_audit": _audit_duck(),
+    "curate_domain_caps": _CAPS_DUCK,
+}
