@@ -67,6 +67,7 @@ from boat_etl_pyspark_spark.plans import (
     relational40,
     relational41,
     relational42,
+    textstats3,
     curation3,
     textlm,
     io_plans2,
@@ -139,6 +140,7 @@ _PLAN_MODULES = (
     relational40,
     relational41,
     relational42,
+    textstats3,
 )
 
 _QUERIES, _ORACLE = collect_registries(*_PLAN_MODULES)
@@ -163,7 +165,7 @@ _QUERIES, _ORACLE = collect_registries(*_PLAN_MODULES)
 # multimodal_decode_features, sim_rp_lsh_buckets, sim_norm_stats,
 # sim_ivf_topk, sim_bruteforce_topk)
 # rotate in round 6; all were re-verified green in the in-repo full
-# sf0.01 AND sf0.1 sweeps (`make verify-scale`). The FORTY-ONE
+# sf0.01 AND sf0.1 sweeps (`make verify-scale`). The FORTY-FOUR
 # queries added after the round-5 list saturated (text_substring_dedup,
 # io_dynamic_partition_overwrite, ml_roc_auc, ml_calibration_bins,
 # ml_confusion_threshold, join_asof_cogrouped, agg_heavy_hitters,
@@ -180,15 +182,16 @@ _QUERIES, _ORACLE = collect_registries(*_PLAN_MODULES)
 # ml_decision_stump, ml_naive_bayes_lang, agg_anova_f,
 # agg_jarque_bera, agg_durbin_watson, agg_theils_u,
 # graph_copurchase_similarity, io_parquet_footer_audit,
-# curate_domain_caps) stay OUT of this
+# curate_domain_caps, text_mattr, text_dup_ngram_fraction,
+# curate_rejection_sampling) stay OUT of this
 # round's 50 deliberately — displacing the streaming/dedup stale
 # re-confirms (the round-4 verdict's named priority) for them would
 # trade the wrong rows; as never-checked queries they outrank every
-# stale green and lead the round-6 rotation. (Thirty-eight land at the
-# registry tail via the relational32-42 modules; stream_checkpoint_
+# stale green and lead the round-6 rotation. (Forty-one land at the
+# registry tail via the relational32-42/textstats3 modules; stream_checkpoint_
 # restart, io_codec_tradeoff and multimodal_phash_pairs register
 # mid-registry at their host modules' positions — round 6 must name
-# all 41 in _CHECK_FIRST, not slice the tail.)
+# all 44 in _CHECK_FIRST, not slice the tail.)
 _CHECK_FIRST = (
     # --- new in round 5, never driver-checked (35) ---
     "window_max_drawdown",
