@@ -1,0 +1,333 @@
+"""Round-5 batch 29: boosted-stump training, learning-curve
+evaluation, and Pythagorean means (SURVEY.md §2.9 aggregation/ML
+families; no reference counterpart).
+
+  * ``ml_gbdt_boosted_stumps`` — 3 unrolled rounds of least-squares
+    gradient boosting with depth-1 trees over a 64-bin feature
+    histogram. After ONE binning scan, every round (split search +
+    residual update) runs on the persisted 64-row histogram: the
+    per-bin residual sum is linear in the leaf constants, so
+    boosting never revisits the data — the LightGBM histogram trick
+    taken to its logical end for stumps.
+  * ``ml_learning_curve`` — does more data help? Trains the same
+    stump on nested 20%/40%/80% hash-split fractions and scores each
+    on the SAME held-out 20%, all from one conditional histogram
+    pass. The sample-efficiency question every data-curation loop
+    asks, answered in one scan.
+  * ``agg_geometric_harmonic_means`` — exact arithmetic/geometric/
+    harmonic means per order priority: log terms floored to integer
+    micro-nats and reciprocals to integer picos BEFORE summation, so
+    both nonlinear means are addition-order independent.
+
+Determinism contract: leaf values use explicit floor(double)
+division (NOT `DIV`/`//`, which disagree on negatives — Spark
+truncates toward zero, DuckDB floors; residuals go negative from
+round 2); split scores are fixed-shape doubles shared textually by
+both engines with a bin-ascending tie-break.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table
+
+_BINS = 64
+_ROUNDS = 3
+
+
+def _binned_orders(spark: SparkSession, sf_dir: str, view: str):
+    """(bin, n, sY) histogram of order totalprice cents over the
+    order-date day index, built once and persisted (64 rows)."""
+    from . import track_persist
+
+    f = load_table(spark, sf_dir, "orders").select(
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        )
+        .cast("bigint")
+        .alias("d"),
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("y"),
+    )
+    span = f.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    b = f.crossJoin(F.broadcast(span)).select(
+        F.expr(
+            f"LEAST((d - lo) * {_BINS} DIV GREATEST(hi - lo, 1), {_BINS} - 1)"
+        ).alias("bin"),
+        "y",
+    )
+    hist = track_persist(
+        b.groupBy("bin").agg(F.count("*").alias("n"), F.sum("y").alias("sY"))
+    )
+    hist.createOrReplaceTempView(view)
+    return hist
+
+
+_GBDT_HIST_DUCK = f"""
+WITH f AS (
+  SELECT CAST(datediff('day', DATE '1970-01-01',
+                       CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS y
+  FROM orders
+), span AS (
+  SELECT MIN(d) AS lo, MAX(d) AS hi FROM f
+), b AS (
+  SELECT LEAST((d - lo) * {_BINS} // GREATEST(hi - lo, 1),
+               {_BINS} - 1) AS bin, y
+  FROM f CROSS JOIN span
+), hist0 AS (
+  SELECT bin, COUNT(*) AS n, SUM(y) AS sY FROM b GROUP BY bin
+)"""
+
+
+def _gbdt_rounds(hist0: str) -> str:
+    """CTE chain: cum_r -> best_r -> hist_r, r = 1.._ROUNDS, over a
+    64-row relation. Leaves are floor(double) cents; the split score
+    maximizes sl^2/nl + sr^2/nr (the exact SSE-reduction order)."""
+    ctes = []
+    prev = hist0
+    for r in range(1, _ROUNDS + 1):
+        ctes.append(f"""cum{r} AS (
+  SELECT bin, SUM(n) OVER (ORDER BY bin) AS nl,
+         SUM(sY) OVER (ORDER BY bin) AS sl,
+         SUM(n) OVER () AS nt, SUM(sY) OVER () AS st
+  FROM {prev}
+), best{r} AS (
+  SELECT bin AS cut, nl, nt - nl AS nr,
+         CAST(floor(CAST(sl AS DOUBLE) / nl) AS BIGINT) AS leafl,
+         CAST(floor(CAST(st - sl AS DOUBLE) / (nt - nl)) AS BIGINT)
+           AS leafr
+  FROM cum{r} WHERE nl > 0 AND nt - nl > 0
+  ORDER BY CAST(sl AS DOUBLE) * sl / nl
+           + CAST(st - sl AS DOUBLE) * (st - sl) / (nt - nl) DESC, bin
+  LIMIT 1
+), hist{r} AS (
+  SELECT h.bin, h.n,
+         h.sY - h.n * (CASE WHEN h.bin <= b.cut THEN b.leafl
+                            ELSE b.leafr END) AS sY
+  FROM {prev} h CROSS JOIN best{r} b
+)""")
+        prev = f"hist{r}"
+    finals = "\nUNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, CAST(cut AS BIGINT) AS cut_bin,"
+        f" CAST(nl AS BIGINT) AS n_left, CAST(nr AS BIGINT) AS n_right,"
+        f" leafl AS leaf_left_cents, leafr AS leaf_right_cents FROM best{r}"
+        for r in range(1, _ROUNDS + 1)
+    )
+    return ", ".join(ctes) + "\n" + finals + "\nORDER BY round"
+
+
+def ml_gbdt_boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-round least-squares boosted stumps on order totalprice over
+    the order-date axis. One scan bins the data; the persisted 64-row
+    histogram carries (bin, n, residual-sum), and because a stump's
+    prediction is constant per side, each round's residual update is
+    pure integer arithmetic ON THE HISTOGRAM — rounds cost 64 rows
+    each regardless of table size, which is why histogram GBDT
+    scales. Output: each round's cut, sizes and integer-cent leaves.
+    Every number is exact (see module determinism contract)."""
+    _binned_orders(spark, sf_dir, "r43_gbdt_hist0")
+    return spark.sql(
+        "WITH " + _gbdt_rounds("r43_gbdt_hist0")
+    )
+
+
+_GBDT_DUCK = _GBDT_HIST_DUCK + ", " + _gbdt_rounds("hist0")
+
+# ---------------------------------------------------------------------------
+# Learning curve
+# ---------------------------------------------------------------------------
+
+_LC_FRACS = (1, 2, 4)  # hash buckets 1..k train; bucket 0 is holdout
+
+
+def _lc_hist_spark(spark: SparkSession, sf_dir: str, view: str):
+    from . import track_persist
+
+    f = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 5).alias("g"),
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("v"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    span = f.agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    b = f.crossJoin(F.broadcast(span)).select(
+        "g",
+        "y",
+        F.expr(
+            f"LEAST((v - lo) * {_BINS} DIV GREATEST(hi - lo, 1), {_BINS} - 1)"
+        ).alias("bin"),
+    )
+    aggs = [F.count("*").alias("n_all")]
+    for k in _LC_FRACS:
+        aggs.append(
+            F.sum(F.expr(f"CASE WHEN g >= 1 AND g <= {k} THEN 1 ELSE 0 END"))
+            .alias(f"n{k}")
+        )
+        aggs.append(
+            F.sum(F.expr(f"CASE WHEN g >= 1 AND g <= {k} THEN y ELSE 0 END"))
+            .alias(f"p{k}")
+        )
+    aggs.append(F.sum(F.expr("CASE WHEN g = 0 THEN 1 ELSE 0 END")).alias("hn"))
+    aggs.append(F.sum(F.expr("CASE WHEN g = 0 THEN y ELSE 0 END")).alias("hp"))
+    hist = track_persist(b.groupBy("bin").agg(*aggs))
+    hist.createOrReplaceTempView(view)
+
+
+def _lc_hist_duck() -> str:
+    conds = []
+    for k in _LC_FRACS:
+        conds.append(
+            f"SUM(CASE WHEN g >= 1 AND g <= {k} THEN 1 ELSE 0 END) AS n{k},\n"
+            f"  SUM(CASE WHEN g >= 1 AND g <= {k} THEN y ELSE 0 END) AS p{k}"
+        )
+    return f"""
+WITH f AS (
+  SELECT o_orderkey % 5 AS g,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS v,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+  FROM orders
+), span AS (
+  SELECT MIN(v) AS lo, MAX(v) AS hi FROM f
+), b AS (
+  SELECT g, y, LEAST((v - lo) * {_BINS} // GREATEST(hi - lo, 1),
+               {_BINS} - 1) AS bin
+  FROM f CROSS JOIN span
+), hist AS (
+  SELECT bin, COUNT(*) AS n_all, {', '.join(conds)},
+  SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS hn,
+  SUM(CASE WHEN g = 0 THEN y ELSE 0 END) AS hp
+  FROM b GROUP BY bin
+)"""
+
+
+def _lc_rounds(hist: str) -> str:
+    """Per fraction k: windowed split search on (n{k}, p{k}) by Gini,
+    then holdout misclassification of the chosen stump, evaluated by
+    joining the best cut back against the same histogram."""
+    ctes, selects = [], []
+    for k in _LC_FRACS:
+        ctes.append(f"""cum{k} AS (
+  SELECT bin, SUM(n{k}) OVER (ORDER BY bin) AS nl,
+         SUM(p{k}) OVER (ORDER BY bin) AS posl,
+         SUM(n{k}) OVER () AS nt, SUM(p{k}) OVER () AS post
+  FROM {hist}
+), best{k} AS (
+  SELECT bin AS cut, nl, posl, nt - nl AS nr, post - posl AS posr, nt
+  FROM cum{k} WHERE nl > 0 AND nt - nl > 0
+  ORDER BY CAST(nl AS DOUBLE) / nt
+             * (1 - (CAST(posl AS DOUBLE) / nl) * (CAST(posl AS DOUBLE) / nl)
+                  - (CAST(nl - posl AS DOUBLE) / nl)
+                    * (CAST(nl - posl AS DOUBLE) / nl))
+           + CAST(nt - nl AS DOUBLE) / nt
+             * (1 - (CAST(post - posl AS DOUBLE) / (nt - nl))
+                    * (CAST(post - posl AS DOUBLE) / (nt - nl))
+                  - (CAST((nt - nl) - (post - posl) AS DOUBLE) / (nt - nl))
+                    * (CAST((nt - nl) - (post - posl) AS DOUBLE) / (nt - nl)))
+           ASC, bin
+  LIMIT 1
+), eval{k} AS (
+  SELECT b.cut, b.nt,
+         SUM(CASE WHEN h.bin <= b.cut THEN h.hn ELSE 0 END) AS hnl,
+         SUM(CASE WHEN h.bin <= b.cut THEN h.hp ELSE 0 END) AS hpl,
+         SUM(CASE WHEN h.bin > b.cut THEN h.hn ELSE 0 END) AS hnr,
+         SUM(CASE WHEN h.bin > b.cut THEN h.hp ELSE 0 END) AS hpr,
+         MIN(b.posl) AS posl, MIN(b.nl) AS nl,
+         MIN(b.posr) AS posr, MIN(b.nr) AS nr
+  FROM {hist} h CROSS JOIN best{k} b
+  GROUP BY b.cut, b.nt
+)""")
+        # leaf label = majority class on the TRAIN side (2*pos > n);
+        # holdout error counts the minority class of each side
+        selects.append(
+            f"SELECT CAST({k} AS BIGINT) AS train_buckets,"
+            f" CAST(nt AS BIGINT) AS train_n,"
+            f" CAST(cut AS BIGINT) AS cut_bin,"
+            f" CAST(hnl + hnr AS BIGINT) AS holdout_n,"
+            f" CAST((CASE WHEN 2 * posl > nl THEN hnl - hpl ELSE hpl END"
+            f" + CASE WHEN 2 * posr > nr THEN hnr - hpr ELSE hpr END)"
+            f" * 1000000 {{idiv}} (hnl + hnr) AS BIGINT)"
+            f" AS holdout_err_ppm FROM eval{k}"
+        )
+    return (
+        ", ".join(ctes)
+        + "\n"
+        + "\nUNION ALL ".join(selects)
+        + "\nORDER BY train_buckets"
+    )
+
+
+def ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learning curve for the finalized-status stump: train on nested
+    1/2/4-bucket hash fractions (20/40/80% of orders), evaluate each
+    on the same held-out bucket 0. ONE conditional-histogram scan
+    feeds all three split searches AND the holdout scoring (the
+    holdout's per-bin class counts ride in the same 64 rows), so the
+    whole curve costs one pass + window work on 64 rows — the
+    'will more data move the metric' answer a curation loop needs
+    before paying for more data. Holdout labels never leak into
+    training: leaf labels come from train-side majorities only."""
+    _lc_hist_spark(spark, sf_dir, "r43_lc_hist")
+    return spark.sql(
+        ("WITH " + _lc_rounds("r43_lc_hist")).format(idiv="DIV")
+    )
+
+
+_LC_DUCK = (_lc_hist_duck() + ", " + _lc_rounds("hist")).format(idiv="//")
+
+# ---------------------------------------------------------------------------
+# Pythagorean means
+# ---------------------------------------------------------------------------
+
+_MEANS_CORE = """
+WITH f AS (
+  SELECT o_orderpriority AS pri,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS y
+  FROM {orders} WHERE o_totalprice > 0
+), s AS (
+  SELECT pri, COUNT(*) AS n, SUM(y) AS sy,
+         SUM(CAST(floor(ln(CAST(y AS DOUBLE)) * 1000000) AS BIGINT))
+           AS slog_micro,
+         SUM(CAST(floor(1000000000000.0 / y) AS BIGINT)) AS sinv_pico
+  FROM f GROUP BY pri
+)
+SELECT pri,
+       CAST(n AS BIGINT) AS n_orders,
+       CAST(sy {idiv} n AS BIGINT) AS arith_mean_cents,
+       CAST(floor(exp(CAST(slog_micro AS DOUBLE) / n / 1000000))
+            AS BIGINT) AS geo_mean_cents,
+       CAST(floor(CAST(n AS DOUBLE) * 1000000000000.0 / sinv_pico)
+            AS BIGINT) AS harm_mean_cents
+FROM s ORDER BY pri
+"""
+
+
+def agg_geometric_harmonic_means(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Arithmetic / geometric / harmonic mean of order value per
+    priority. The nonlinear means accumulate per-term integers
+    (micro-nats of ln y; picos of 1/y), so the sums are exact and
+    partition-order independent; only the final exp/divide is float,
+    fixed-shape in both engines. One map-combined scan. AM >= GM >=
+    HM is asserted by the cross-check as a structural sanity bound."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "r43_means_orders"
+    )
+    return spark.sql(_MEANS_CORE.format(orders="r43_means_orders", idiv="DIV"))
+
+
+_MEANS_DUCK = _MEANS_CORE.format(orders="orders", idiv="//")
+
+
+QUERIES = {
+    "ml_gbdt_boosted_stumps": ml_gbdt_boosted_stumps,
+    "ml_learning_curve": ml_learning_curve,
+    "agg_geometric_harmonic_means": agg_geometric_harmonic_means,
+}
+
+ORACLE = {
+    "ml_gbdt_boosted_stumps": _GBDT_DUCK,
+    "ml_learning_curve": _LC_DUCK,
+    "agg_geometric_harmonic_means": _MEANS_DUCK,
+}
