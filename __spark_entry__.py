@@ -75,7 +75,9 @@ from boat_etl_pyspark_spark.plans import (
     mlprep,
     sessionize,
     similarity,
+    similarity2,
     streaming_plans,
+    streaming_plans2,
     textcuration,
     textdedup,
     textstats2,
@@ -143,6 +145,8 @@ _PLAN_MODULES = (
     relational42,
     textstats3,
     relational43,
+    similarity2,
+    streaming_plans2,
 )
 
 _QUERIES, _ORACLE = collect_registries(*_PLAN_MODULES)
@@ -167,7 +171,7 @@ _QUERIES, _ORACLE = collect_registries(*_PLAN_MODULES)
 # multimodal_decode_features, sim_rp_lsh_buckets, sim_norm_stats,
 # sim_ivf_topk, sim_bruteforce_topk)
 # rotate in round 6; all were re-verified green in the in-repo full
-# sf0.01 AND sf0.1 sweeps (`make verify-scale`). The FORTY-SEVEN
+# sf0.01 AND sf0.1 sweeps (`make verify-scale`). The FORTY-NINE
 # queries added after the round-5 list saturated (text_substring_dedup,
 # io_dynamic_partition_overwrite, ml_roc_auc, ml_calibration_bins,
 # ml_confusion_threshold, join_asof_cogrouped, agg_heavy_hitters,
@@ -186,15 +190,17 @@ _QUERIES, _ORACLE = collect_registries(*_PLAN_MODULES)
 # graph_copurchase_similarity, io_parquet_footer_audit,
 # curate_domain_caps, text_mattr, text_dup_ngram_fraction,
 # curate_rejection_sampling, ml_gbdt_boosted_stumps,
-# ml_learning_curve, agg_geometric_harmonic_means) stay OUT of this
+# ml_learning_curve, agg_geometric_harmonic_means,
+# sim_ivf_recall_eval, stream_late_data_audit) stay OUT of this
 # round's 50 deliberately — displacing the streaming/dedup stale
 # re-confirms (the round-4 verdict's named priority) for them would
 # trade the wrong rows; as never-checked queries they outrank every
-# stale green and lead the round-6 rotation. (Forty-four land at the
-# registry tail via the relational32-43/textstats3 modules; stream_checkpoint_
+# stale green and lead the round-6 rotation. (Forty-six land at the
+# registry tail via the relational32-43/textstats3/similarity2/
+# streaming_plans2 modules; stream_checkpoint_
 # restart, io_codec_tradeoff and multimodal_phash_pairs register
 # mid-registry at their host modules' positions — round 6 must name
-# all 47 in _CHECK_FIRST, not slice the tail.)
+# all 49 in _CHECK_FIRST, not slice the tail.)
 _CHECK_FIRST = (
     # --- new in round 5, never driver-checked (35) ---
     "window_max_drawdown",
