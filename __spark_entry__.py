@@ -68,6 +68,7 @@ from boat_etl_pyspark_spark.plans import (
     relational41,
     relational42,
     relational43,
+    relational44,
     textstats3,
     curation3,
     textlm,
@@ -147,6 +148,7 @@ _PLAN_MODULES = (
     relational43,
     similarity2,
     streaming_plans2,
+    relational44,
 )
 
 _QUERIES, _ORACLE = collect_registries(*_PLAN_MODULES)
@@ -171,7 +173,7 @@ _QUERIES, _ORACLE = collect_registries(*_PLAN_MODULES)
 # multimodal_decode_features, sim_rp_lsh_buckets, sim_norm_stats,
 # sim_ivf_topk, sim_bruteforce_topk)
 # rotate in round 6; all were re-verified green in the in-repo full
-# sf0.01 AND sf0.1 sweeps (`make verify-scale`). The FORTY-NINE
+# sf0.01 AND sf0.1 sweeps (`make verify-scale`). The FIFTY-TWO
 # queries added after the round-5 list saturated (text_substring_dedup,
 # io_dynamic_partition_overwrite, ml_roc_auc, ml_calibration_bins,
 # ml_confusion_threshold, join_asof_cogrouped, agg_heavy_hitters,
@@ -191,16 +193,18 @@ _QUERIES, _ORACLE = collect_registries(*_PLAN_MODULES)
 # curate_domain_caps, text_mattr, text_dup_ngram_fraction,
 # curate_rejection_sampling, ml_gbdt_boosted_stumps,
 # ml_learning_curve, agg_geometric_harmonic_means,
-# sim_ivf_recall_eval, stream_late_data_audit) stay OUT of this
+# sim_ivf_recall_eval, stream_late_data_audit,
+# curate_language_temperature, events_markov_stationary,
+# events_sprt_ab_test) stay OUT of this
 # round's 50 deliberately — displacing the streaming/dedup stale
 # re-confirms (the round-4 verdict's named priority) for them would
 # trade the wrong rows; as never-checked queries they outrank every
-# stale green and lead the round-6 rotation. (Forty-six land at the
-# registry tail via the relational32-43/textstats3/similarity2/
+# stale green and lead the round-6 rotation. (Forty-nine land at the
+# registry tail via the relational32-44/textstats3/similarity2/
 # streaming_plans2 modules; stream_checkpoint_
 # restart, io_codec_tradeoff and multimodal_phash_pairs register
 # mid-registry at their host modules' positions — round 6 must name
-# all 49 in _CHECK_FIRST, not slice the tail.)
+# all 52 in _CHECK_FIRST, not slice the tail.)
 _CHECK_FIRST = (
     # --- new in round 5, never driver-checked (35) ---
     "window_max_drawdown",

@@ -150,6 +150,8 @@ def _footer_stats(batches):
                     st = rg.column(idx).statistics
                     n_rg += 1
                     rows += rg.num_rows
+                    if st is None:  # empty row group writes no stats
+                        continue
                     nulls += st.null_count
                     mn = st.min if mn is None else min(mn, st.min)
                     mx = st.max if mx is None else max(mx, st.max)
