@@ -70,6 +70,7 @@ from boat_etl_pyspark_spark.plans import (
     relational43,
     relational44,
     relational45,
+    relational46,
     textstats3,
     curation3,
     textlm,
@@ -151,6 +152,7 @@ _PLAN_MODULES = (
     streaming_plans2,
     relational44,
     relational45,
+    relational46,
 )
 
 _QUERIES, _ORACLE = collect_registries(*_PLAN_MODULES)
@@ -175,7 +177,7 @@ _QUERIES, _ORACLE = collect_registries(*_PLAN_MODULES)
 # multimodal_decode_features, sim_rp_lsh_buckets, sim_norm_stats,
 # sim_ivf_topk, sim_bruteforce_topk)
 # rotate in round 6; all were re-verified green in the in-repo full
-# sf0.01 AND sf0.1 sweeps (`make verify-scale`). The FIFTY-FOUR
+# sf0.01 AND sf0.1 sweeps (`make verify-scale`). The FIFTY-SEVEN
 # queries added after the round-5 list saturated (text_substring_dedup,
 # io_dynamic_partition_overwrite, ml_roc_auc, ml_calibration_bins,
 # ml_confusion_threshold, join_asof_cogrouped, agg_heavy_hitters,
@@ -197,17 +199,18 @@ _QUERIES, _ORACLE = collect_registries(*_PLAN_MODULES)
 # ml_learning_curve, agg_geometric_harmonic_means,
 # sim_ivf_recall_eval, stream_late_data_audit,
 # curate_language_temperature, events_markov_stationary,
-# events_sprt_ab_test, ml_power_analysis, curate_mixture_epochs)
-# stay OUT of this
+# events_sprt_ab_test, ml_power_analysis, curate_mixture_epochs,
+# events_ab_srm_check, agg_permutation_test_lift,
+# graph_degree_assortativity) stay OUT of this
 # round's 50 deliberately — displacing the streaming/dedup stale
 # re-confirms (the round-4 verdict's named priority) for them would
 # trade the wrong rows; as never-checked queries they outrank every
-# stale green and lead the round-6 rotation. (Fifty-one land at the
-# registry tail via the relational32-45/textstats3/similarity2/
+# stale green and lead the round-6 rotation. (Fifty-four land at the
+# registry tail via the relational32-46/textstats3/similarity2/
 # streaming_plans2 modules; stream_checkpoint_
 # restart, io_codec_tradeoff and multimodal_phash_pairs register
 # mid-registry at their host modules' positions — round 6 must name
-# all 54 in _CHECK_FIRST, not slice the tail.)
+# all 57 in _CHECK_FIRST, not slice the tail.)
 _CHECK_FIRST = (
     # --- new in round 5, never driver-checked (35) ---
     "window_max_drawdown",

@@ -1,0 +1,231 @@
+"""Round-5 batch 33: experiment-health and resampling inference plus
+a graph mixing metric (SURVEY.md §2.9 events/aggregation/graph
+families; no reference counterpart).
+
+  * ``events_ab_srm_check`` — Sample Ratio Mismatch: the first thing
+    a trustworthy experimentation platform checks. Chi-square of the
+    observed user split against the declared 50/50 assignment, one
+    distinct-user scan, milli-scaled integer statistic with the
+    alpha = 0.05 critical value as a flag.
+  * ``agg_permutation_test_lift`` — a permutation test for the A/B
+    value lift with 64 DETERMINISTIC pseudo-assignments derived from
+    md5(user, perm) instead of an RNG: every engine, rerun and
+    partitioning sees the same permutations, so the p-value is an
+    exact, reproducible number. Resampling inference without leaving
+    the engine.
+  * ``graph_degree_assortativity`` — Newman's degree assortativity
+    of the co-purchase graph: do popular parts co-sell with popular
+    parts? Pearson correlation over directed edge endpoints from
+    exact DECIMAL power sums.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table
+
+# ---------------------------------------------------------------------------
+# Sample Ratio Mismatch
+# ---------------------------------------------------------------------------
+
+_SRM_CRIT_MILLI = 3841  # chi2(1 dof) at alpha = 0.05, milli-scaled
+
+_SRM_CORE = f"""
+WITH u AS (
+  SELECT DISTINCT user_id FROM {{events}}
+), s AS (
+  SELECT SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n0,
+         SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS n1
+  FROM u
+)
+SELECT CAST(n0 AS BIGINT) AS n_control,
+       CAST(n1 AS BIGINT) AS n_treat,
+       CAST((n0 - n1) * (n0 - n1) * 1000 {{idiv}} (n0 + n1) AS BIGINT)
+         AS chi2_milli,
+       ((n0 - n1) * (n0 - n1) * 1000 {{idiv}} (n0 + n1))
+         > {_SRM_CRIT_MILLI} AS srm_detected
+FROM s
+"""
+
+
+def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample Ratio Mismatch gate for the hash-assigned experiment
+    arms: chi-square of the distinct-user split against 50/50, exact
+    integer milli arithmetic ((n0-n1)^2/(n0+n1) needs no expected-
+    count floats when the design ratio is 1:1). An SRM flag
+    invalidates every downstream lift number, which is why this scan
+    runs BEFORE `events_ab_test_lift` in any honest readout. One
+    distinct aggregate; scales as a user-keyed count."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "r46_srm_events"
+    )
+    return spark.sql(_SRM_CORE.format(events="r46_srm_events", idiv="DIV"))
+
+
+_SRM_DUCK = _SRM_CORE.format(events="events", idiv="//")
+
+# ---------------------------------------------------------------------------
+# Permutation test
+# ---------------------------------------------------------------------------
+
+_PERM_K = 64
+
+_PERM_CORE = f"""
+WITH base AS (
+  SELECT user_id, CAST(floor(value * 1000) AS BIGINT) AS v
+  FROM {{events}}
+), obs AS (
+  SELECT CAST(floor((CAST(SUM(CASE WHEN user_id % 2 = 1 THEN v END)
+                          AS DOUBLE)
+                     / SUM(CASE WHEN user_id % 2 = 1 THEN 1 END)
+                     - CAST(SUM(CASE WHEN user_id % 2 = 0 THEN v END)
+                            AS DOUBLE)
+                       / SUM(CASE WHEN user_id % 2 = 0 THEN 1 END))
+                    * 1000) AS BIGINT) AS lift_micro
+  FROM base
+), perm AS (
+  SELECT p,
+         CAST(floor((CAST(SUM(CASE WHEN arm = 1 THEN v END) AS DOUBLE)
+                     / SUM(CASE WHEN arm = 1 THEN 1 END)
+                     - CAST(SUM(CASE WHEN arm = 0 THEN v END) AS DOUBLE)
+                       / SUM(CASE WHEN arm = 0 THEN 1 END))
+                    * 1000) AS BIGINT) AS lift_micro
+  FROM (
+    SELECT e.p, base.v,
+           {{hexint}} % 2 AS arm
+    FROM base {{explode}}
+  )
+  GROUP BY p
+)
+SELECT o.lift_micro AS observed_lift_micro,
+       CAST({_PERM_K} AS BIGINT) AS n_perms,
+       CAST(SUM(CASE WHEN ABS(perm.lift_micro) >= ABS(o.lift_micro)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_as_extreme,
+       CAST((1 + SUM(CASE WHEN ABS(perm.lift_micro)
+                               >= ABS(o.lift_micro)
+                     THEN 1 ELSE 0 END)) * 1000000
+            {{idiv}} ({_PERM_K} + 1) AS BIGINT) AS p_value_ppm
+FROM perm CROSS JOIN obs o
+GROUP BY o.lift_micro
+"""
+
+_PERM_HEX_SPARK = (
+    "CAST(conv(substring(md5(concat(CAST(base.user_id AS STRING), ':',"
+    " CAST(e.p AS STRING))), 1, 12), 16, 10) AS BIGINT)"
+)
+_PERM_HEX_DUCK = (
+    "CAST(concat('0x', substring(md5(CAST(base.user_id AS VARCHAR)"
+    " || ':' || CAST(e.p AS VARCHAR)), 1, 12)) AS BIGINT)"
+)
+
+
+def agg_permutation_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided permutation test for the arm lift in mean event
+    value: 64 deterministic pseudo-assignments (md5 of user and
+    permutation index — no RNG, so the p-value is bit-reproducible),
+    p = (1 + #as-extreme) / (K + 1). The explode is a 64x map-side
+    amplification whose per-permutation partials combine BEFORE the
+    shuffle (the aggregate carries 64 x 4 values per partition, not
+    64x the rows), which is what makes resampling inference viable
+    at 100 TB. Per-arm means are fixed-shape doubles over exact
+    integer sums, micro-floored before comparison."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "r46_perm_events"
+    )
+    return spark.sql(
+        _PERM_CORE.format(
+            events="r46_perm_events",
+            hexint=_PERM_HEX_SPARK,
+            explode=(
+                f"LATERAL VIEW explode(sequence(0, {_PERM_K} - 1)) e AS p"
+            ),
+            idiv="DIV",
+        )
+    )
+
+
+_PERM_DUCK = _PERM_CORE.format(
+    events="events",
+    hexint=_PERM_HEX_DUCK,
+    explode=f"CROSS JOIN (SELECT unnest(range({_PERM_K})) AS p) e",
+    idiv="//",
+)
+
+# ---------------------------------------------------------------------------
+# Degree assortativity
+# ---------------------------------------------------------------------------
+
+_ASSORT_CORE = """
+WITH pairs AS (
+  SELECT a.p AS pa, b.p AS pb
+  FROM {li} a JOIN {li} b ON a.o = b.o AND a.p < b.p
+  GROUP BY a.p, b.p
+), deg AS (
+  SELECT p, COUNT(*) AS d FROM (
+    SELECT pa AS p FROM pairs UNION ALL SELECT pb AS p FROM pairs
+  ) GROUP BY p
+), edges AS (
+  SELECT da.d AS x, db.d AS y
+  FROM pairs JOIN deg da ON da.p = pairs.pa JOIN deg db ON db.p = pairs.pb
+), both_dirs AS (
+  SELECT x, y FROM edges UNION ALL SELECT y AS x, x AS y FROM edges
+), s AS (
+  SELECT COUNT(*) AS m, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy,
+         SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+         SUM(CAST(y AS DECIMAL(38,0)) * y) AS syy
+  FROM both_dirs
+)
+SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+       CAST(m / 2 AS BIGINT) AS n_edges,
+       CAST(floor((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / sqrt((CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         * (CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                  * 1000000) AS BIGINT) AS assortativity_micro
+FROM s
+"""
+
+
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the part co-purchase graph (Pearson r
+    of endpoint degrees over directed edges; negative = hubs connect
+    to leaves, the typical retail shape). Candidate edges come from
+    the basket-bounded order self-join over the persisted DISTINCT
+    incidence relation (the `graph_copurchase_similarity` shape);
+    degrees and the five power sums are exact integers
+    (DECIMAL(38,0) for the products), the coefficient one fixed-
+    shape float. Everything after the pair groupBy is edge-sized."""
+    from . import track_persist
+
+    li = track_persist(
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+    )
+    li.createOrReplaceTempView("r46_assort_li")
+    return spark.sql(_ASSORT_CORE.format(li="r46_assort_li"))
+
+
+_ASSORT_DUCK = _ASSORT_CORE.format(
+    li="(SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem)"
+)
+
+
+QUERIES = {
+    "events_ab_srm_check": events_ab_srm_check,
+    "agg_permutation_test_lift": agg_permutation_test_lift,
+    "graph_degree_assortativity": graph_degree_assortativity,
+}
+
+ORACLE = {
+    "events_ab_srm_check": _SRM_DUCK,
+    "agg_permutation_test_lift": _PERM_DUCK,
+    "graph_degree_assortativity": _ASSORT_DUCK,
+}
