@@ -73,6 +73,7 @@ from boat_etl_pyspark_spark.plans import (
     relational46,
     relational47,
     relational48,
+    relational49,
     textstats3,
     curation3,
     textlm,
@@ -157,6 +158,7 @@ _PLAN_MODULES = (
     relational46,
     relational47,
     relational48,
+    relational49,
 )
 
 _QUERIES, _ORACLE = collect_registries(*_PLAN_MODULES)
@@ -181,7 +183,7 @@ _QUERIES, _ORACLE = collect_registries(*_PLAN_MODULES)
 # multimodal_decode_features, sim_rp_lsh_buckets, sim_norm_stats,
 # sim_ivf_topk, sim_bruteforce_topk)
 # rotate in round 6; all were re-verified green in the in-repo full
-# sf0.01 AND sf0.1 sweeps (`make verify-scale`). The SIXTY-TWO
+# sf0.01 AND sf0.1 sweeps (`make verify-scale`). The SIXTY-FIVE
 # queries added after the round-5 list saturated (text_substring_dedup,
 # io_dynamic_partition_overwrite, ml_roc_auc, ml_calibration_bins,
 # ml_confusion_threshold, join_asof_cogrouped, agg_heavy_hitters,
@@ -207,16 +209,17 @@ _QUERIES, _ORACLE = collect_registries(*_PLAN_MODULES)
 # events_ab_srm_check, agg_permutation_test_lift,
 # graph_degree_assortativity, events_cuped_variance_reduction,
 # curate_quality_threshold_sweep, graph_kcore_peeling,
-# ts_lead_lag_xcorr, agg_mcnemar_paired) stay OUT of this
+# ts_lead_lag_xcorr, agg_mcnemar_paired, validate_fold_dup_leakage,
+# agg_capture_recapture, agg_chao1_vocab_estimate) stay OUT of this
 # round's 50 deliberately — displacing the streaming/dedup stale
 # re-confirms (the round-4 verdict's named priority) for them would
 # trade the wrong rows; as never-checked queries they outrank every
-# stale green and lead the round-6 rotation. (Fifty-nine land at the
-# registry tail via the relational32-48/textstats3/similarity2/
+# stale green and lead the round-6 rotation. (Sixty-two land at the
+# registry tail via the relational32-49/textstats3/similarity2/
 # streaming_plans2 modules; stream_checkpoint_
 # restart, io_codec_tradeoff and multimodal_phash_pairs register
 # mid-registry at their host modules' positions — round 6 must name
-# all 62 in _CHECK_FIRST, not slice the tail.)
+# all 65 in _CHECK_FIRST, not slice the tail.)
 _CHECK_FIRST = (
     # --- new in round 5, never driver-checked (35) ---
     "window_max_drawdown",
