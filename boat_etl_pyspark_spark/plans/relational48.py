@@ -44,27 +44,13 @@ def graph_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     output row per round reports the survivor count, so convergence
     — or collapse to empty — is visible data, not a claim. At 100 TB
     this is the standard iterative-subgraph shape: state = one node
-    list, work = one edge join per round."""
+    list, work = one edge join per round. The edge list is the
+    session-shared `copurchase_pairs` cache (one build serves
+    similarity, assortativity and the six rounds here)."""
     from . import track_persist
+    from .relational42 import copurchase_pairs
 
-    li = track_persist(
-        load_table(spark, sf_dir, "lineitem")
-        .select(
-            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-        )
-        .distinct()
-    )
-    li.createOrReplaceTempView("r48_kcore_li")
-    pairs = track_persist(
-        spark.sql(
-            """
-            SELECT a.p AS pa, b.p AS pb
-            FROM r48_kcore_li a JOIN r48_kcore_li b
-              ON a.o = b.o AND a.p < b.p
-            GROUP BY a.p, b.p
-            """
-        )
-    )
+    pairs = copurchase_pairs(spark, sf_dir)
     deg = pairs.selectExpr("pa AS node").unionAll(
         pairs.selectExpr("pb AS node")
     )
