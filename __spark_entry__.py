@@ -74,6 +74,8 @@ from boat_etl_pyspark_spark.plans import (
     relational47,
     relational48,
     relational49,
+    relational50,
+    relational51,
     textstats3,
     curation3,
     textlm,
@@ -159,6 +161,8 @@ _PLAN_MODULES = (
     relational47,
     relational48,
     relational49,
+    relational50,
+    relational51,
 )
 
 _QUERIES, _ORACLE = collect_registries(*_PLAN_MODULES)
@@ -210,16 +214,23 @@ _QUERIES, _ORACLE = collect_registries(*_PLAN_MODULES)
 # graph_degree_assortativity, events_cuped_variance_reduction,
 # curate_quality_threshold_sweep, graph_kcore_peeling,
 # ts_lead_lag_xcorr, agg_mcnemar_paired, validate_fold_dup_leakage,
-# agg_capture_recapture, agg_chao1_vocab_estimate) stay OUT of this
+# agg_capture_recapture, agg_chao1_vocab_estimate, plus the batch-37
+# additions text_pmi_collocations, graph_community_modularity,
+# agg_fisher_exact, agg_bh_fdr, ml_pinball_quantile_eval and
+# agg_hodges_lehmann, and the batch-38 additions
+# text_tokenizer_fertility, agg_hill_tail_index,
+# validate_key_candidates, ml_permutation_importance,
+# agg_effect_size_panel and ts_exponential_fit_ks — SEVENTY-SEVEN in
+# all) stay OUT of this
 # round's 50 deliberately — displacing the streaming/dedup stale
 # re-confirms (the round-4 verdict's named priority) for them would
 # trade the wrong rows; as never-checked queries they outrank every
-# stale green and lead the round-6 rotation. (Sixty-two land at the
-# registry tail via the relational32-49/textstats3/similarity2/
+# stale green and lead the round-6 rotation. (Most land at the
+# registry tail via the relational32-50/textstats3/similarity2/
 # streaming_plans2 modules; stream_checkpoint_
 # restart, io_codec_tradeoff and multimodal_phash_pairs register
 # mid-registry at their host modules' positions — round 6 must name
-# all 65 in _CHECK_FIRST, not slice the tail.)
+# all 77 in _CHECK_FIRST, not slice the tail.)
 _CHECK_FIRST = (
     # --- new in round 5, never driver-checked (35) ---
     "window_max_drawdown",
