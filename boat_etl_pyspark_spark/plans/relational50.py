@@ -230,14 +230,18 @@ WITH trade_edges AS (
 # Fisher's exact test
 # ---------------------------------------------------------------------------
 
-_FISHER_CORE = """
-WITH base AS (
+_FISHER_BASE_AGG = """
   SELECT COUNT(*) AS n,
          SUM(CASE WHEN p_brand LIKE 'Brand#1%' THEN 1 ELSE 0 END) AS r1,
          SUM(CASE WHEN p_type LIKE 'SMALL%' THEN 1 ELSE 0 END) AS c1,
          SUM(CASE WHEN p_brand LIKE 'Brand#1%'
                    AND p_type LIKE 'SMALL%' THEN 1 ELSE 0 END) AS k_obs
   FROM {part} WHERE p_size <= 3
+"""
+
+_FISHER_CORE = """
+WITH base AS (
+{base}
 ), lf AS (
   SELECT i,
          SUM(CASE WHEN i > 1 THEN ln(CAST(i AS DOUBLE)) ELSE 0.0 END)
@@ -301,13 +305,26 @@ def agg_fisher_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     cannot flip a census count except at exact pmf ties, which
     generic marginals do not produce; only the coarse summaries
     (centi-nat lnpmf, permille p) are floored, with boundary widths
-    4-6 orders above the accumulated float error."""
+    4-6 orders above the accumulated float error.
+
+    The 2×2 table itself is ONE bounded-scalar collect (4 ints —
+    the same sanctioned pattern as PageRank's node count): inlining
+    the counts as literals means the factorial series, the support
+    explosion and the nine lookups all derive from generated
+    relations, so the part table is scanned exactly once instead of
+    once per CTE re-derivation."""
     load_table(spark, sf_dir, "part").createOrReplaceTempView(
         "r50_fisher_part"
     )
+    row = spark.sql(
+        _FISHER_BASE_AGG.format(part="r50_fisher_part")
+    ).collect()[0]
     return spark.sql(
         _FISHER_CORE.format(
-            part="r50_fisher_part",
+            base=(
+                f"  SELECT {int(row.n)} AS n, {int(row.r1)} AS r1, "
+                f"{int(row.c1)} AS c1, {int(row.k_obs)} AS k_obs"
+            ),
             series=(
                 "SELECT explode(sequence(0, CAST(n AS INT))) AS i "
                 "FROM base"
@@ -323,7 +340,7 @@ def agg_fisher_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _FISHER_DUCK = _FISHER_CORE.format(
-    part="part",
+    base=_FISHER_BASE_AGG.format(part="part"),
     series=(
         "SELECT u.i FROM base, "
         "UNNEST(range(0, CAST(n AS INT) + 1)) AS u(i)"
