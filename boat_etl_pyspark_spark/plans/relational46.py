@@ -162,24 +162,35 @@ _PERM_DUCK = _PERM_CORE.format(
 # Degree assortativity
 # ---------------------------------------------------------------------------
 
-_ASSORT_CORE = """
-WITH deg AS (
+_ASSORT_DEG_SQL = """
   SELECT p, COUNT(*) AS d FROM (
     SELECT pa AS p FROM {pairs} UNION ALL SELECT pb AS p FROM {pairs}
   ) GROUP BY p
-), edges AS (
-  SELECT da.d AS x, db.d AS y
-  FROM {pairs} pr JOIN deg da ON da.p = pr.pa JOIN deg db ON db.p = pr.pb
-), both_dirs AS (
-  SELECT x, y FROM edges UNION ALL SELECT y AS x, x AS y FROM edges
+"""
+
+# The symmetrized (both-directions) power sums are folded
+# algebraically into ONE pass over the directed edge list:
+# sx_both = Σx+Σy, sxy_both = 2Σxy, sxx_both = syy_both = Σx²+Σy²,
+# m = 2·|edges| — integer-identical to materializing the reversed
+# copy, without re-deriving the two degree joins a second time.
+_ASSORT_CORE = """
+WITH edges AS (
+  SELECT /*+ BROADCAST(da), BROADCAST(db) */ da.d AS x, db.d AS y
+  FROM {pairs} pr
+  JOIN {deg} da ON da.p = pr.pa
+  JOIN {deg} db ON db.p = pr.pb
 ), s AS (
-  SELECT COUNT(*) AS m, SUM(x) AS sx, SUM(y) AS sy,
-         SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy,
-         SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
-         SUM(CAST(y AS DECIMAL(38,0)) * y) AS syy
-  FROM both_dirs
+  SELECT 2 * COUNT(*) AS m,
+         SUM(x) + SUM(y) AS sx,
+         SUM(x) + SUM(y) AS sy,
+         2 * SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy,
+         SUM(CAST(x AS DECIMAL(38,0)) * x)
+           + SUM(CAST(y AS DECIMAL(38,0)) * y) AS sxx,
+         SUM(CAST(x AS DECIMAL(38,0)) * x)
+           + SUM(CAST(y AS DECIMAL(38,0)) * y) AS syy
+  FROM edges
 )
-SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+SELECT CAST((SELECT COUNT(*) FROM {deg}) AS BIGINT) AS n_nodes,
        CAST(m / 2 AS BIGINT) AS n_edges,
        CAST(floor((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
@@ -202,13 +213,23 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (DECIMAL(38,0) for the products), the coefficient one fixed-
     shape float. Everything after the pair groupBy is edge-sized;
     the edge list itself is the session-shared `copurchase_pairs`
-    cache (one build serves similarity, assortativity and k-core)."""
+    cache (one build serves similarity, assortativity and k-core),
+    and the node-sized degree relation is persisted so the two
+    degree joins (and the node count) read one computation — the
+    both-directions sums fold algebraically into a single pass over
+    the directed edges (see ``_ASSORT_CORE``)."""
+    from . import track_persist
     from .relational42 import copurchase_pairs
 
     copurchase_pairs(spark, sf_dir).createOrReplaceTempView(
         "r46_assort_pairs"
     )
-    return spark.sql(_ASSORT_CORE.format(pairs="r46_assort_pairs"))
+    track_persist(
+        spark.sql(_ASSORT_DEG_SQL.format(pairs="r46_assort_pairs"))
+    ).createOrReplaceTempView("r46_assort_deg")
+    return spark.sql(
+        _ASSORT_CORE.format(pairs="r46_assort_pairs", deg="r46_assort_deg")
+    )
 
 
 _ASSORT_DUCK = (
@@ -219,9 +240,12 @@ WITH assort_pairs AS (
   JOIN (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem) b
     ON a.o = b.o AND a.p < b.p
   GROUP BY a.p, b.p
-)"""
-    + _ASSORT_CORE.replace("WITH deg AS (", ", deg AS (", 1).format(
-        pairs="assort_pairs"
+), assort_deg AS (
+"""
+    + _ASSORT_DEG_SQL.format(pairs="assort_pairs")
+    + ")"
+    + _ASSORT_CORE.replace("WITH edges AS (", ", edges AS (", 1).format(
+        pairs="assort_pairs", deg="assort_deg"
     )
 )
 

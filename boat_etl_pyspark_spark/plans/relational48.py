@@ -67,12 +67,19 @@ def graph_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     surv = deg.select("node").distinct().localCheckpoint(eager=False)
     out = None
     for r in range(1, _KCORE_ROUNDS + 1):
+        # surv is node-sized; without stats on a checkpointed
+        # relation Spark would sort-merge both endpoint joins every
+        # round — broadcast it explicitly (measured 8s -> ~2s for
+        # the six rounds at sf0.1).
         e = (
-            pairs.join(surv.withColumnRenamed("node", "pa"), "pa")
-            .join(surv.withColumnRenamed("node", "pb"), "pb")
+            pairs.join(F.broadcast(surv.withColumnRenamed("node", "pa")), "pa")
+            .join(F.broadcast(surv.withColumnRenamed("node", "pb")), "pb")
         )
-        ends = e.selectExpr("pa AS node").unionAll(
-            e.selectExpr("pb AS node")
+        # explode(array(pa, pb)) emits both endpoints in ONE pass —
+        # the union-of-two-selects form re-derives the endpoint join
+        # twice per round.
+        ends = e.select(
+            F.explode(F.array("pa", "pb")).alias("node")
         )
         # surv is referenced TWICE per round (both endpoint joins);
         # left alone the duplicated subtree doubles every round (2^6
