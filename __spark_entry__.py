@@ -76,6 +76,7 @@ from boat_etl_pyspark_spark.plans import (
     relational49,
     relational50,
     relational51,
+    relational52,
     textstats3,
     curation3,
     textlm,
@@ -163,6 +164,7 @@ _PLAN_MODULES = (
     relational49,
     relational50,
     relational51,
+    relational52,
 )
 
 _QUERIES, _ORACLE = collect_registries(*_PLAN_MODULES)
@@ -220,17 +222,20 @@ _QUERIES, _ORACLE = collect_registries(*_PLAN_MODULES)
 # agg_hodges_lehmann, and the batch-38 additions
 # text_tokenizer_fertility, agg_hill_tail_index,
 # validate_key_candidates, ml_permutation_importance,
-# agg_effect_size_panel and ts_exponential_fit_ks — SEVENTY-SEVEN in
+# agg_effect_size_panel and ts_exponential_fit_ks, and the batch-39
+# additions events_uplift_qini, ml_brier_decomposition,
+# curate_source_overlap_matrix, agg_kendall_tau_sampled,
+# validate_table_checksum and text_keyness_llr — EIGHTY-THREE in
 # all) stay OUT of this
 # round's 50 deliberately — displacing the streaming/dedup stale
 # re-confirms (the round-4 verdict's named priority) for them would
 # trade the wrong rows; as never-checked queries they outrank every
 # stale green and lead the round-6 rotation. (Most land at the
-# registry tail via the relational32-50/textstats3/similarity2/
+# registry tail via the relational32-52/textstats3/similarity2/
 # streaming_plans2 modules; stream_checkpoint_
 # restart, io_codec_tradeoff and multimodal_phash_pairs register
 # mid-registry at their host modules' positions — round 6 must name
-# all 77 in _CHECK_FIRST, not slice the tail.)
+# all 83 in _CHECK_FIRST, not slice the tail.)
 _CHECK_FIRST = (
     # --- new in round 5, never driver-checked (35) ---
     "window_max_drawdown",
