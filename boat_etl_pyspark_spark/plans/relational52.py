@@ -183,11 +183,11 @@ WITH srcdim AS (
   SELECT source, ROW_NUMBER() OVER (ORDER BY source) AS rn
   FROM (SELECT DISTINCT source FROM {{docs}})
 ), grams AS (
-  SELECT DISTINCT gram, source FROM {{grams}}
+  SELECT DISTINCT gh, source FROM {{grams}}
 ), masks AS (
-  SELECT g.gram, SUM({{shl}}) AS mask
+  SELECT g.gh, SUM({{shl}}) AS mask
   FROM grams g JOIN srcdim s ON s.source = g.source
-  GROUP BY g.gram
+  GROUP BY g.gh
 ), mh AS (
   SELECT mask, COUNT(*) AS cnt FROM masks GROUP BY mask
 ), totals AS (
@@ -226,7 +226,12 @@ def curate_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     mask histogram small enough that all 190 pairwise
     intersection/Jaccard numbers are computed from it without
     touching the grams again.  The heavy work is exactly one shuffle
-    of distinct (gram, source) pairs; document bodies never move.
+    of distinct (gram-HASH, source) pairs — shingles are folded to
+    48-bit md5 ints map-side, so 8-byte keys shuffle, never text
+    (locally neutral — the md5 cost offsets the smaller shuffle —
+    but the honest posture at 100 TB where shuffle bytes are the
+    bill; a 48-bit space holds ~10^7 grams before birthday
+    collisions bias a Jaccard count by more than ~1e-5).
     At 62+ sources the mask becomes an array chunk — the contract is
     documented, not silently wrong (the row-number dimension makes
     the bit assignment deterministic in both engines)."""
@@ -235,7 +240,10 @@ def curate_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     spark.sql(
         f"""
-        SELECT concat_ws(' ', slice(t, i, {_OVL_SHINGLE})) AS gram, source
+        SELECT CAST(conv(substring(md5(
+                 concat_ws(' ', slice(t, i, {_OVL_SHINGLE}))), 1, 12),
+                 16, 10) AS BIGINT) AS gh,
+               source
         FROM (SELECT source, filter(split(text, ' '), x -> x != '') AS t
               FROM r52_ovl_docs)
         LATERAL VIEW explode(sequence(1, size(t) - {_OVL_SHINGLE} + 1))
@@ -260,8 +268,9 @@ _OVL_DUCK = _OVL_CORE.format(
     docs="documents",
     grams=(
         f"""(
-  SELECT array_to_string(list_slice(t, i, i + {_OVL_SHINGLE} - 1), ' ')
-           AS gram,
+  SELECT CAST(concat('0x', substring(md5(
+           array_to_string(list_slice(t, i, i + {_OVL_SHINGLE} - 1), ' ')),
+           1, 12)) AS BIGINT) AS gh,
          source
   FROM (SELECT source, list_filter(string_split(text, ' '), x -> x != '')
           AS t
