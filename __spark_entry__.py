@@ -77,6 +77,7 @@ from boat_etl_pyspark_spark.plans import (
     relational50,
     relational51,
     relational52,
+    relational53,
     textstats3,
     curation3,
     textlm,
@@ -165,6 +166,7 @@ _PLAN_MODULES = (
     relational50,
     relational51,
     relational52,
+    relational53,
 )
 
 _QUERIES, _ORACLE = collect_registries(*_PLAN_MODULES)
@@ -225,17 +227,19 @@ _QUERIES, _ORACLE = collect_registries(*_PLAN_MODULES)
 # agg_effect_size_panel and ts_exponential_fit_ks, and the batch-39
 # additions events_uplift_qini, ml_brier_decomposition,
 # curate_source_overlap_matrix, agg_kendall_tau_sampled,
-# validate_table_checksum and text_keyness_llr — EIGHTY-THREE in
-# all) stay OUT of this
+# validate_table_checksum and text_keyness_llr, and the batch-40
+# additions window_bollinger_bands, agg_diversity_indices,
+# events_burstiness, agg_ljung_box, ml_forecast_error_eval and
+# graph_reciprocity — EIGHTY-NINE in all) stay OUT of this
 # round's 50 deliberately — displacing the streaming/dedup stale
 # re-confirms (the round-4 verdict's named priority) for them would
 # trade the wrong rows; as never-checked queries they outrank every
 # stale green and lead the round-6 rotation. (Most land at the
-# registry tail via the relational32-52/textstats3/similarity2/
+# registry tail via the relational32-53/textstats3/similarity2/
 # streaming_plans2 modules; stream_checkpoint_
 # restart, io_codec_tradeoff and multimodal_phash_pairs register
 # mid-registry at their host modules' positions — round 6 must name
-# all 83 in _CHECK_FIRST, not slice the tail.)
+# all 89 in _CHECK_FIRST, not slice the tail.)
 _CHECK_FIRST = (
     # --- new in round 5, never driver-checked (35) ---
     "window_max_drawdown",
