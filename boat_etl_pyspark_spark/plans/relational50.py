@@ -321,9 +321,15 @@ def agg_fisher_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).collect()[0]
     return spark.sql(
         _FISHER_CORE.format(
+            # BIGINT casts are load-bearing: bare literals type as
+            # INT32 and 1000000*r1*c1 wraps negative at sf0.1+
+            # (DuckDB's aggregate-derived counts are BIGINT, so the
+            # sf0.1 parity sweep caught the asymmetry).
             base=(
-                f"  SELECT {int(row.n)} AS n, {int(row.r1)} AS r1, "
-                f"{int(row.c1)} AS c1, {int(row.k_obs)} AS k_obs"
+                f"  SELECT CAST({int(row.n)} AS BIGINT) AS n, "
+                f"CAST({int(row.r1)} AS BIGINT) AS r1, "
+                f"CAST({int(row.c1)} AS BIGINT) AS c1, "
+                f"CAST({int(row.k_obs)} AS BIGINT) AS k_obs"
             ),
             series=(
                 "SELECT explode(sequence(0, CAST(n AS INT))) AS i "
