@@ -79,6 +79,7 @@ from boat_etl_pyspark_spark.plans import (
     relational52,
     relational53,
     relational54,
+    relational55,
     textstats3,
     curation3,
     textlm,
@@ -169,6 +170,7 @@ _PLAN_MODULES = (
     relational52,
     relational53,
     relational54,
+    relational55,
 )
 
 _QUERIES, _ORACLE = collect_registries(*_PLAN_MODULES)
@@ -234,16 +236,19 @@ _QUERIES, _ORACLE = collect_registries(*_PLAN_MODULES)
 # events_burstiness, agg_ljung_box, ml_forecast_error_eval and
 # graph_reciprocity, and the batch-41 additions
 # events_markov_entropy_rate, ts_extreme_value_gumbel and
-# agg_survival_nelson_aalen — NINETY-TWO in all) stay OUT of this
+# agg_survival_nelson_aalen, and the batch-42 additions
+# ml_hard_negative_mining, agg_price_index_fisher,
+# events_dau_mau_stickiness, embed_isotropy_participation and
+# ml_threshold_youden — NINETY-SEVEN in all) stay OUT of this
 # round's 50 deliberately — displacing the streaming/dedup stale
 # re-confirms (the round-4 verdict's named priority) for them would
 # trade the wrong rows; as never-checked queries they outrank every
 # stale green and lead the round-6 rotation. (Most land at the
-# registry tail via the relational32-54/textstats3/similarity2/
+# registry tail via the relational32-55/textstats3/similarity2/
 # streaming_plans2 modules; stream_checkpoint_
 # restart, io_codec_tradeoff and multimodal_phash_pairs register
 # mid-registry at their host modules' positions — round 6 must name
-# all 92 in _CHECK_FIRST, not slice the tail.)
+# all 97 in _CHECK_FIRST, not slice the tail.)
 _CHECK_FIRST = (
     # --- new in round 5, never driver-checked (35) ---
     "window_max_drawdown",
