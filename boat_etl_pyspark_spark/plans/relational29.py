@@ -69,18 +69,25 @@ LEFT JOIN doc_cov dc ON t.doc_id = dc.doc_id
 GROUP BY t.source
 """
 
+_SSD_SPANS_SPARK = f"""
+SELECT doc_id, i AS start,
+       md5(array_join(slice(t, i, {_SSD_W}), ' ')) AS h
+FROM (SELECT doc_id, filter(split(text, ' '), x -> x != '') AS t
+      FROM {{docs}})
+LATERAL VIEW explode(sequence(1, size(t) - {_SSD_W} + 1)) e AS i
+WHERE size(t) >= {_SSD_W}
+"""
+
+# ``spans`` is consumed twice (the >=2-docs test AND the coverage
+# join); as a CTE the tokenize+hash explode would run twice, so the
+# Spark path persists it once and the SQL below reads the view.
 _SSD_SPARK = f"""
-WITH toks AS (
-  SELECT doc_id, source, filter(split(text, ' '), x -> x != '') AS t
-  FROM {{docs}}
-), spans AS (
-  SELECT doc_id, i AS start,
-         md5(array_join(slice(t, i, {_SSD_W}), ' ')) AS h
-  FROM toks
-  LATERAL VIEW explode(sequence(1, size(t) - {_SSD_W} + 1)) e AS i
-  WHERE size(t) >= {_SSD_W}
+WITH spans AS (
+  SELECT * FROM {{spans}}
 ), sized AS (
-  SELECT doc_id, source, size(t) AS n_tok FROM toks
+  SELECT doc_id, source,
+         size(filter(split(text, ' '), x -> x != '')) AS n_tok
+  FROM {{docs}}
 ){_SSD_TAIL.format(idiv="DIV")}
 """
 
@@ -109,11 +116,22 @@ def text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     intervals via gaps-and-islands (running MAX of ends on one
     doc_id exchange), so coverage costs O(duplicated spans) rather
     than exploding W rows per span. Two column-pruned text scans
-    (span inventory + token counts) — the train-then-score shape."""
+    (span inventory + token counts) — the train-then-score shape;
+    the span inventory itself is persisted because BOTH the
+    duplicated-hash test and the coverage join consume it (as a CTE
+    the tokenize+hash explode ran twice — measured 2.6s → ~1.6s
+    warm at sf0.1)."""
+    from . import track_persist
+
     load_table(spark, sf_dir, "documents").createOrReplaceTempView(
         "r29_ssd_docs"
     )
-    return spark.sql(_SSD_SPARK.format(docs="r29_ssd_docs"))
+    track_persist(
+        spark.sql(_SSD_SPANS_SPARK.format(docs="r29_ssd_docs"))
+    ).createOrReplaceTempView("r29_ssd_spans")
+    return spark.sql(
+        _SSD_SPARK.format(docs="r29_ssd_docs", spans="r29_ssd_spans")
+    )
 
 
 # ---------------------------------------------------------------------------
