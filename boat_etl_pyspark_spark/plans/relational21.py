@@ -38,16 +38,21 @@ from ..sources.readers import load_table
 
 _NOV_N = 8
 
+_NOV_SHINGLES_SPARK = f"""
+SELECT source, md5(array_join(slice(words, i + 1, {_NOV_N}), ' ')) AS h
+FROM (SELECT source, filter(split(text, ' '), x -> x != '') AS words
+      FROM {{docs}})
+LATERAL VIEW explode(
+  CASE WHEN size(words) >= {_NOV_N}
+       THEN sequence(0, size(words) - {_NOV_N}) ELSE array() END) e AS i
+"""
+
+# ``s`` feeds both the corpus-wide count AND the occurrence join; as
+# a CTE the shingle explode+md5 would run twice, so the Spark path
+# persists it once.
 _NOV_SPARK = f"""
-WITH w AS (
-  SELECT source, filter(split(text, ' '), x -> x != '') AS words
-  FROM {{docs}}
-), s AS (
-  SELECT source, md5(array_join(slice(words, i + 1, {_NOV_N}), ' ')) AS h
-  FROM w
-  LATERAL VIEW explode(
-    CASE WHEN size(words) >= {_NOV_N}
-         THEN sequence(0, size(words) - {_NOV_N}) ELSE array() END) e AS i
+WITH s AS (
+  SELECT * FROM {{shingles}}
 ), c AS (
   SELECT h, COUNT(*) AS n FROM s GROUP BY h
 )
@@ -86,11 +91,18 @@ def curate_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     source. Shingle hashes aggregate once (md5 keys only on the
     wire), then join back to occurrences — the same two-shuffle shape
     as the dedup inverted index, emitting a per-source health row
-    instead of pairs."""
+    instead of pairs. The shingle relation is persisted because the
+    count and the join both consume it — as a CTE the explode+md5
+    ran twice."""
+    from . import track_persist
+
     load_table(spark, sf_dir, "documents").createOrReplaceTempView(
         "r21_nov_docs"
     )
-    return spark.sql(_NOV_SPARK.format(docs="r21_nov_docs"))
+    track_persist(
+        spark.sql(_NOV_SHINGLES_SPARK.format(docs="r21_nov_docs"))
+    ).createOrReplaceTempView("r21_nov_shingles")
+    return spark.sql(_NOV_SPARK.format(shingles="r21_nov_shingles"))
 
 
 # ---------------------------------------------------------------------------
