@@ -319,6 +319,13 @@ def agg_fisher_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     row = spark.sql(
         _FISHER_BASE_AGG.format(part="r50_fisher_part")
     ).collect()[0]
+    # empty input: COUNT is 0 but the SUMs are NULL — normalize so the
+    # literal inlining below stays well-typed (the oracle's aggregate
+    # NULLs coalesce the same way through its CASE arithmetic)
+    n = int(row.n or 0)
+    r1 = int(row.r1 or 0)
+    c1 = int(row.c1 or 0)
+    k_obs = int(row.k_obs or 0)
     return spark.sql(
         _FISHER_CORE.format(
             # BIGINT casts are load-bearing: bare literals type as
@@ -326,10 +333,10 @@ def agg_fisher_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             # (DuckDB's aggregate-derived counts are BIGINT, so the
             # sf0.1 parity sweep caught the asymmetry).
             base=(
-                f"  SELECT CAST({int(row.n)} AS BIGINT) AS n, "
-                f"CAST({int(row.r1)} AS BIGINT) AS r1, "
-                f"CAST({int(row.c1)} AS BIGINT) AS c1, "
-                f"CAST({int(row.k_obs)} AS BIGINT) AS k_obs"
+                f"  SELECT CAST({n} AS BIGINT) AS n, "
+                f"CAST({r1} AS BIGINT) AS r1, "
+                f"CAST({c1} AS BIGINT) AS c1, "
+                f"CAST({k_obs} AS BIGINT) AS k_obs"
             ),
             series=(
                 "SELECT explode(sequence(0, CAST(n AS INT))) AS i "

@@ -111,6 +111,7 @@ _COLLECT_ALLOWLIST = {
     "plans/relational36.py": 2,      # MMR cands (16) + pair matrix (240)
     "operators/skew.py": 1,          # diagnostics-only sampler
     "pipeline/boat.py": 2,           # min-year scalar + validation row
+    "plans/relational50.py": 1,      # Fisher 2x2 counts (one 4-int row)
 }
 
 
