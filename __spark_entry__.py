@@ -82,6 +82,7 @@ from boat_etl_pyspark_spark.plans import (
     relational55,
     relational56,
     relational57,
+    relational58,
     textstats3,
     curation3,
     textlm,
@@ -175,6 +176,7 @@ _PLAN_MODULES = (
     relational55,
     relational56,
     relational57,
+    relational58,
 )
 
 _QUERIES, _ORACLE = collect_registries(*_PLAN_MODULES)
@@ -246,16 +248,18 @@ _QUERIES, _ORACLE = collect_registries(*_PLAN_MODULES)
 # ml_threshold_youden, and the batch-43 additions window_rsi_14,
 # ml_calibration_ece and ts_ewma_control_chart, and the batch-44
 # additions ts_hurst_exponent, validate_drift_adversarial and
-# window_ulcer_index — ONE HUNDRED AND THREE in all) stay OUT of this
+# window_ulcer_index, and the batch-45 additions
+# validate_hash_collision_budget and ml_class_balance_audit — ONE
+# HUNDRED AND FIVE in all) stay OUT of this
 # round's 50 deliberately — displacing the streaming/dedup stale
 # re-confirms (the round-4 verdict's named priority) for them would
 # trade the wrong rows; as never-checked queries they outrank every
 # stale green and lead the round-6 rotation. (Most land at the
-# registry tail via the relational32-57/textstats3/similarity2/
+# registry tail via the relational32-58/textstats3/similarity2/
 # streaming_plans2 modules; stream_checkpoint_
 # restart, io_codec_tradeoff and multimodal_phash_pairs register
 # mid-registry at their host modules' positions — round 6 must name
-# all 103 in _CHECK_FIRST, not slice the tail.)
+# all 105 in _CHECK_FIRST, not slice the tail.)
 _CHECK_FIRST = (
     # --- new in round 5, never driver-checked (35) ---
     "window_max_drawdown",
