@@ -132,3 +132,23 @@ def test_collect_sites_are_allowlisted():
     assert found == _COLLECT_ALLOWLIST, (
         f"collect sites drifted: {found} vs allowlist {_COLLECT_ALLOWLIST}"
     )
+
+
+def test_check_first_matches_rotation_tool():
+    """``_CHECK_FIRST`` is GENERATED, not hand-maintained (round-5
+    verdict item 3): it must equal tools/rotation.py's computation
+    from the CORRECTNESS_r*.json history, so a typo can never silently
+    mis-rotate a round's 50-query driver window."""
+    import importlib.util
+
+    path = os.path.join(os.path.dirname(_COV), "tools", "rotation.py")
+    spec = importlib.util.spec_from_file_location("rotation", path)
+    rot = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rot)
+    expected = rot.compute_check_first(names=list(M._RAW_QUERIES))
+    assert M._CHECK_FIRST == expected, (
+        "regenerate with: python tools/rotation.py --python\n"
+        f"missing from _CHECK_FIRST: {[n for n in expected if n not in M._CHECK_FIRST]}\n"
+        f"extra in _CHECK_FIRST: {[n for n in M._CHECK_FIRST if n not in expected]}"
+    )
+    assert len(M._CHECK_FIRST) == rot.WINDOW

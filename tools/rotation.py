@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""Mechanized driver-gate rotation.
+
+The driver's correctness gate checks the FIRST 50 ``queries()`` entries
+per round, so ``__spark_entry__._CHECK_FIRST`` decides which queries
+get a fresh ``CORRECTNESS_r{N}.json`` row. Round 5 maintained that list
+as an ~80-line hand-written prose comment naming 105 queries — one typo
+would silently mis-rotate a round. This tool replaces the prose: it
+computes the 50-name window from the actual ``CORRECTNESS_r*.json``
+history, and ``tests/test_contract_hygiene.py`` pins ``_CHECK_FIRST``
+to its output so the two can never drift.
+
+Policy (round-5 verdict, "Next round: do this" items 1 and 6):
+
+1. NEVER-CHECKED queries (no green driver row in any round) outrank
+   every stale green. Among them, the verdict's named highest-stakes
+   queries come first (``PRIORITY``); the rest follow in registry
+   order.
+2. Remaining slots go to stale greens, oldest round first (ties in
+   registry order).
+
+Green = ``err`` null, ``rows_match`` and ``schema_match`` true, and
+``hash_match`` not false (rows-only streaming checks keep their weaker
+row). A red row does NOT count as checked — the query stays at the
+front until a green row lands.
+
+Usage: ``python tools/rotation.py`` prints the 50 names, one per line;
+``--python`` prints them as a tuple literal ready to paste into
+``__spark_entry__.py``.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+#: Driver gate width: CORRECTNESS_r{N}.json rows per round.
+WINDOW = 50
+
+#: Hand-pinned head for NEVER-CHECKED queries only (round-5 verdict's
+#: highest-stakes list, in its order). Never-checked names absent from
+#: this tuple follow in registry order; once a query has a green row
+#: the tuple has no effect on it.
+PRIORITY = (
+    "stream_checkpoint_restart",
+    "graph_connected_components",
+    "graph_kcore_peeling",
+    "agg_heavy_hitters",
+    "dedup_minhash_calibration",
+    "multimodal_phash_pairs",
+    "text_substring_dedup",
+    "ml_roc_auc",
+    "ml_pr_auc",
+    "ml_naive_bayes_lang",
+    "io_dynamic_partition_overwrite",
+    "validate_referential_integrity",
+)
+
+
+def latest_green(repo: str = REPO) -> dict[str, int]:
+    """name -> latest round with a green driver row."""
+    out: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"_r(\d+)\.json$", path).group(1))
+        with open(path) as fh:
+            rows = json.load(fh)
+        for name, row in rows.items():
+            green = (
+                row.get("err") is None
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match") is not False
+            )
+            if green:
+                out[name] = max(out.get(name, 0), rnd)
+    return out
+
+
+def registry_names() -> list[str]:
+    """Registry names in raw (pre-rotation) module order."""
+    sys.path.insert(0, REPO)
+    import __spark_entry__ as entry_mod
+
+    return list(entry_mod._RAW_QUERIES)
+
+
+def compute_check_first(
+    names: list[str] | None = None,
+    greens: dict[str, int] | None = None,
+    window: int = WINDOW,
+) -> tuple[str, ...]:
+    names = registry_names() if names is None else list(names)
+    greens = latest_green() if greens is None else greens
+    pos = {n: i for i, n in enumerate(names)}
+    prio = {n: i for i, n in enumerate(PRIORITY)}
+    never = sorted(
+        (n for n in names if n not in greens),
+        key=lambda n: (prio.get(n, len(PRIORITY)), pos[n]),
+    )
+    stale = sorted(
+        (n for n in names if n in greens),
+        key=lambda n: (greens[n], pos[n]),
+    )
+    return tuple((never + stale)[:window])
+
+
+def main() -> None:
+    check_first = compute_check_first()
+    if "--python" in sys.argv:
+        print("_CHECK_FIRST = (")
+        for name in check_first:
+            print(f'    "{name}",')
+        print(")")
+    else:
+        for name in check_first:
+            print(name)
+
+
+if __name__ == "__main__":
+    main()
