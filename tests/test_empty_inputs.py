@@ -37,3 +37,73 @@ def test_query_survives_empty_tables(spark, empty_sf_dir, name):
     df = m.queries()[name](spark, empty_sf_dir)
     rows = df.collect()
     assert isinstance(rows, list)  # executed without raising
+
+
+# ---------------------------------------------------------------------------
+# Degenerate TEXT parity (round-5 verdict "what's wrong" #1): a
+# whitespace-only or empty document must produce IDENTICAL output from
+# the Spark plan and the DuckDB oracle. The boilerplate block
+# enumerator's `sequence(0, ceil(size/3)-1)` emits [0,-1] for empty
+# token lists unless guarded symmetrically — this fixture would catch
+# that class of divergence for every tokenizing query listed.
+# ---------------------------------------------------------------------------
+
+_DEGENERATE_TEXT_QUERIES = (
+    "text_boilerplate_strip",
+    "text_unigram_surprisal",
+    "text_readability",
+    "text_entropy_per_source",
+    "text_bigram_perplexity",
+    "text_heaps_law",
+    "text_token_stats",
+    "text_quality_score",
+    "text_mattr",
+)
+
+
+@pytest.fixture(scope="module")
+def degenerate_text_dir(tmp_path_factory):
+    """sf0.001 with documents.parquet replaced by degenerate rows:
+    empty text, whitespace-only, single token, punctuation-only, and a
+    few normal docs so per-corpus denominators stay nonzero."""
+    import shutil
+
+    import pyarrow as pa
+
+    d = str(tmp_path_factory.mktemp("sf_degenerate_text"))
+    for p in glob.glob(os.path.join(SRC, "*.parquet")):
+        if os.path.basename(p) != "documents.parquet":
+            shutil.copy(p, os.path.join(d, os.path.basename(p)))
+    texts = [
+        "",
+        "   ",
+        "one",
+        "...",
+        "\t\n  \n",
+        "the quick brown fox jumps over the lazy dog",
+        "repeat block repeat block repeat block repeat block repeat",
+        "a b c d e f g h i j k l m n o p q r s t u v w x y z",
+    ]
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(1, len(texts) + 1), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["web", "web", "book", "book", "web", "book", "web", "book"]),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(docs, os.path.join(d, "documents.parquet"), version="2.6")
+    return d
+
+
+@pytest.mark.parametrize("name", _DEGENERATE_TEXT_QUERIES)
+def test_text_query_parity_on_degenerate_docs(spark, oracle, degenerate_text_dir, name):
+    import __spark_entry__ as m
+    from tests.test_oracle_parity import frames_equal
+
+    spark_pd = m.queries()[name](spark, degenerate_text_dir).toPandas()
+    con = oracle(degenerate_text_dir)
+    oracle_pd = con.execute(m.oracle_sql()[name]).fetchdf()
+    problems = frames_equal(spark_pd, oracle_pd)
+    assert not problems, f"{name}: " + "; ".join(problems)
