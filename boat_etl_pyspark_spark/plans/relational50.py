@@ -11,12 +11,14 @@ reference is a single-dataset ETL, `src/pipeline_pyspark.py:30-364`).
     micro-nat floor is stable across engines.
   * ``graph_community_modularity`` — Newman modularity of the
     region partition over the symmetrized nation trade graph.  The
-    per-community numerators (T·intra_c − deg_c²) are exact int64;
-    only the final ppm ratio is one fixed-shape float.
+    per-community numerators (T·intra_c − deg_c²) accumulate in
+    exact DECIMAL(38,0); only the final ppm ratio is one
+    fixed-shape float.
   * ``agg_fisher_exact`` — Fisher's exact test on a bounded 2×2
     contingency table via a log-factorial table built with ONE
     sequential window cumsum.  Extremeness is decided by comparing
-    raw in-engine lnpmf values (never floored), and only coarse
+    in-engine lnpmf values under a deterministic 1e-9 tie guard
+    (exact ties count as extreme in both engines), and only coarse
     summaries (centi-nat lnpmf, permille p) are floored — the
     precision discipline that keeps a long float cumsum from
     flipping a fine-grained floor between engines.
@@ -163,7 +165,8 @@ WITH und AS (
   SELECT d.c,
          COALESCE(i.intra_w, 0) AS intra_w,
          d.deg_w,
-         t_total * COALESCE(i.intra_w, 0) - d.deg_w * d.deg_w
+         CAST(t_total AS DECIMAL(38,0)) * COALESCE(i.intra_w, 0)
+           - CAST(d.deg_w AS DECIMAL(38,0)) * d.deg_w
            AS contrib_num,
          t_total
   FROM deg d LEFT JOIN intra i ON i.c = d.c CROSS JOIN t
@@ -171,7 +174,11 @@ WITH und AS (
 SELECT r.r_name AS region,
        CAST(intra_w AS BIGINT) AS intra_w,
        CAST(deg_w AS BIGINT) AS deg_w,
-       CAST(contrib_num AS BIGINT) AS contrib_num,
+       CASE WHEN contrib_num >  CAST(9223372036854775807 AS DECIMAL(38,0))
+              OR contrib_num < CAST(-9223372036854775807 AS DECIMAL(38,0))
+            THEN CAST({err}('graph_community_modularity: contrib_num exceeds BIGINT')
+                      AS BIGINT)
+            ELSE CAST(contrib_num AS BIGINT) END AS contrib_num,
        CAST(t_total AS BIGINT) AS t_total,
        CAST(floor(CAST(SUM(contrib_num) OVER () AS DOUBLE)
                   / (CAST(t_total AS DOUBLE) * t_total)
@@ -185,9 +192,13 @@ def graph_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Newman modularity Q of the region partition over the
     symmetrized nation trade graph: Q = Σ_c(intra_c/T − (deg_c/T)²)
     with T = Σ A_ij.  Per-community numerators T·intra_c − deg_c²
-    are exact int64 (T is lineitem-count-sized, so the product stays
-    far below 2^63 at any TPC-H scale); only the final ppm ratio is
-    one fixed-shape float.  Consumes the session-shared
+    accumulate in DECIMAL(38,0) — T is ~2× lineitem rows, so the
+    int64 product would wrap around sf500; DECIMAL keeps it exact to
+    ~1e38 and the reported BIGINT column raises identically in BOTH
+    engines (raise_error / error) if a value ever exceeds int64
+    instead of Spark silently wrapping while DuckDB errors.  Only the
+    final ppm ratio is one fixed-shape float.  Consumes the
+    session-shared
     ``trade_edges`` cache (one lineitem⋈orders build serves
     PageRank, BFS, routes and this), then everything is
     nations²-sized with broadcast community/region maps."""
@@ -207,6 +218,7 @@ def graph_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             edges="r50_mod_edges",
             nation="r50_mod_nation",
             region="r50_mod_region",
+            err="raise_error",
         )
     )
 
@@ -222,7 +234,7 @@ WITH trade_edges AS (
   GROUP BY s.s_nationkey, c.c_nationkey
 )"""
     + _MODULARITY_CORE.replace("WITH und AS (", ", und AS (", 1).format(
-        edges="trade_edges", nation="nation", region="region"
+        edges="trade_edges", nation="nation", region="region", err="error"
     )
 )
 
@@ -238,6 +250,18 @@ _FISHER_BASE_AGG = """
                    AND p_type LIKE 'SMALL%' THEN 1 ELSE 0 END) AS k_obs
   FROM {part} WHERE p_size <= 3
 """
+
+# Tie guard for the extremeness census: lnpmf values on the two sides
+# of the comparison come from independent ln() cumsums, so JVM
+# Math.log vs libm can drift by a few ulps (~1e-13 accumulated over
+# hundreds of terms) and near-symmetric marginals (r1 = c1 or
+# r1 + c1 = n) produce EXACT pmf ties that land on either side of the
+# raw double compare depending on the engine.  1e-9 is ~4 orders
+# above the accumulated float error and ~3 orders below the smallest
+# genuinely-distinct lnpmf gap a 2x2 hypergeometric with marginals in
+# the hundreds can produce, so ties (and only ties) are counted as
+# "as extreme" in BOTH engines — the scipy convention.
+_FISHER_TIE_EPS = "1e-9"
 
 _FISHER_CORE = """
 WITH base AS (
@@ -282,10 +306,11 @@ SELECT CAST(MAX(n) AS BIGINT) AS n,
        CAST(MAX((r1 + 1) * (c1 + 1) {idiv} (n + 2)) AS BIGINT) AS mode_k,
        CAST(MAX(1000000 * r1 * c1 {idiv} n) AS BIGINT)
          AS expected_k_micro,
-       CAST(SUM(CASE WHEN lnpmf <= lnpmf_obs THEN 1 ELSE 0 END) AS BIGINT)
+       CAST(SUM(CASE WHEN lnpmf <= lnpmf_obs + {tie_eps} THEN 1 ELSE 0 END)
+            AS BIGINT)
          AS n_more_extreme,
        CAST(floor(MAX(lnpmf_obs) * 100) AS BIGINT) AS lnpmf_obs_centi,
-       CAST(floor(SUM(CASE WHEN lnpmf <= lnpmf_obs
+       CAST(floor(SUM(CASE WHEN lnpmf <= lnpmf_obs + {tie_eps}
                            THEN exp(lnpmf) ELSE 0.0 END) * 1000) AS BIGINT)
          AS p_two_sided_permille
 FROM pmf CROSS JOIN obs
@@ -300,12 +325,15 @@ def agg_fisher_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     the log-factorial table would be the wrong tool).  ln k! comes
     from ONE sequential window cumsum over a generated 0..n series;
     the hypergeometric support is exploded per k and each lnpmf is
-    nine table lookups.  Extremeness (`lnpmf ≤ lnpmf_obs`) compares
-    raw in-engine doubles — never floored — so an ulp of libm drift
-    cannot flip a census count except at exact pmf ties, which
-    generic marginals do not produce; only the coarse summaries
-    (centi-nat lnpmf, permille p) are floored, with boundary widths
-    4-6 orders above the accumulated float error.
+    nine table lookups.  Extremeness uses a deterministic tie guard
+    (`lnpmf ≤ lnpmf_obs + 1e-9`, see ``_FISHER_TIE_EPS``): symmetric
+    marginals (r1 = c1 or r1 + c1 = n) produce EXACT pmf ties whose
+    raw-double compare would flip with JVM-vs-libm ln() ulp drift;
+    the epsilon counts ties as "as extreme" in both engines (the
+    scipy convention) while staying orders below any genuinely
+    distinct pmf gap.  Only the coarse summaries (centi-nat lnpmf,
+    permille p) are floored, with boundary widths 4-6 orders above
+    the accumulated float error.
 
     The 2×2 table itself is ONE bounded-scalar collect (4 ints —
     the same sanctioned pattern as PageRank's node count): inlining
@@ -348,6 +376,7 @@ def agg_fisher_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "CAST(c.kmax AS INT))) e AS k"
             ),
             idiv="DIV",
+            tie_eps=_FISHER_TIE_EPS,
         )
     )
 
@@ -364,6 +393,7 @@ _FISHER_DUCK = _FISHER_CORE.format(
         "AS u(k)"
     ),
     idiv="//",
+    tie_eps=_FISHER_TIE_EPS,
 )
 
 # ---------------------------------------------------------------------------

@@ -368,7 +368,8 @@ WITH fp AS (
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct_fp,
-       CAST(SUM(h % {_CKS_MOD}) AS BIGINT) AS checksum_sum,
+       CAST(SUM(CAST(h % {_CKS_MOD} AS DECIMAL(38,0))) % {_CKS_MOD}
+            AS BIGINT) AS checksum_sum,
        CAST(MIN(h) AS BIGINT) AS min_fp,
        CAST(MAX(h) AS BIGINT) AS max_fp
 FROM fp
@@ -383,7 +384,12 @@ def validate_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     checksum.  Addition commutes, so the checksum is identical under
     any partitioning or row order — the property a distributed
     integrity audit needs; comparing two snapshots costs two scans
-    and a 5-number diff.  One map-side projection + one aggregate."""
+    and a 5-number diff.  Per-row residues (< 1e9) accumulate in
+    DECIMAL(38,0) and the modulus is re-applied AFTER the sum: a
+    plain BIGINT sum would wrap silently in Spark past ~9e9 rows
+    while DuckDB's HUGEINT→BIGINT cast errors — a divergent failure
+    mode for the one op whose job is cross-snapshot integrity.  One
+    map-side projection + one aggregate."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView(
         "r52_cks_orders"
     )

@@ -141,9 +141,10 @@ def test_fisher_exact_matches_python(run, tables):
         for k in range(kmin, kmax + 1)
     }
     obs = lnpmf[k_obs]
-    n_extreme = sum(1 for v in lnpmf.values() if v <= obs)
+    # mirror the plan's deterministic tie guard (_FISHER_TIE_EPS)
+    n_extreme = sum(1 for v in lnpmf.values() if v <= obs + 1e-9)
     p_permille = math.floor(
-        sum(math.exp(v) for k, v in sorted(lnpmf.items()) if v <= obs) * 1000
+        sum(math.exp(v) for k, v in sorted(lnpmf.items()) if v <= obs + 1e-9) * 1000
     )
 
     got = run("agg_fisher_exact")
