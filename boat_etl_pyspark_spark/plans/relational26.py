@@ -79,10 +79,21 @@ _DD_DUCK = _DD_CORE.format(events="events", epoch_us="epoch_us(ts)")
 # Spearman rank correlation
 # ---------------------------------------------------------------------------
 
+# Rank-grid resolution for the price axis, the KS quantization knob
+# ported (SCALE.md "midrank machinery" section): the cumulative
+# midrank window runs over DISTINCT y values, which track row count
+# until they saturate at the price domain (~1.04e7 cents). 1 = exact
+# cents (the fixture-scale default, identical to no knob); a
+# continuous or wider-domain deployment sets a coarser grid (e.g.
+# 100 = whole dollars, capping the window relation at ~1e5 rows) and
+# rho becomes rho-on-the-grid, exactly as agg_ks_test's D is
+# D-on-the-grid.
+_SPEAR_GRID_CENTS = 1
+
 _SPEAR_CORE = """
 WITH v AS (
   SELECT CAST(round(l_quantity) AS BIGINT) AS x,
-         CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+         CAST(round(l_extendedprice * 100) AS BIGINT) {idiv} {grid} AS y
   FROM {lineitem}
 ), rx AS (
   SELECT x, 2 * (coalesce(SUM(ct) OVER (ORDER BY x
@@ -122,7 +133,10 @@ def agg_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL/HUGEINT power sums — the doubling cancels in the
     correlation. Window relations are bounded by value cardinality
     (quantity: ~50 grid values; price: the ~10^7-value cents domain,
-    a count-aggregated relation one task handles at any row count);
+    a count-aggregated relation one task handles at any row count —
+    and ``_SPEAR_GRID_CENTS`` is the explicit quantization knob for
+    continuous/wider domains, the agg_ks_test grid ported; measured
+    distinct counts per scale in SCALE.md "midrank machinery");
     the fact table contributes one aggregate pass after two hash
     joins on its own value columns. If the rank key were genuinely
     unbounded (float keys, composite keys), swap the cumulative
@@ -134,11 +148,13 @@ def agg_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r26_sp_lineitem"
     )
     return spark.sql(
-        _SPEAR_CORE.format(lineitem="r26_sp_lineitem", big="DECIMAL(38,0)")
+        _SPEAR_CORE.format(lineitem="r26_sp_lineitem", big="DECIMAL(38,0)",
+                           idiv="DIV", grid=_SPEAR_GRID_CENTS)
     )
 
 
-_SPEAR_DUCK = _SPEAR_CORE.format(lineitem="lineitem", big="HUGEINT")
+_SPEAR_DUCK = _SPEAR_CORE.format(lineitem="lineitem", big="HUGEINT",
+                                 idiv="//", grid=_SPEAR_GRID_CENTS)
 
 
 QUERIES = {
