@@ -201,11 +201,16 @@ def test_table_checksum_matches_python(run, tables):
     got = run("validate_table_checksum").iloc[0]
     assert got.n_rows == len(hs)
     assert got.n_distinct_fp == len(set(hs))
-    assert got.checksum_sum == sum(h % 1_000_000_007 for h in hs)
+    # mod re-applied AFTER the DECIMAL(38,0) sum (round-6 hardening:
+    # the raw residue sum would wrap int64 past ~9e9 rows)
+    assert got.checksum_sum == sum(h % 1_000_000_007 for h in hs) % 1_000_000_007
     assert got.min_fp == min(hs)
     assert got.max_fp == max(hs)
     # order independence: reversed row order gives the same checksum
-    assert sum(h % 1_000_000_007 for h in reversed(hs)) == got.checksum_sum
+    assert (
+        sum(h % 1_000_000_007 for h in reversed(hs)) % 1_000_000_007
+        == got.checksum_sum
+    )
 
 
 def test_keyness_llr_matches_python(run, tables):

@@ -110,6 +110,23 @@ def compute_check_first(
 
 
 def main() -> None:
+    if "--report" in sys.argv:
+        names = registry_names()
+        greens = latest_green()
+        never = [n for n in names if n not in greens]
+        by_round: dict[int, int] = {}
+        for n in names:
+            if n in greens:
+                by_round[greens[n]] = by_round.get(greens[n], 0) + 1
+        print(f"registry: {len(names)} queries")
+        print(f"never driver-checked: {len(never)}")
+        for rnd in sorted(by_round):
+            print(f"latest green r{rnd:02d}: {by_round[rnd]}")
+        window = compute_check_first(names=names, greens=greens)
+        after = len(never) - sum(1 for n in window if n not in greens)
+        print(f"this round's window covers {len(window)} "
+              f"(backlog after a green round: {max(after, 0)})")
+        return
     check_first = compute_check_first()
     if "--python" in sys.argv:
         print("_CHECK_FIRST = (")
