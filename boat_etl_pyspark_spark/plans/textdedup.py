@@ -550,9 +550,17 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     by content hash — the shape of continuous ingestion, where the
     corpus side is a persisted hash table (here: docs from sources
     src0-src9 as 'corpus', the rest as 'new batch'). Anti-join on the
-    32-byte md5, never on document bodies."""
+    32-byte md5, never on document bodies. A source that does not
+    match ``src<digits>`` is classified NEW BATCH in both engines
+    (the empty-match guard below): the bare cast diverged — Spark
+    non-ANSI cast('') -> NULL silently dropped the row from BOTH
+    sides while DuckDB errored (caught by the degenerate-fixture
+    net, tests/test_degenerate_vectors.py)."""
     docs = load_table(spark, sf_dir, "documents")
-    is_corpus = F.regexp_extract("source", r"src(\d+)", 1).cast("int") < 10
+    src_num = F.regexp_extract("source", r"src(\d+)", 1)
+    is_corpus = F.when(src_num == "", F.lit(False)).otherwise(
+        src_num.cast("int") < 10
+    )
     hashed = docs.select(
         "doc_id", "source", F.md5("text").alias("text_md5"), is_corpus.alias("in_corpus")
     )
@@ -568,7 +576,9 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DEDUP_INCR_SQL = """
 WITH hashed AS (
   SELECT doc_id, source, md5(text) AS text_md5,
-         CAST(regexp_extract(source, 'src(\\d+)', 1) AS INT) < 10 AS in_corpus
+         CASE WHEN regexp_extract(source, 'src(\\d+)', 1) = '' THEN FALSE
+              ELSE CAST(regexp_extract(source, 'src(\\d+)', 1) AS INT) < 10
+         END AS in_corpus
   FROM documents
 ),
 corpus AS (SELECT DISTINCT text_md5 FROM hashed WHERE in_corpus)

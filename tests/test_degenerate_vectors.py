@@ -1,0 +1,152 @@
+"""Degenerate EMBEDDING parity (round-6 extension of the degenerate
+TEXT net): a zero vector (undefined cosine), exact duplicate vectors
+(tied similarities), and near-duplicates (ties under quantization)
+must produce IDENTICAL output from the Spark plan and the DuckDB
+oracle for every embeddings-consuming query. Division by a zero norm
+is the classic engine-divergence seed: Spark non-ANSI double x/0
+returns NULL where DuckDB may return inf/NaN — if any plan lets a
+zero norm reach a division, the two engines part ways silently.
+
+Also: an all-identical-documents fixture for the dedup family, where
+every pair is a candidate and every similarity is exactly 1.0 —
+maximal tie pressure on ordering/threshold logic.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from tests.conftest import SF_SMOKE
+from tests.test_oracle_parity import frames_equal
+
+_DIMS = 64  # pinned by test_contract_hygiene
+
+
+def _copy_sf(dst: str, skip: str) -> None:
+    for p in glob.glob(os.path.join(SF_SMOKE, "*.parquet")):
+        if os.path.basename(p) != skip:
+            shutil.copy(p, os.path.join(dst, os.path.basename(p)))
+
+
+@pytest.fixture(scope="module")
+def degenerate_vec_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("sf_degenerate_vec"))
+    _copy_sf(d, skip="embeddings.parquet")
+    rng = np.random.RandomState(7)
+    n = 40
+    vecs = rng.randn(n, _DIMS).astype(np.float32)
+    vecs[0, :] = 0.0                      # zero vector: undefined cosine
+    vecs[2, :] = vecs[1, :]               # exact duplicate pair (1,2)
+    vecs[4, :] = vecs[3, :] * 1.0000001   # near-duplicate pair (3,4)
+    vecs[6, :] = 0.25                     # constant vector
+    vecs[7, :] = 0.25                     # ... duplicated
+    emb = pa.table(
+        {
+            "vec_id": pa.array(range(1, n + 1), pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in vecs],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array([i % 5 for i in range(n)], pa.int32()),
+        }
+    )
+    pq.write_table(emb, os.path.join(d, "embeddings.parquet"), version="2.6")
+    return d
+
+
+_VEC_QUERIES = (
+    "sim_bruteforce_topk",
+    "sim_ivf_topk",
+    "sim_rp_lsh_buckets",
+    "sim_norm_stats",
+    "sim_quantize_int8",
+    "sim_product_quantize",
+    "sim_blocked_matmul_topk",
+    "sim_batch_diversity",
+    "sim_mmr_diverse_topk",
+    "sim_ivf_recall_eval",
+    "curate_semdedup",
+    "embed_kmeans_lloyd",
+    "embed_gram_matrix",
+    "embed_centroid_drift",
+    "embed_isotropy_participation",
+    "ml_hard_negative_mining",
+)
+
+
+@pytest.mark.parametrize("name", _VEC_QUERIES)
+def test_vector_query_parity_on_degenerate_embeddings(
+    spark, oracle, degenerate_vec_dir, name
+):
+    import __spark_entry__ as m
+    from boat_etl_pyspark_spark.plans import release_caches
+
+    try:
+        spark_pd = m.queries()[name](spark, degenerate_vec_dir).toPandas()
+        con = oracle(degenerate_vec_dir)
+        oracle_pd = con.execute(m.oracle_sql()[name]).fetchdf()
+    finally:
+        release_caches(spark)
+    problems = frames_equal(spark_pd, oracle_pd)
+    assert not problems, f"{name}: " + "; ".join(problems)
+
+
+@pytest.fixture(scope="module")
+def identical_docs_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("sf_identical_docs"))
+    _copy_sf(d, skip="documents.parquet")
+    body = (
+        "the quick brown fox jumps over the lazy dog and keeps on "
+        "running through the quiet field until the early evening light"
+    )
+    texts = [body] * 6 + [
+        "a completely different document about spark physical plans",
+        "yet another unique text mentioning adaptive query execution",
+    ]
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(1, len(texts) + 1), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["web", "book"] * 4),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(docs, os.path.join(d, "documents.parquet"), version="2.6")
+    return d
+
+
+_DEDUP_QUERIES = (
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_incremental",
+    "dedup_clusters",
+    "dedup_embedding_cosine",
+    "text_substring_dedup",
+    "text_containment_dedup",
+    "text_dup_ngram_fraction",
+)
+
+
+@pytest.mark.parametrize("name", _DEDUP_QUERIES)
+def test_dedup_parity_on_identical_docs(spark, oracle, identical_docs_dir, name):
+    import __spark_entry__ as m
+    from boat_etl_pyspark_spark.plans import release_caches
+
+    try:
+        spark_pd = m.queries()[name](spark, identical_docs_dir).toPandas()
+        con = oracle(identical_docs_dir)
+        oracle_pd = con.execute(m.oracle_sql()[name]).fetchdf()
+    finally:
+        release_caches(spark)
+    problems = frames_equal(spark_pd, oracle_pd)
+    assert not problems, f"{name}: " + "; ".join(problems)
