@@ -389,6 +389,10 @@ def agg_rollup_nation_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# HAVING COUNT(*) > 0 mirrors Spark's grouping-sets-on-empty-input
+# semantics: standard SQL (and DuckDB) emit the () grand-total row
+# even over zero input rows, Spark emits nothing; on non-empty input
+# every rollup/cube row aggregates >= 1 row, so the guard is inert.
 _AGG_ROLLUP_SQL = """
 SELECT
   n_name, c_mktsegment,
@@ -397,6 +401,7 @@ SELECT
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 GROUP BY ROLLUP (n_name, c_mktsegment)
+HAVING COUNT(*) > 0
 """
 
 
@@ -415,6 +420,7 @@ SELECT
   CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS qty_sum
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
+HAVING COUNT(*) > 0
 """
 
 
@@ -438,6 +444,7 @@ SELECT o_orderstatus, o_orderpriority,
        CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS price_sum
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+HAVING COUNT(*) > 0
 """
 
 

@@ -231,8 +231,14 @@ WITH ev AS (
   FROM lat
 )
 SELECT CAST((SELECT COUNT(*) FROM pu) AS BIGINT) AS n_viewers,
-       CAST(MAX(n) AS BIGINT) AS n_converters,
-       CAST(MAX(n) * 1000000 // (SELECT COUNT(*) FROM pu) AS BIGINT)
+       CAST(COALESCE(MAX(n), 0) AS BIGINT) AS n_converters,
+       -- zero-converter / zero-viewer coalescing mirrors the plan's
+       -- explicit literal row (n_viewers, 0, 0, NULL): without it the
+       -- empty aggregate emits NULLs where Spark emits zeros (caught
+       -- by the single-row parity net)
+       CAST(CASE WHEN (SELECT COUNT(*) FROM pu) = 0 THEN 0
+                 ELSE COALESCE(MAX(n), 0) * 1000000
+                      // (SELECT COUNT(*) FROM pu) END AS BIGINT)
          AS conversion_ppm,
        CAST(SUM(delta_s * 2 / ((n + 2) // 2 - (n + 1) // 2 + 1)) AS BIGINT)
          AS median_2x_delta_s

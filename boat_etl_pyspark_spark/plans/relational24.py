@@ -131,9 +131,14 @@ def io_binary_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("o_orderpriority").agg(
         F.count("*").alias("n_orders"),
         F.sum("pc").alias("revenue_cents"),
+        # 1 <= n_files <= requested: Spark skips empty write
+        # partitions, so a degenerate input legitimately yields fewer
+        # files than requested — the audit's real claims are "no file
+        # explosion, every file hashed, nothing zero-length"
+        # (single-row parity net pinned this definition)
         F.lit(
             bool(
-                mrow.n_files == _MANIFEST_FILES
+                1 <= mrow.n_files <= _MANIFEST_FILES
                 and mrow.n_hashed == mrow.n_files
                 and (mrow.min_len or 0) > 0
             )

@@ -242,12 +242,18 @@ WITH trade_edges AS (
 # Fisher's exact test
 # ---------------------------------------------------------------------------
 
+# COALESCE mirrors the plan's `or 0` normalization of the collected
+# counts: over an empty slice the SUMs are NULL, and without it the
+# oracle's whole pmf pipeline emits NULLs where the plan inlines
+# zeros (caught by the single-row parity net).
 _FISHER_BASE_AGG = """
   SELECT COUNT(*) AS n,
-         SUM(CASE WHEN p_brand LIKE 'Brand#1%' THEN 1 ELSE 0 END) AS r1,
-         SUM(CASE WHEN p_type LIKE 'SMALL%' THEN 1 ELSE 0 END) AS c1,
-         SUM(CASE WHEN p_brand LIKE 'Brand#1%'
-                   AND p_type LIKE 'SMALL%' THEN 1 ELSE 0 END) AS k_obs
+         COALESCE(SUM(CASE WHEN p_brand LIKE 'Brand#1%'
+                           THEN 1 ELSE 0 END), 0) AS r1,
+         COALESCE(SUM(CASE WHEN p_type LIKE 'SMALL%'
+                           THEN 1 ELSE 0 END), 0) AS c1,
+         COALESCE(SUM(CASE WHEN p_brand LIKE 'Brand#1%'
+                   AND p_type LIKE 'SMALL%' THEN 1 ELSE 0 END), 0) AS k_obs
   FROM {part} WHERE p_size <= 3
 """
 
