@@ -531,7 +531,11 @@ SELECT d.doc_id,
            list_sort(list_transform(sh.s, x -> md5(x)))[2],
            list_sort(list_transform(sh.s, x -> md5(x)))[3])) AS fp_kmin,
        list_reduce(list_prepend(CAST(0 AS BIGINT),
-                   list_transform(string_split(d.text, ''), c -> CAST(ord(c) AS BIGINT))),
+                   -- greatest(.., 0): splitting an EMPTY string yields
+                   -- [''] in both engines, but ord('') is -1 in DuckDB
+                   -- vs ascii('') = 0 in Spark (degenerate-text net)
+                   list_transform(string_split(d.text, ''),
+                                  c -> CAST(greatest(ord(c), 0) AS BIGINT))),
                    (acc, c) -> (acc * 31 + c) % 1000000007) AS fp_roll
 FROM documents d JOIN sh ON sh.doc_id = d.doc_id
 """

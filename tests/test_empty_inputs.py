@@ -58,6 +58,26 @@ _DEGENERATE_TEXT_QUERIES = (
     "text_token_stats",
     "text_quality_score",
     "text_mattr",
+    "text_chunking",
+    "text_stopword_removal",
+    "text_tfidf_top_terms",
+    "text_keyword_spans",
+    "text_language_id",
+    "text_fingerprints",
+    "text_pii_redaction",
+    "text_repetition_stats",
+    "text_chunk_dedup",
+    "text_normalize_unicode",
+    "text_vocab_stats",
+    "text_symbol_stats",
+    "text_bigram_rarity",
+    "text_bpe_pair_stats",
+    "text_source_divergence",
+    "text_zipf_fit",
+    "text_dup_ngram_fraction",
+    "text_pmi_collocations",
+    "text_tokenizer_fertility",
+    "text_keyness_llr",
 )
 
 
@@ -83,13 +103,22 @@ def degenerate_text_dir(tmp_path_factory):
         "the quick brown fox jumps over the lazy dog",
         "repeat block repeat block repeat block repeat block repeat",
         "a b c d e f g h i j k l m n o p q r s t u v w x y z",
+        # unicode: multi-byte chars stress char-vs-byte length, JVM
+        # regex vs RE2 character classes, and lower() case mapping
+        "héllo wörld naïve café résumé",
+        "日本語 テキスト の 例",
+        "emoji \U0001f600 test \U0001f680 rocket",
+        "combining á mark é here",
     ]
     docs = pa.table(
         {
             "doc_id": pa.array(range(1, len(texts) + 1), pa.int64()),
             "text": pa.array(texts),
-            "lang": pa.array(["en"] * len(texts)),
-            "source": pa.array(["web", "web", "book", "book", "web", "book", "web", "book"]),
+            "lang": pa.array(["en"] * 8 + ["fr", "ja", "en", "en"]),
+            "source": pa.array(
+                ["web", "web", "book", "book", "web", "book", "web", "book",
+                 "web", "book", "web", "book"]
+            ),
             "n_chars": pa.array([len(t) for t in texts], pa.int64()),
         }
     )
