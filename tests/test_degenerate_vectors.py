@@ -150,3 +150,83 @@ def test_dedup_parity_on_identical_docs(spark, oracle, identical_docs_dir, name)
         release_caches(spark)
     problems = frames_equal(spark_pd, oracle_pd)
     assert not problems, f"{name}: " + "; ".join(problems)
+
+
+# ---------------------------------------------------------------------------
+# Tied-timestamp events: every event shares ONE timestamp, values
+# repeat, users collide — maximal tie pressure on window ORDER BY
+# clauses (a missing deterministic tie-breaker diverges between
+# engines and between Spark partitions), zero durations for
+# time-weighted operators, and single-day series for the ts_* family.
+# ---------------------------------------------------------------------------
+
+_TIED_EVENT_QUERIES = (
+    "events_funnel_conversion",
+    "events_sessionize",
+    "events_markov_transitions",
+    "events_user_journey_paths",
+    "events_time_to_convert",
+    "events_multitouch_attribution",
+    "events_rfm_segmentation",
+    "events_bot_detection",
+    "events_burstiness",
+    "events_dau_mau_stickiness",
+    "window_rolling_24h_value",
+    "window_time_weighted_avg",
+    "window_cusum_changepoint",
+    "window_max_drawdown",
+    "window_hampel_outliers",
+    "window_ewma_spend",
+    "window_bollinger_bands",
+    "window_rsi_14",
+    "window_ulcer_index",
+    "ts_ohlc_bars",
+    "ts_weekday_seasonality",
+    "ts_circular_time_stats",
+    "ts_periodogram",
+    "ts_lead_lag_xcorr",
+    "ts_ewma_control_chart",
+    "ts_hurst_exponent",
+    "ts_extreme_value_gumbel",
+    "ts_seasonal_decompose",
+    "ts_exponential_fit_ks",
+)
+
+
+@pytest.fixture(scope="module")
+def tied_events_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("sf_tied_events"))
+    _copy_sf(d, skip="events.parquet")
+    n = 60
+    one_ts = np.datetime64("2024-03-01T12:00:00.000000", "us")
+    types = ["view", "purchase", "signup", "error", "click"]
+    emb = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array([one_ts] * n, pa.timestamp("us")),
+            "user_id": pa.array([i % 7 for i in range(n)], pa.int64()),
+            "event_type": pa.array([types[i % 5] for i in range(n)]),
+            # repeated values: ties inside ties
+            "value": pa.array([float((i % 3) * 10) for i in range(n)]),
+            "props": pa.array(['{"k": 1}'] * n),
+        }
+    )
+    pq.write_table(emb, os.path.join(d, "events.parquet"), version="2.6")
+    return d
+
+
+@pytest.mark.parametrize("name", _TIED_EVENT_QUERIES)
+def test_event_query_parity_on_tied_timestamps(
+    spark, oracle, tied_events_dir, name
+):
+    import __spark_entry__ as m
+    from boat_etl_pyspark_spark.plans import release_caches
+
+    try:
+        spark_pd = m.queries()[name](spark, tied_events_dir).toPandas()
+        con = oracle(tied_events_dir)
+        oracle_pd = con.execute(m.oracle_sql()[name]).fetchdf()
+    finally:
+        release_caches(spark)
+    problems = frames_equal(spark_pd, oracle_pd)
+    assert not problems, f"{name}: " + "; ".join(problems)
