@@ -260,6 +260,30 @@ def validate_data_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti")
         .agg(F.count("*").cast("bigint").alias("lineitem_orphan_orderkey"))
     )
+    # documents ingest contract (round 6): the text analytics / dedup
+    # families DEFINE their semantics over non-null text — a NULL
+    # text/lang/source row is a contract violation surfaced HERE, not
+    # a value every downstream tokenizer must invent NULL semantics
+    # for (SCALE.md "NULL posture"). Counts, not aborts, as above.
+    docs = load_table(spark, sf_dir, "documents")
+    d_agg = docs.agg(
+        F.sum(F.when(F.col("text").isNull(), 1).otherwise(0))
+        .cast("bigint").alias("documents_null_text"),
+        F.sum(F.when(F.col("lang").isNull(), 1).otherwise(0))
+        .cast("bigint").alias("documents_null_lang"),
+        F.sum(F.when(F.col("source").isNull(), 1).otherwise(0))
+        .cast("bigint").alias("documents_null_source"),
+        (F.count("*") - F.countDistinct("doc_id"))
+        .cast("bigint").alias("documents_duplicate_doc_id"),
+        F.sum(
+            F.when(
+                F.col("text").isNotNull()
+                & F.col("n_chars").isNotNull()
+                & (F.col("n_chars") != F.length("text")),
+                1,
+            ).otherwise(0)
+        ).cast("bigint").alias("documents_nchars_mismatch"),
+    )
 
     def unpivot(df: DataFrame) -> DataFrame:
         cols = df.columns
@@ -273,6 +297,7 @@ def validate_data_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(unpivot(l_agg))
         .unionAll(unpivot(ship_before_order))
         .unionAll(unpivot(orphans))
+        .unionAll(unpivot(d_agg))
     )
 
 
@@ -311,6 +336,26 @@ UNION ALL
 SELECT 'lineitem_orphan_orderkey',
        CAST(COUNT(*) AS BIGINT)
   FROM lineitem l ANTI JOIN orders o ON l.l_orderkey = o.o_orderkey
+UNION ALL
+SELECT 'documents_null_text',
+       CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM documents
+UNION ALL
+SELECT 'documents_null_lang',
+       CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM documents
+UNION ALL
+SELECT 'documents_null_source',
+       CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM documents
+UNION ALL
+SELECT 'documents_duplicate_doc_id',
+       CAST(COUNT(*) - COUNT(DISTINCT doc_id) AS BIGINT) FROM documents
+UNION ALL
+SELECT 'documents_nchars_mismatch',
+       CAST(SUM(CASE WHEN text IS NOT NULL AND n_chars IS NOT NULL
+                      AND n_chars != length(text)
+                     THEN 1 ELSE 0 END) AS BIGINT) FROM documents
 """
 
 

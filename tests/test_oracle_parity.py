@@ -29,6 +29,8 @@ def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
 def values_equal(a, b) -> bool:
     if a is None and b is None:
         return True
+    if a is None or b is None:
+        return False  # one-sided NULL is a mismatch, not a TypeError
     if isinstance(a, float) or isinstance(b, float):
         # The driver hashes FORMATTED values, so int 3431 vs float 3431.0
         # is a mismatch there (DuckDB HUGEINT->float64 drift). Mirror it:
