@@ -16,7 +16,11 @@ Policy (round-5 verdict, "Next round: do this" items 1 and 6):
    every stale green. Among them, the verdict's named highest-stakes
    queries come first (``PRIORITY``); the rest follow in registry
    order.
-2. Remaining slots go to stale greens, oldest round first (ties in
+2. Queries whose plan or oracle CHANGED after their latest green row
+   (``CHANGED_SINCE_GREEN``, hand-updated when editing a green query)
+   come next, in registry order — their old green no longer certifies
+   the shipped code.
+3. Remaining slots go to stale greens, oldest round first (ties in
    registry order).
 
 Green = ``err`` null, ``rows_match`` and ``schema_match`` true, and
@@ -46,6 +50,34 @@ WINDOW = 50
 #: highest-stakes list, in its order). Never-checked names absent from
 #: this tuple follow in registry order; once a query has a green row
 #: the tuple has no effect on it.
+#: Queries whose plan or oracle text changed AFTER their latest green
+#: driver row — hand-append when editing a green query (the pinned
+#: hygiene test keeps _CHECK_FIRST synced to the resulting order).
+#: Round 6 edits: the rollup/cube/grouping-sets empty-input HAVING
+#: guards, the time-to-convert / fisher / fingerprints oracle
+#: coalesces, the incremental-dedup source guard, the three
+#: filesystem-fact boolean redefinitions, the Spearman grid knob, the
+#: checksum mod-after-sum, and the documents rules added to the data
+#: contract. Entries that are ALSO never-checked are harmless (the
+#: never-checked rank dominates).
+CHANGED_SINCE_GREEN = (
+    "agg_rollup_nation_segment",
+    "agg_cube_flag_status",
+    "agg_grouping_sets",
+    "agg_spearman_rho",
+    "dedup_incremental",
+    "text_fingerprints",
+    "events_time_to_convert",
+    "io_binary_manifest",
+    "io_small_file_compaction",
+    "validate_data_contract",
+    "agg_fisher_exact",
+    "graph_community_modularity",
+    "validate_table_checksum",
+    "io_codec_tradeoff",
+    "ml_pinball_quantile_eval",
+)
+
 PRIORITY = (
     "stream_checkpoint_restart",
     "graph_connected_components",
@@ -102,11 +134,15 @@ def compute_check_first(
         (n for n in names if n not in greens),
         key=lambda n: (prio.get(n, len(PRIORITY)), pos[n]),
     )
+    changed = sorted(
+        (n for n in names if n in greens and n in set(CHANGED_SINCE_GREEN)),
+        key=lambda n: pos[n],
+    )
     stale = sorted(
-        (n for n in names if n in greens),
+        (n for n in names if n in greens and n not in set(CHANGED_SINCE_GREEN)),
         key=lambda n: (greens[n], pos[n]),
     )
-    return tuple((never + stale)[:window])
+    return tuple((never + changed + stale)[:window])
 
 
 def main() -> None:
