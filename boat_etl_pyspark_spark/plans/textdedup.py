@@ -405,7 +405,8 @@ SELECT doc_id, lang, source,
        CAST(size(regexp_extract_all(text, '{_TOKEN_RE}', 0)) AS BIGINT) AS n_bpeish,
        CAST(aggregate(t, 0L, (acc, x) -> acc + length(x)) AS BIGINT) AS token_chars,
        CAST(aggregate(t, 0L, (acc, x) -> acc + length(x)) AS DOUBLE) / greatest(size(t), 1) AS avg_token_len
-FROM (SELECT doc_id, lang, source, text, split(text, ' ') AS t FROM {{docs}})
+FROM (SELECT doc_id, lang, source, text, split(text, ' ') AS t FROM {{docs}}
+      WHERE text IS NOT NULL)
 """
 
 _TOKSTATS_DUCK = f"""
@@ -415,7 +416,8 @@ SELECT doc_id, lang, source,
        len(regexp_extract_all(text, '{_TOKEN_RE}')) AS n_bpeish,
        CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT) AS token_chars,
        CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / greatest(len(t), 1) AS avg_token_len
-FROM (SELECT doc_id, lang, source, text, string_split(text, ' ') AS t FROM documents)
+FROM (SELECT doc_id, lang, source, text, string_split(text, ' ') AS t FROM documents
+      WHERE text IS NOT NULL)
 """
 
 
@@ -438,7 +440,7 @@ SELECT doc_id,
        0.4 * least(CAST(size(t) AS DOUBLE) / 100.0, 1.0)
          + 0.3 * (1.0 - CAST(size(filter(t, x -> x IN {_STOPWORDS})) AS DOUBLE) / greatest(size(t), 1))
          + 0.3 * (CAST(size(array_distinct(t)) AS DOUBLE) / greatest(size(t), 1)) AS quality
-FROM (SELECT doc_id, split(text, ' ') AS t FROM {{docs}})
+FROM (SELECT doc_id, split(text, ' ') AS t FROM {{docs}} WHERE text IS NOT NULL)
 """
 
 _QUALITY_DUCK = f"""
@@ -449,7 +451,7 @@ SELECT doc_id,
        0.4 * least(CAST(len(t) AS DOUBLE) / 100.0, 1.0)
          + 0.3 * (1.0 - CAST(len(list_filter(t, x -> x IN {_STOPWORDS})) AS DOUBLE) / greatest(len(t), 1))
          + 0.3 * (CAST(len(list_distinct(t)) AS DOUBLE) / greatest(len(t), 1)) AS quality
-FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE text IS NOT NULL)
 """
 
 
@@ -480,7 +482,8 @@ WITH f AS (
          CAST(size(filter(t, x -> x IN ('le', 'la', 'les', 'et', 'est'))) AS BIGINT) AS c_fr,
          CAST(size(filter(t, x -> x IN ('el', 'los', 'las', 'y', 'es'))) AS BIGINT) AS c_es,
          CAST(size(regexp_extract_all(text, '[\\\\x{{{{4e00}}}}-\\\\x{{{{9fff}}}}]', 0)) AS BIGINT) AS n_cjk
-  FROM (SELECT doc_id, lang, text, split(text, ' ') AS t FROM {{docs}})
+  FROM (SELECT doc_id, lang, text, split(text, ' ') AS t FROM {{docs}}
+  WHERE text IS NOT NULL)
 )
 SELECT lang, {_LANGID_CASE} AS pred_lang, COUNT(*) AS n_docs
 FROM f
@@ -495,7 +498,8 @@ WITH f AS (
          len(list_filter(t, x -> x IN ('le', 'la', 'les', 'et', 'est'))) AS c_fr,
          len(list_filter(t, x -> x IN ('el', 'los', 'las', 'y', 'es'))) AS c_es,
          len(regexp_extract_all(text, '[\\x{{4e00}}-\\x{{9fff}}]')) AS n_cjk
-  FROM (SELECT doc_id, lang, text, string_split(text, ' ') AS t FROM documents)
+  FROM (SELECT doc_id, lang, text, string_split(text, ' ') AS t FROM documents
+  WHERE text IS NOT NULL)
 )
 SELECT lang, {_LANGID_CASE} AS pred_lang, COUNT(*) AS n_docs
 FROM f
@@ -520,6 +524,7 @@ SELECT d.doc_id,
        aggregate(split(d.text, ''), CAST(0 AS BIGINT),
                  (acc, c) -> (acc * 31 + ascii(c)) % 1000000007) AS fp_roll
 FROM {docs} d JOIN sh ON sh.doc_id = d.doc_id
+WHERE d.text IS NOT NULL
 """
 
 _FP_DUCK = """
@@ -538,6 +543,7 @@ SELECT d.doc_id,
                                   c -> CAST(greatest(ord(c), 0) AS BIGINT))),
                    (acc, c) -> (acc * 31 + c) % 1000000007) AS fp_roll
 FROM documents d JOIN sh ON sh.doc_id = d.doc_id
+WHERE d.text IS NOT NULL
 """
 
 

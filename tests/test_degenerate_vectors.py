@@ -230,3 +230,70 @@ def test_event_query_parity_on_tied_timestamps(
         release_caches(spark)
     problems = frames_equal(spark_pd, oracle_pd)
     assert not problems, f"{name}: " + "; ".join(problems)
+
+
+# ---------------------------------------------------------------------------
+# NULL-bearing documents: real ingest has NULLs even though the driver
+# fixtures don't. The tokenizing queries that define per-document
+# outputs filter NULL text symmetrically in both engines (the ingest
+# contract surfaces the rows via validate_data_contract's
+# documents_null_* rules); corpus-level queries drop NULL rows
+# identically through their tokenize-then-join shapes.
+# ---------------------------------------------------------------------------
+
+_NULL_DOC_QUERIES = (
+    "text_token_stats",
+    "text_quality_score",
+    "text_language_id",
+    "text_fingerprints",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "text_boilerplate_strip",
+    "text_tfidf_top_terms",
+    "text_vocab_stats",
+    "curate_semdedup",
+    "text_normalize_unicode",
+    "text_chunking",
+    "validate_data_contract",
+)
+
+
+@pytest.fixture(scope="module")
+def null_docs_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("sf_null_docs"))
+    _copy_sf(d, skip="documents.parquet")
+    texts = [
+        "the quick brown fox jumps over the dog",
+        None,
+        "another normal document body here",
+        None,
+        "third doc with plain words in it",
+    ]
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(1, 6), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en", "en", None, "en", "en"]),
+            "source": pa.array(["web", None, "book", "web", "book"]),
+            "n_chars": pa.array(
+                [len(t) if t else None for t in texts], pa.int64()
+            ),
+        }
+    )
+    pq.write_table(docs, os.path.join(d, "documents.parquet"), version="2.6")
+    return d
+
+
+@pytest.mark.parametrize("name", _NULL_DOC_QUERIES)
+def test_query_parity_on_null_documents(spark, oracle, null_docs_dir, name):
+    import __spark_entry__ as m
+    from boat_etl_pyspark_spark.plans import release_caches
+
+    try:
+        spark_pd = m.queries()[name](spark, null_docs_dir).toPandas()
+        con = oracle(null_docs_dir)
+        oracle_pd = con.execute(m.oracle_sql()[name]).fetchdf()
+    finally:
+        release_caches(spark)
+    problems = frames_equal(spark_pd, oracle_pd)
+    assert not problems, f"{name}: " + "; ".join(problems)

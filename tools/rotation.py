@@ -46,10 +46,6 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 #: Driver gate width: CORRECTNESS_r{N}.json rows per round.
 WINDOW = 50
 
-#: Hand-pinned head for NEVER-CHECKED queries only (round-5 verdict's
-#: highest-stakes list, in its order). Never-checked names absent from
-#: this tuple follow in registry order; once a query has a green row
-#: the tuple has no effect on it.
 #: Queries whose plan or oracle text changed AFTER their latest green
 #: driver row — hand-append when editing a green query (the pinned
 #: hygiene test keeps _CHECK_FIRST synced to the resulting order).
@@ -76,8 +72,15 @@ CHANGED_SINCE_GREEN = (
     "validate_table_checksum",
     "io_codec_tradeoff",
     "ml_pinball_quantile_eval",
+    "text_token_stats",
+    "text_quality_score",
+    "text_language_id",
 )
 
+#: Hand-pinned head for NEVER-CHECKED queries only (round-5 verdict's
+#: highest-stakes list, in its order). Never-checked names absent from
+#: this tuple follow in registry order; once a query has a green row
+#: the tuple has no effect on it.
 PRIORITY = (
     "stream_checkpoint_restart",
     "graph_connected_components",
