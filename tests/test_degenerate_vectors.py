@@ -297,3 +297,71 @@ def test_query_parity_on_null_documents(spark, oracle, null_docs_dir, name):
         release_caches(spark)
     problems = frames_equal(spark_pd, oracle_pd)
     assert not problems, f"{name}: " + "; ".join(problems)
+
+
+# ---------------------------------------------------------------------------
+# Extreme timestamps: pre-1970 (negative epoch micros), the epoch
+# itself, the 2038 int32 boundary, and a far-future date — pins that
+# unix_micros/epoch_us, date_trunc, and weekday math agree across
+# engines over the whole timestamp domain, not just the fixture's
+# 2024 window.
+# ---------------------------------------------------------------------------
+
+_EXTREME_TS_QUERIES = (
+    "ts_weekday_seasonality",
+    "ts_ohlc_bars",
+    "ts_circular_time_stats",
+    "window_rolling_24h_value",
+    "window_time_weighted_avg",
+    "events_sessionize",
+    "events_burstiness",
+    "events_dau_mau_stickiness",
+    "window_max_drawdown",
+    "ts_ewma_control_chart",
+    "events_rfm_segmentation",
+    "date_daily_event_stats",
+)
+
+
+@pytest.fixture(scope="module")
+def extreme_ts_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("sf_extreme_ts"))
+    _copy_sf(d, skip="events.parquet")
+    n = 40
+    tss = [
+        np.datetime64("1969-12-31T23:59:59.500000", "us"),
+        np.datetime64("1969-06-15T06:30:00", "us"),
+        np.datetime64("1970-01-01T00:00:00", "us"),
+        np.datetime64("2038-01-19T03:14:07", "us"),
+        np.datetime64("2199-12-31T23:59:59", "us"),
+    ]
+    types = ["view", "purchase", "signup", "error", "click"]
+    ev = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array([tss[i % 5] for i in range(n)], pa.timestamp("us")),
+            "user_id": pa.array([i % 6 for i in range(n)], pa.int64()),
+            "event_type": pa.array([types[(i * 3) % 5] for i in range(n)]),
+            "value": pa.array([float(i % 7) * 3.5 for i in range(n)]),
+            "props": pa.array(['{"k": 2}'] * n),
+        }
+    )
+    pq.write_table(ev, os.path.join(d, "events.parquet"), version="2.6")
+    return d
+
+
+@pytest.mark.parametrize("name", _EXTREME_TS_QUERIES)
+def test_event_query_parity_on_extreme_timestamps(
+    spark, oracle, extreme_ts_dir, name
+):
+    import __spark_entry__ as m
+    from boat_etl_pyspark_spark.plans import release_caches
+
+    try:
+        spark_pd = m.queries()[name](spark, extreme_ts_dir).toPandas()
+        con = oracle(extreme_ts_dir)
+        oracle_pd = con.execute(m.oracle_sql()[name]).fetchdf()
+    finally:
+        release_caches(spark)
+    problems = frames_equal(spark_pd, oracle_pd)
+    assert not problems, f"{name}: " + "; ".join(problems)
