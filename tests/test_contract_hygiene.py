@@ -145,7 +145,12 @@ def test_check_first_matches_rotation_tool():
     spec = importlib.util.spec_from_file_location("rotation", path)
     rot = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(rot)
-    expected = rot.compute_check_first(names=list(M._RAW_QUERIES))
+    # pin against the BASIS rounds the list was generated from, so a
+    # new round's CORRECTNESS file landing on disk doesn't redden the
+    # pin before the round-start regeneration ritual runs
+    expected = rot.compute_check_first(
+        names=list(M._RAW_QUERIES), rounds=M._CHECK_FIRST_BASIS
+    )
     assert M._CHECK_FIRST == expected, (
         "regenerate with: python tools/rotation.py --python\n"
         f"missing from _CHECK_FIRST: {[n for n in expected if n not in M._CHECK_FIRST]}\n"

@@ -97,11 +97,29 @@ PRIORITY = (
 )
 
 
-def latest_green(repo: str = REPO) -> dict[str, int]:
-    """name -> latest round with a green driver row."""
+def available_rounds(repo: str = REPO) -> tuple[int, ...]:
+    """Round numbers with a CORRECTNESS_r*.json on disk."""
+    return tuple(
+        sorted(
+            int(re.search(r"_r(\d+)\.json$", p).group(1))
+            for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
+        )
+    )
+
+
+def latest_green(
+    repo: str = REPO, rounds: tuple[int, ...] | None = None
+) -> dict[str, int]:
+    """name -> latest round with a green driver row. ``rounds``
+    restricts to those correctness files — the pinned hygiene test
+    passes ``__spark_entry__._CHECK_FIRST_BASIS`` so a NEW round's
+    file landing on disk doesn't retroactively redden the pin; the
+    next round's builder reruns ``--python`` and updates both tuples."""
     out: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
         rnd = int(re.search(r"_r(\d+)\.json$", path).group(1))
+        if rounds is not None and rnd not in rounds:
+            continue
         with open(path) as fh:
             rows = json.load(fh)
         for name, row in rows.items():
@@ -128,9 +146,10 @@ def compute_check_first(
     names: list[str] | None = None,
     greens: dict[str, int] | None = None,
     window: int = WINDOW,
+    rounds: tuple[int, ...] | None = None,
 ) -> tuple[str, ...]:
     names = registry_names() if names is None else list(names)
-    greens = latest_green() if greens is None else greens
+    greens = latest_green(rounds=rounds) if greens is None else greens
     pos = {n: i for i, n in enumerate(names)}
     prio = {n: i for i, n in enumerate(PRIORITY)}
     never = sorted(
@@ -168,6 +187,8 @@ def main() -> None:
         return
     check_first = compute_check_first()
     if "--python" in sys.argv:
+        rounds = available_rounds()
+        print(f"_CHECK_FIRST_BASIS = {rounds!r}")
         print("_CHECK_FIRST = (")
         for name in check_first:
             print(f'    "{name}",')
