@@ -365,3 +365,69 @@ def test_event_query_parity_on_extreme_timestamps(
         release_caches(spark)
     problems = frames_equal(spark_pd, oracle_pd)
     assert not problems, f"{name}: " + "; ".join(problems)
+
+
+# ---------------------------------------------------------------------------
+# Missing-group events: zero 'purchase' events — every score metric's
+# positive class is EMPTY (n_pos = 0 divisions, empty funnel stages,
+# one-arm pivots). Integer x/0 is NULL in both Spark non-ANSI DIV and
+# DuckDB //, so the NULL propagation must stay symmetric end to end.
+# ---------------------------------------------------------------------------
+
+_NO_POSITIVES_QUERIES = (
+    "ml_roc_auc",
+    "ml_pr_auc",
+    "ml_threshold_youden",
+    "ml_confusion_threshold",
+    "events_funnel_conversion",
+    "events_ab_test_lift",
+    "ml_lift_gains_table",
+    "ml_calibration_bins",
+    "ml_logreg_quality",
+    "ml_brier_decomposition",
+    "events_uplift_qini",
+    "agg_mann_whitney_u",
+    "events_time_to_convert",
+    "ml_calibration_ece",
+    "events_sprt_ab_test",
+    "events_markov_transitions",
+)
+
+
+@pytest.fixture(scope="module")
+def no_positives_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("sf_no_positives"))
+    _copy_sf(d, skip="events.parquet")
+    n = 50
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    types = ["view", "click", "signup", "error"]  # no 'purchase'
+    ev = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(
+                [base + np.timedelta64(i * 3600, "s") for i in range(n)],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([i % 8 for i in range(n)], pa.int64()),
+            "event_type": pa.array([types[i % 4] for i in range(n)]),
+            "value": pa.array([float(i % 9) * 2.25 for i in range(n)]),
+            "props": pa.array(['{"k": 3}'] * n),
+        }
+    )
+    pq.write_table(ev, os.path.join(d, "events.parquet"), version="2.6")
+    return d
+
+
+@pytest.mark.parametrize("name", _NO_POSITIVES_QUERIES)
+def test_metric_parity_with_zero_positives(spark, oracle, no_positives_dir, name):
+    import __spark_entry__ as m
+    from boat_etl_pyspark_spark.plans import release_caches
+
+    try:
+        spark_pd = m.queries()[name](spark, no_positives_dir).toPandas()
+        con = oracle(no_positives_dir)
+        oracle_pd = con.execute(m.oracle_sql()[name]).fetchdf()
+    finally:
+        release_caches(spark)
+    problems = frames_equal(spark_pd, oracle_pd)
+    assert not problems, f"{name}: " + "; ".join(problems)
