@@ -157,3 +157,46 @@ def test_check_first_matches_rotation_tool():
         f"extra in _CHECK_FIRST: {[n for n in M._CHECK_FIRST if n not in expected]}"
     )
     assert len(M._CHECK_FIRST) == rot.WINDOW
+
+
+def test_fingerprint_bank_covers_every_green():
+    """The CHANGED_SINCE_GREEN set is MECHANIZED (round-6 verdict item
+    3): tools/fingerprint_bank.json must hold one entry per
+    driver-green query, banked at that query's LATEST green round
+    within the _CHECK_FIRST_BASIS. A missing or out-of-date entry
+    means the round-start ``python tools/fingerprints.py --bank``
+    ritual was skipped — which is exactly the silent drift the bank
+    exists to eliminate, so fail loudly here."""
+    import importlib.util
+
+    tools = os.path.join(os.path.dirname(_COV), "tools")
+    mods = {}
+    for stem in ("rotation", "fingerprints"):
+        spec = importlib.util.spec_from_file_location(
+            stem, os.path.join(tools, f"{stem}.py")
+        )
+        mods[stem] = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mods[stem])
+    greens = mods["rotation"].latest_green(rounds=M._CHECK_FIRST_BASIS)
+    bank = mods["fingerprints"].load_bank()
+    # The bank may run AHEAD of the pinned basis mid-ritual (a new
+    # round's greens absorbed before _CHECK_FIRST_BASIS is bumped) but
+    # never behind it.
+    stale = {
+        n: (bank.get(n, {}).get("green"), rnd)
+        for n, rnd in greens.items()
+        if n not in bank or bank[n].get("green", 0) < rnd
+    }
+    assert not stale, (
+        "bank out of date (run: python tools/fingerprints.py --bank) "
+        f"for: {stale}"
+    )
+    unknown = set(bank) - set(M._RAW_QUERIES)
+    assert not unknown, f"bank entries for unregistered queries: {unknown}"
+    # A banked fingerprint, when present, must be a well-formed sha256;
+    # null means "green predates the shipped source" and is the signal
+    # that keeps the query in the changed-since-green window.
+    for name, row in bank.items():
+        assert row["fp"] is None or (
+            isinstance(row["fp"], str) and len(row["fp"]) == 64
+        ), f"malformed fingerprint for {name}: {row}"

@@ -1,0 +1,151 @@
+#!/usr/bin/env python
+"""Per-query source fingerprints — mechanized CHANGED_SINCE_GREEN.
+
+Round-6 verdict item 3 (and ADVICE round 6, tools/rotation.py:59): the
+hand-appended ``CHANGED_SINCE_GREEN`` tuple silently under-reports when
+a builder edits a green query and forgets the append. This module
+replaces the hand list with a content-addressed bank:
+
+* ``compute_fingerprints()`` hashes, for every registry query, the
+  concatenation of the plan callable's own source
+  (``inspect.getsource``) and its DuckDB oracle SQL. Editing either
+  changes the fingerprint.
+* ``tools/fingerprint_bank.json`` records, per query, the fingerprint
+  that its latest GREEN driver row certified (``fp``) and that round
+  number (``green``). ``fp: null`` means "a green row exists but the
+  code it certified is no longer on disk" — the query counts as
+  changed until a fresh green lands.
+* ``changed_since_green(greens)`` = names whose latest green (in the
+  caller's round basis) is banked with a null or mismatching
+  fingerprint. ``tools/rotation.py`` feeds this straight into the
+  driver-gate window, AHEAD of never-checked names (round-6 verdict
+  item 1), so an edit auto-promotes the query with no manual step.
+
+Granularity caveat (documented, accepted): the hash covers the plan
+function body and the oracle string, not shared helpers it calls. An
+edit to a shared helper escapes the bank; the backstop is the in-repo
+replica gate (``tests/test_oracle_parity.py`` replays all 327 queries
+vs DuckDB at sf0.001 every session) plus the two-scale
+``make verify-scale`` sweep.
+
+Round protocol (pinned by ``tests/test_contract_hygiene.py``):
+
+1. At round start — BEFORE editing any plan — run
+   ``python tools/fingerprints.py --bank`` to absorb the previous
+   round's new green rows at their certified (still-on-disk) source.
+2. Edit freely; edited green queries flip to changed automatically.
+3. Regenerate ``_CHECK_FIRST`` via ``python tools/rotation.py
+   --python`` after the last plan edit of the round.
+
+Usage:
+    python tools/fingerprints.py --bank     # absorb new greens
+    python tools/fingerprints.py --report   # list changed names
+"""
+
+from __future__ import annotations
+
+import hashlib
+import inspect
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BANK_PATH = os.path.join(REPO, "tools", "fingerprint_bank.json")
+
+
+def _entry_module():
+    sys.path.insert(0, REPO)
+    import __spark_entry__ as entry_mod
+
+    return entry_mod
+
+
+def compute_fingerprints(entry_mod=None) -> dict[str, str]:
+    """name -> sha256 over (plan callable source + oracle SQL)."""
+    m = _entry_module() if entry_mod is None else entry_mod
+    oracles = m._ORACLE
+    out: dict[str, str] = {}
+    for name, fn in m._RAW_QUERIES.items():
+        src = inspect.getsource(fn)
+        sql = oracles.get(name, "")
+        out[name] = hashlib.sha256(
+            src.encode() + b"\x00" + sql.encode()
+        ).hexdigest()
+    return out
+
+
+def load_bank(path: str = BANK_PATH) -> dict[str, dict]:
+    if not os.path.exists(path):
+        return {}
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def save_bank(bank: dict[str, dict], path: str = BANK_PATH) -> None:
+    with open(path, "w") as fh:
+        json.dump(dict(sorted(bank.items())), fh, indent=1, sort_keys=True)
+        fh.write("\n")
+
+
+def changed_since_green(
+    greens: dict[str, int],
+    fingerprints: dict[str, str] | None = None,
+    bank: dict[str, dict] | None = None,
+) -> set[str]:
+    """Names with a green row whose banked fingerprint is null, absent,
+    or different from the current source — i.e. the green certifies
+    code that is no longer what ships."""
+    fps = compute_fingerprints() if fingerprints is None else fingerprints
+    bank = load_bank() if bank is None else bank
+    changed: set[str] = set()
+    for name in greens:
+        row = bank.get(name)
+        if row is None or row.get("fp") is None or row["fp"] != fps.get(name):
+            changed.add(name)
+    return changed
+
+
+def bank_greens(
+    greens: dict[str, int],
+    fingerprints: dict[str, str] | None = None,
+    path: str = BANK_PATH,
+) -> list[str]:
+    """Record the current fingerprint for every query whose latest
+    green round is newer than its banked one (run at round start,
+    before any edits). Returns the updated names."""
+    fps = compute_fingerprints() if fingerprints is None else fingerprints
+    bank = load_bank(path)
+    updated = []
+    for name, rnd in greens.items():
+        row = bank.get(name)
+        if row is None or rnd > row.get("green", 0):
+            bank[name] = {"fp": fps[name], "green": rnd}
+            updated.append(name)
+    # Drop entries for names no longer in the registry.
+    for name in list(bank):
+        if name not in fps:
+            del bank[name]
+            updated.append(f"-{name}")
+    if updated:
+        save_bank(bank, path)
+    return updated
+
+
+def main() -> None:
+    from rotation import latest_green  # sibling module
+
+    greens = latest_green()
+    if "--bank" in sys.argv:
+        updated = bank_greens(greens)
+        print(f"banked {len(updated)} entries: {updated}")
+        return
+    changed = sorted(changed_since_green(greens))
+    print(f"changed since green ({len(changed)}):")
+    for name in changed:
+        print(f"  {name}")
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    main()

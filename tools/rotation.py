@@ -10,16 +10,19 @@ computes the 50-name window from the actual ``CORRECTNESS_r*.json``
 history, and ``tests/test_contract_hygiene.py`` pins ``_CHECK_FIRST``
 to its output so the two can never drift.
 
-Policy (round-5 verdict, "Next round: do this" items 1 and 6):
+Policy (round-6 verdict, "Next round: do this" items 1 and 3):
 
-1. NEVER-CHECKED queries (no green driver row in any round) outrank
-   every stale green. Among them, the verdict's named highest-stakes
-   queries come first (``PRIORITY``); the rest follow in registry
-   order.
-2. Queries whose plan or oracle CHANGED after their latest green row
-   (``CHANGED_SINCE_GREEN``, hand-updated when editing a green query)
-   come next, in registry order — their old green no longer certifies
-   the shipped code.
+1. CHANGED-SINCE-GREEN queries come FIRST — their old green row
+   certifies code that is no longer on disk, the worst kind of stale
+   signal. The set is MECHANIZED (round-6 verdict item 3 / ADVICE):
+   ``tools/fingerprints.py`` hashes each query's plan source + oracle
+   SQL against the fingerprint its latest green row certified
+   (``tools/fingerprint_bank.json``); editing a green query's plan or
+   oracle auto-promotes it here with no manual step. Registry order
+   within the set.
+2. NEVER-CHECKED queries (no green driver row in any round) come
+   next. Among them, the verdict's named highest-stakes queries come
+   first (``PRIORITY``); the rest follow in registry order.
 3. Remaining slots go to stale greens, oldest round first (ties in
    registry order).
 
@@ -45,37 +48,6 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 #: Driver gate width: CORRECTNESS_r{N}.json rows per round.
 WINDOW = 50
-
-#: Queries whose plan or oracle text changed AFTER their latest green
-#: driver row — hand-append when editing a green query (the pinned
-#: hygiene test keeps _CHECK_FIRST synced to the resulting order).
-#: Round 6 edits: the rollup/cube/grouping-sets empty-input HAVING
-#: guards, the time-to-convert / fisher / fingerprints oracle
-#: coalesces, the incremental-dedup source guard, the three
-#: filesystem-fact boolean redefinitions, the Spearman grid knob, the
-#: checksum mod-after-sum, and the documents rules added to the data
-#: contract. Entries that are ALSO never-checked are harmless (the
-#: never-checked rank dominates).
-CHANGED_SINCE_GREEN = (
-    "agg_rollup_nation_segment",
-    "agg_cube_flag_status",
-    "agg_grouping_sets",
-    "agg_spearman_rho",
-    "dedup_incremental",
-    "text_fingerprints",
-    "events_time_to_convert",
-    "io_binary_manifest",
-    "io_small_file_compaction",
-    "validate_data_contract",
-    "agg_fisher_exact",
-    "graph_community_modularity",
-    "validate_table_checksum",
-    "io_codec_tradeoff",
-    "ml_pinball_quantile_eval",
-    "text_token_stats",
-    "text_quality_score",
-    "text_language_id",
-)
 
 #: Hand-pinned head for NEVER-CHECKED queries only (round-5 verdict's
 #: highest-stakes list, in its order). Never-checked names absent from
@@ -150,21 +122,30 @@ def compute_check_first(
 ) -> tuple[str, ...]:
     names = registry_names() if names is None else list(names)
     greens = latest_green(rounds=rounds) if greens is None else greens
+    changed_set = changed_since_green_set(greens)
     pos = {n: i for i, n in enumerate(names)}
     prio = {n: i for i, n in enumerate(PRIORITY)}
+    changed = sorted(
+        (n for n in names if n in greens and n in changed_set),
+        key=lambda n: pos[n],
+    )
     never = sorted(
         (n for n in names if n not in greens),
         key=lambda n: (prio.get(n, len(PRIORITY)), pos[n]),
     )
-    changed = sorted(
-        (n for n in names if n in greens and n in set(CHANGED_SINCE_GREEN)),
-        key=lambda n: pos[n],
-    )
     stale = sorted(
-        (n for n in names if n in greens and n not in set(CHANGED_SINCE_GREEN)),
+        (n for n in names if n in greens and n not in changed_set),
         key=lambda n: (greens[n], pos[n]),
     )
-    return tuple((never + changed + stale)[:window])
+    return tuple((changed + never + stale)[:window])
+
+
+def changed_since_green_set(greens: dict[str, int]) -> set[str]:
+    """Mechanized CHANGED_SINCE_GREEN via tools/fingerprints.py."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import fingerprints
+
+    return fingerprints.changed_since_green(greens)
 
 
 def main() -> None:
@@ -176,8 +157,10 @@ def main() -> None:
         for n in names:
             if n in greens:
                 by_round[greens[n]] = by_round.get(greens[n], 0) + 1
+        changed = sorted(changed_since_green_set(greens))
         print(f"registry: {len(names)} queries")
         print(f"never driver-checked: {len(never)}")
+        print(f"changed since green: {len(changed)} {changed}")
         for rnd in sorted(by_round):
             print(f"latest green r{rnd:02d}: {by_round[rnd]}")
         window = compute_check_first(names=names, greens=greens)
