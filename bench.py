@@ -142,7 +142,9 @@ def main() -> None:
     fp_measured = round((fp_start + fp_end) / 2, 4)
     normalized_value = None
     vs_best_prior: dict[str, float] = {}
+    vs_best_prior_fp: dict[str, float] = {}
     regressions: dict[str, float] = {}
+    scale_disagree = None
     baseline_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json"
     )
@@ -177,7 +179,18 @@ def main() -> None:
             prior = baseline["queries"].get(name)
             if prior:
                 vs_best_prior[name] = round(sec * scale / prior, 2)
+                vs_best_prior_fp[name] = round(sec * fp_scale / prior, 2)
         regressions = {n: r for n, r in vs_best_prior.items() if r > 2.0}
+        # min(fp, agg) scaling absorbs a FLEET-WIDE slowdown into the
+        # aggregate denominator (round-6 ADVICE): a uniform 3x code
+        # regression inflates agg_scale and every ratio still reads
+        # ~1.0. Surface that blind spot: when the two host-scale
+        # estimates disagree by more than 25%, flag it on the printed
+        # line so the round's bench gets a manual look, and always
+        # record the raw fp-scaled ratios in bench_full.json where a
+        # broad slowdown remains visible.
+        if max(fp_scale, agg_scale) / min(fp_scale, agg_scale) > 1.25:
+            scale_disagree = round(fp_scale / agg_scale, 2)
 
     # Full detail goes to a FILE (the driver's stdout capture keeps only
     # the last 2000 characters — verified in BENCH_r01/r02, where the
@@ -200,7 +213,9 @@ def main() -> None:
                 "normalized_value": normalized_value,
                 "host_scale_fp": fp_scale,
                 "host_scale_agg": agg_scale,
+                "host_scale_disagreement": scale_disagree,
                 "vs_best_prior": vs_best_prior,
+                "vs_best_prior_fp_scaled": vs_best_prior_fp,
                 "regressions_gt_2x": regressions,
                 "stream_stream_left_outer_replay_floor_sec": _SSLO_REPLAY_FLOOR_SEC,
                 "caches_released": released,
@@ -229,6 +244,7 @@ def main() -> None:
         "cpu_fp_sec": fp_measured,
         "normalized_value": normalized_value,
         "n_regressed_gt_2x": len(regressions),
+        "scale_disagree": scale_disagree,
         # worst normalized ratios vs the best prior round, capped so the
         # headline per-query timings still fit the driver's tail window
         "vs_best_prior": dict(

@@ -71,6 +71,10 @@ GROUP BY 1
 _FRAGMENT_FILES = 64
 _TARGET_FILES = 4
 
+#: Below this many rows a parquet file is fixed overhead, not payload,
+#: and codec-size comparisons are undefined (NULL) rather than true.
+_MIN_MEANINGFUL_ROWS = 512
+
 
 def io_small_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write lineitem fragmented into 64 tiny files (the shape a
@@ -102,19 +106,24 @@ def io_small_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     nf_frag, nf_comp = n_files(frag), n_files(compacted)
     back = spark.read.parquet(compacted)
-    # "reduced OR nothing to compact": on degenerate inputs the
-    # fragment step can only produce <= _TARGET_FILES files (Spark
-    # skips empty write partitions), and compacting 1 file to 1 file
-    # is correct behavior, not a failed compaction — the single-row
-    # parity net pinned this definition
-    files_reduced = nf_comp < nf_frag or nf_frag <= _TARGET_FILES
+    # Three-state fact (round-6 ADVICE): when the fragment step itself
+    # produced <= _TARGET_FILES files (degenerate input — Spark skips
+    # empty write partitions) there was nothing to compact, so the
+    # claim "compaction reduced the file count" is UNDEFINED, not
+    # vacuously true: emit NULL. Above that threshold the boolean is
+    # the real measured comparison, so a compactor regression turns
+    # the driver row red instead of being absorbed by a hardcoded
+    # TRUE. The oracle mirrors the regime switch through the row
+    # count: nf_frag = min(64, n_rows) for a single-input-partition
+    # fixture, so nf_frag <= 4 iff n_rows <= 4.
+    files_reduced = None if nf_frag <= _TARGET_FILES else nf_comp < nf_frag
     return back.groupBy("l_returnflag").agg(
         F.count("*").alias("n_rows"),
         F.sum("price_cents").alias("price_cents"),
         F.countDistinct("l_orderkey").alias("n_orders"),
     ).select(
         "*",
-        F.lit(files_reduced).alias("files_reduced"),
+        F.lit(files_reduced).cast("boolean").alias("files_reduced"),
         F.lit(nf_comp <= _TARGET_FILES).alias("at_target_file_count"),
     )
 
@@ -125,7 +134,8 @@ SELECT l_returnflag,
        CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
          AS price_cents,
        CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
-       TRUE AS files_reduced,
+       CASE WHEN (SELECT COUNT(*) FROM lineitem) <= 4 THEN NULL
+            ELSE TRUE END AS files_reduced,
        TRUE AS at_target_file_count
 FROM lineitem
 GROUP BY 1
@@ -231,9 +241,11 @@ def io_codec_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderpriority", "o_totalprice"
     )
     sizes = {}
+    paths = {}
     frames = []
     for codec in ("snappy", "zstd"):
         path = _tmp(f"codec_{codec}", sf_dir)
+        paths[codec] = path
         orders.write.mode("overwrite").option("compression", codec).parquet(
             path
         )
@@ -251,14 +263,32 @@ def io_codec_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .withColumn("codec", F.lit(codec))
         )
-    # below ~one parquet page of payload the comparison is all
-    # fixed-size footer/header overhead, not codec efficiency — the
-    # claim "zstd packs tighter" is only defined once there is
-    # something to pack (single-row parity net)
-    _MIN_MEANINGFUL_BYTES = 4096
+    # Three-state fact (round-6 ADVICE): below a few hundred rows the
+    # file is mostly fixed-size footer/header overhead and "zstd packs
+    # tighter" is UNDEFINED — emit NULL rather than a vacuous TRUE. At
+    # and above the threshold the column is the real byte comparison,
+    # so a codec regression (zstd NOT smaller) turns the driver row
+    # red. The row count comes from the written files' parquet footers
+    # (driver-side metadata, no extra Spark scan) so the oracle can
+    # mirror the regime switch with COUNT(*) — measured: 512 rows of
+    # this 3-column slice is ~10+ KiB under snappy, far past overhead
+    # dominance, and zstd is ~3x smaller at every driver scale.
+    import pyarrow.parquet as papq
+
+    total_rows = sum(
+        papq.read_metadata(os.path.join(paths["snappy"], f)).num_rows
+        for f in os.listdir(paths["snappy"])
+        if f.endswith(".parquet")
+    )
     zstd_smaller = (
-        sizes["zstd"] < sizes["snappy"]
-        or sizes["snappy"] < _MIN_MEANINGFUL_BYTES
+        None
+        if total_rows < _MIN_MEANINGFUL_ROWS
+        else sizes["zstd"] < sizes["snappy"]
+    )
+    snappy_smaller = (
+        None
+        if total_rows < _MIN_MEANINGFUL_ROWS
+        else sizes["snappy"] < sizes["zstd"]
     )
     return (
         frames[0].unionByName(frames[1])
@@ -267,7 +297,9 @@ def io_codec_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderpriority",
             F.col("n_orders").cast("bigint").alias("n_orders"),
             F.col("revenue_cents").cast("bigint").alias("revenue_cents"),
-            (F.lit(zstd_smaller) & (F.col("codec") == "zstd"))
+            F.when(F.col("codec") == "zstd",
+                   F.lit(zstd_smaller).cast("boolean"))
+            .otherwise(F.lit(snappy_smaller).cast("boolean"))
             .alias("smaller_file"),
         )
         .orderBy("codec", "o_orderpriority")
@@ -280,7 +312,8 @@ SELECT c.codec,
        COUNT(*) AS n_orders,
        CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
          AS revenue_cents,
-       c.codec = 'zstd' AS smaller_file
+       CASE WHEN (SELECT COUNT(*) FROM orders) < 512 THEN NULL
+            ELSE c.codec = 'zstd' END AS smaller_file
 FROM orders CROSS JOIN (VALUES ('snappy'), ('zstd')) AS c(codec)
 GROUP BY c.codec, o_orderpriority
 ORDER BY c.codec, o_orderpriority

@@ -176,6 +176,7 @@ SELECT r.r_name AS region,
        CAST(deg_w AS BIGINT) AS deg_w,
        CASE WHEN contrib_num >  CAST(9223372036854775807 AS DECIMAL(38,0))
               OR contrib_num < CAST(-9223372036854775807 AS DECIMAL(38,0))
+                               - CAST(1 AS DECIMAL(38,0))
             THEN CAST({err}('graph_community_modularity: contrib_num exceeds BIGINT')
                       AS BIGINT)
             ELSE CAST(contrib_num AS BIGINT) END AS contrib_num,
