@@ -31,10 +31,16 @@ from .io_plans import _tmp
 # Mann-Whitney U
 # ---------------------------------------------------------------------------
 
+# Score-grid quantization knob — see relational30._SCORE_GRID_CENTS
+# (the `_SPEAR_GRID_CENTS` pattern on the events-cents rank keys).
+# 1 = exact cents, bit-identical default; coarser values rank on the
+# grid, symmetrically in plan and oracle.
+_SCORE_GRID_CENTS = 1
+
 _MW_CORE = """
 WITH vals AS (
   SELECT CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END AS arm,
-         CAST(round(value * 100) AS BIGINT) AS v
+         CAST(round(value * 100) AS BIGINT) {idiv} {grid} AS v
   FROM {events} WHERE event_type = 'purchase'
 ), pv AS (
   SELECT v,
@@ -82,11 +88,13 @@ def agg_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r24_mw_events"
     )
     return spark.sql(
-        _MW_CORE.format(events="r24_mw_events", big="DECIMAL(38,0)")
+        _MW_CORE.format(events="r24_mw_events", big="DECIMAL(38,0)",
+                        idiv="DIV", grid=_SCORE_GRID_CENTS)
     )
 
 
-_MW_DUCK = _MW_CORE.format(events="events", big="HUGEINT")
+_MW_DUCK = _MW_CORE.format(events="events", big="HUGEINT", idiv="//",
+                           grid=_SCORE_GRID_CENTS)
 
 
 # ---------------------------------------------------------------------------

@@ -31,9 +31,20 @@ from ..sources.readers import load_table
 # Exact ROC AUC (rank-sum identity)
 # ---------------------------------------------------------------------------
 
+# Quantization knob for the score rank key — the `_SPEAR_GRID_CENTS`
+# pattern (relational26.py) applied to the events-cents family
+# (round-6 verdict item 5). 1 = exact cents: bit-identical to the
+# un-knobbed plan, the fixture-scale default. The distinct-cents
+# relation saturates with the VALUE DOMAIN (~1e5-1e6 cells, measured
+# in SCALE.md "midrank machinery"), so the knob is only needed when a
+# deployment feeds genuinely continuous scores — set e.g. 100 and AUC
+# becomes AUC-on-the-grid, identically in plan and oracle because both
+# render from this one template.
+_SCORE_GRID_CENTS = 1
+
 _AUC_CORE = """
 WITH v AS (
-  SELECT CAST(round(value * 100) AS BIGINT) AS s,
+  SELECT CAST(round(value * 100) AS BIGINT) {idiv} {grid} AS s,
          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
   FROM {events}
 ), cnt AS (
@@ -69,11 +80,12 @@ def ml_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return spark.sql(
         _AUC_CORE.format(events="r30_auc_events", big="DECIMAL(38,0)",
-                         idiv="DIV")
+                         idiv="DIV", grid=_SCORE_GRID_CENTS)
     )
 
 
-_AUC_DUCK = _AUC_CORE.format(events="events", big="HUGEINT", idiv="//")
+_AUC_DUCK = _AUC_CORE.format(events="events", big="HUGEINT", idiv="//",
+                             grid=_SCORE_GRID_CENTS)
 
 
 # ---------------------------------------------------------------------------

@@ -39,9 +39,15 @@ from ..sources.readers import load_table
 # Exact average precision (PR-AUC)
 # ---------------------------------------------------------------------------
 
+# Score-grid quantization knob — see relational30._SCORE_GRID_CENTS
+# (the `_SPEAR_GRID_CENTS` pattern on the events-cents rank keys).
+# 1 = exact cents, bit-identical default; coarser values make AP
+# AP-on-the-grid symmetrically in plan and oracle.
+_SCORE_GRID_CENTS = 1
+
 _AP_CORE = """
 WITH v AS (
-  SELECT CAST(round(value * 100) AS BIGINT) AS s,
+  SELECT CAST(round(value * 100) AS BIGINT) {idiv} {grid} AS s,
          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
   FROM {events}
 ), cnt AS (
@@ -80,11 +86,12 @@ def ml_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return spark.sql(
         _AP_CORE.format(events="r34_ap_events", big="DECIMAL(38,0)",
-                        idiv="DIV")
+                        idiv="DIV", grid=_SCORE_GRID_CENTS)
     )
 
 
-_AP_DUCK = _AP_CORE.format(events="events", big="HUGEINT", idiv="//")
+_AP_DUCK = _AP_CORE.format(events="events", big="HUGEINT", idiv="//",
+                           grid=_SCORE_GRID_CENTS)
 
 
 # ---------------------------------------------------------------------------

@@ -338,9 +338,15 @@ _ISO_DUCK = _ISO_CORE.format(
 # Youden-optimal threshold
 # ---------------------------------------------------------------------------
 
+# Score-grid quantization knob — see relational30._SCORE_GRID_CENTS
+# (the `_SPEAR_GRID_CENTS` pattern on the events-cents rank keys).
+# 1 = exact cents, bit-identical default; coarser values sweep
+# thresholds on the grid, symmetrically in plan and oracle.
+_SCORE_GRID_CENTS = 1
+
 _YOUDEN_CORE = """
 WITH v AS (
-  SELECT CAST(round(value * 100) AS BIGINT) AS s,
+  SELECT CAST(round(value * 100) AS BIGINT) {idiv} {grid} AS s,
          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
   FROM {events}
 ), grid AS (
@@ -381,10 +387,14 @@ def ml_threshold_youden(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView(
         "r55_yj_events"
     )
-    return spark.sql(_YOUDEN_CORE.format(events="r55_yj_events", idiv="DIV"))
+    return spark.sql(
+        _YOUDEN_CORE.format(events="r55_yj_events", idiv="DIV",
+                            grid=_SCORE_GRID_CENTS)
+    )
 
 
-_YOUDEN_DUCK = _YOUDEN_CORE.format(events="events", idiv="//")
+_YOUDEN_DUCK = _YOUDEN_CORE.format(events="events", idiv="//",
+                                   grid=_SCORE_GRID_CENTS)
 
 
 QUERIES = {

@@ -91,6 +91,81 @@ def test_fisher_tie_epsilon_separates_at_large_marginals(n, r1, c1):
         assert float_extreme == exact_extreme, (k_obs, n, r1, c1)
 
 
+# ---------------------------------------------------------------------------
+# Score-grid knob symmetry (round-6 verdict item 5): the events-cents
+# rank-key family now carries the same explicit quantization knob as
+# agg_spearman_rho's price axis. The default (1) is pinned
+# bit-identical by the oracle-parity suite; here we pin the OTHER half
+# of the contract — a coarse grid produces identical results from the
+# Spark plan and the DuckDB oracle because both render from one shared
+# template. grid=7 is deliberately awkward (not a divisor of any round
+# domain) to surface any engine asymmetry in integer division.
+# ---------------------------------------------------------------------------
+
+_COARSE_GRID = 7
+
+
+def _grid_cases():
+    from boat_etl_pyspark_spark.plans import (
+        relational24,
+        relational30,
+        relational34,
+        relational55,
+    )
+
+    return [
+        (
+            "ml_roc_auc",
+            relational30._AUC_CORE,
+            {"big": "DECIMAL(38,0)", "idiv": "DIV"},
+            {"big": "HUGEINT", "idiv": "//"},
+        ),
+        (
+            "ml_pr_auc",
+            relational34._AP_CORE,
+            {"big": "DECIMAL(38,0)", "idiv": "DIV"},
+            {"big": "HUGEINT", "idiv": "//"},
+        ),
+        (
+            "ml_threshold_youden",
+            relational55._YOUDEN_CORE,
+            {"idiv": "DIV"},
+            {"idiv": "//"},
+        ),
+        (
+            "agg_mann_whitney_u",
+            relational24._MW_CORE,
+            {"big": "DECIMAL(38,0)", "idiv": "DIV"},
+            {"big": "HUGEINT", "idiv": "//"},
+        ),
+    ]
+
+
+@pytest.mark.parametrize("idx", range(4))
+def test_score_grid_knob_is_engine_symmetric(spark, oracle, idx):
+    from boat_etl_pyspark_spark.sources.readers import load_table
+    from tests.conftest import SF_SMOKE
+    from tests.test_oracle_parity import frames_equal
+
+    name, core, spark_fmt, duck_fmt = _grid_cases()[idx]
+    view = f"r7_grid_{name}"
+    load_table(spark, SF_SMOKE, "events").createOrReplaceTempView(view)
+    spark_pd = spark.sql(
+        core.format(events=view, grid=_COARSE_GRID, **spark_fmt)
+    ).toPandas()
+    con = oracle(SF_SMOKE)
+    duck_pd = con.execute(
+        core.format(events="events", grid=_COARSE_GRID, **duck_fmt)
+    ).fetchdf()
+    problems = frames_equal(spark_pd, duck_pd)
+    assert not problems, f"{name} grid={_COARSE_GRID}: " + "; ".join(problems)
+    # and the coarse grid genuinely quantized (fewer distinct scores),
+    # so the test cannot pass vacuously on an unused placeholder
+    assert "{grid}" not in core.format(
+        events="events", grid=_COARSE_GRID, **duck_fmt
+    )
+
+
 def _modularity_guard_case() -> str:
     """The shipped CASE expression, extracted from the template so the
     test exercises the exact SQL that runs in production."""
