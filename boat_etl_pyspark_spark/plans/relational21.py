@@ -197,7 +197,7 @@ def sim_batch_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HEAPS_SPARK = """
 WITH w AS (
   SELECT doc_id, filter(split(text, ' '), x -> x != '') AS words
-  FROM {docs}
+  FROM {docs} WHERE text IS NOT NULL
 ), bounds AS (
   SELECT MIN(doc_id) AS lo, MAX(doc_id) + 1 AS hi FROM w
 ), tok AS (
@@ -226,7 +226,7 @@ FROM db LEFT JOIN fb ON db.b = fb.b
 _HEAPS_DUCK = """
 WITH w AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS words
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ), bounds AS (
   SELECT MIN(doc_id) AS lo, MAX(doc_id) + 1 AS hi FROM w
 ), tok AS (

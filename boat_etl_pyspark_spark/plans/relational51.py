@@ -83,6 +83,7 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
                size(regexp_extract_all(text, '{_TOKEN_RE}', 0)) AS bpeish,
                length(text) AS chars
         FROM r51_fert_docs
+        WHERE text IS NOT NULL
         """
     ).createOrReplaceTempView("r51_fert_per_doc")
     return spark.sql(
@@ -98,6 +99,7 @@ _FERTILITY_DUCK = _FERTILITY_CORE.format(
          len(regexp_extract_all(text, '{_TOKEN_RE}')) AS bpeish,
          length(text) AS chars
   FROM documents
+  WHERE text IS NOT NULL
 )"""
     ),
     idiv="//",

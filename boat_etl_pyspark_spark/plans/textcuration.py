@@ -146,7 +146,9 @@ def text_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate remover. The shuffle key is md5(chunk), 32 bytes, never
     the text; the first-occurrence choice is one window over the hash
     partition. Per-doc output: chunks kept vs dropped."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
     chunks = docs.select(
         "doc_id",
         F.posexplode(
@@ -168,6 +170,7 @@ def text_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CHUNK_DEDUP_SQL = f"""
 WITH w AS (
   SELECT doc_id, string_split(text, ' ') AS words FROM documents
+  WHERE text IS NOT NULL
 ), c AS (
   SELECT doc_id, i AS chunk_idx,
          md5(array_to_string(
@@ -389,7 +392,9 @@ def text_symbol_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     of tokens. Pure regexp_count projections — codegen, no shuffle.
     High symbol or digit share flags markup/tables/code; low alpha-word
     share flags delimiter soup."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
     counted = docs.select(
         "doc_id",
         F.regexp_count(F.col("text"), F.lit(r"[0-9]"))
@@ -433,6 +438,7 @@ SELECT doc_id,
        CAST(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS BIGINT)
             * 1000000 // length(text) AS BIGINT) AS symbol_ppm
 FROM documents
+WHERE text IS NOT NULL
 """
 
 

@@ -745,7 +745,8 @@ def text_stopword_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
                concat_ws(' ', kept) AS clean_text
         FROM (
           SELECT doc_id, t, filter(t, x -> x NOT IN {_STOPWORDS}) AS kept
-          FROM (SELECT doc_id, split(text, ' ') AS t FROM {docs})
+          FROM (SELECT doc_id, split(text, ' ') AS t FROM {docs}
+                WHERE text IS NOT NULL)
         )
         """
     )
@@ -757,7 +758,8 @@ SELECT doc_id,
        array_to_string(kept, ' ') AS clean_text
 FROM (
   SELECT doc_id, t, list_filter(t, x -> x NOT IN {_STOPWORDS}) AS kept
-  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        WHERE text IS NOT NULL)
 )
 """
 

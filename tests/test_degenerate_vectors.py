@@ -242,18 +242,43 @@ def test_event_query_parity_on_tied_timestamps(
 # ---------------------------------------------------------------------------
 
 _NULL_DOC_QUERIES = (
+    # The full tokenizing family (mirrors _DEGENERATE_TEXT_QUERIES in
+    # test_empty_inputs.py) so NULL-ingest semantics are pinned
+    # uniformly, not just on the four queries the round-6 net caught.
+    "text_boilerplate_strip",
+    "text_unigram_surprisal",
+    "text_readability",
+    "text_entropy_per_source",
+    "text_bigram_perplexity",
+    "text_heaps_law",
     "text_token_stats",
     "text_quality_score",
+    "text_mattr",
+    "text_chunking",
+    "text_stopword_removal",
+    "text_tfidf_top_terms",
+    "text_keyword_spans",
     "text_language_id",
     "text_fingerprints",
+    "text_pii_redaction",
+    "text_repetition_stats",
+    "text_chunk_dedup",
+    "text_normalize_unicode",
+    "text_vocab_stats",
+    "text_symbol_stats",
+    "text_bigram_rarity",
+    "text_bpe_pair_stats",
+    "text_source_divergence",
+    "text_zipf_fit",
+    "text_dup_ngram_fraction",
+    "text_pmi_collocations",
+    "text_tokenizer_fertility",
+    "text_keyness_llr",
+    # Non-tokenizing consumers of the documents table that must agree
+    # on NULL-row semantics as well.
     "dedup_exact",
     "dedup_minhash_lsh",
-    "text_boilerplate_strip",
-    "text_tfidf_top_terms",
-    "text_vocab_stats",
     "curate_semdedup",
-    "text_normalize_unicode",
-    "text_chunking",
     "validate_data_contract",
 )
 
