@@ -200,3 +200,18 @@ def test_fingerprint_bank_covers_every_green():
         assert row["fp"] is None or (
             isinstance(row["fp"], str) and len(row["fp"]) == 64
         ), f"malformed fingerprint for {name}: {row}"
+
+
+def test_null_docs_net_covers_the_tokenizing_net():
+    """The NULL-documents parity net must cover every query in the
+    degenerate-text (tokenizing) net: a future tokenizing query added
+    to one list but not the other would reintroduce the
+    incidentally-agreeing NULL-semantics gap the round-7 widening
+    closed (it caught five divergences the 13-query net missed)."""
+    from tests.test_degenerate_vectors import _NULL_DOC_QUERIES
+    from tests.test_empty_inputs import _DEGENERATE_TEXT_QUERIES
+
+    missing = set(_DEGENERATE_TEXT_QUERIES) - set(_NULL_DOC_QUERIES)
+    assert not missing, (
+        f"tokenizing queries absent from the NULL-docs net: {sorted(missing)}"
+    )
