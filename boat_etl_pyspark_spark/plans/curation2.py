@@ -37,7 +37,14 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     event_id in both engines), then a global (prev, next) count —
     map-side combined, 25 output rows. Probabilities are integer ppm
     of each prev-state's outgoing total."""
-    ev = load_table(spark, sf_dir, "events")
+    # NULL ts meets opposite window-ORDER-BY defaults across engines
+    # and a NULL event_type would mint a phantom chain state — dropped
+    # symmetrically with the oracle.
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     pairs = (
         ev.withColumn("prev_event", F.lag("event_type").over(w))
@@ -64,6 +71,8 @@ WITH pairs AS (
            LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
              AS prev_event
     FROM events
+    WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      AND event_type IS NOT NULL
   )
   WHERE prev_event IS NOT NULL
   GROUP BY 1, 2

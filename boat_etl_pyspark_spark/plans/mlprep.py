@@ -49,6 +49,8 @@ WITH q AS (
          transform(embedding,
                    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
   FROM {emb}
+  WHERE embedding IS NOT NULL
+    AND NOT exists(embedding, x -> x IS NULL)
 ), e AS (
   SELECT vec_id, posexplode(qv) AS (pos, val) FROM q
 ), c0 AS (
@@ -94,6 +96,8 @@ WITH q AS (
                         x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))
            AS qv
   FROM embeddings
+  WHERE embedding IS NOT NULL
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0
 ), e AS (
   SELECT vec_id, i AS pos, CAST(qv[i] AS BIGINT) AS val
   FROM q, (SELECT unnest(range(1, 65)) AS i)
@@ -161,7 +165,10 @@ def embed_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd  # noqa: PLC0415 — worker-side import kept local
 
     d = _GRAM_DIMS
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+        & ~F.expr("exists(embedding, x -> x IS NULL)")
+    )
     q = emb.select(
         F.expr(
             "transform(slice(embedding, 1, 16), "
@@ -196,6 +203,8 @@ WITH q AS (
                         x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))
            AS qv
   FROM embeddings
+  WHERE embedding IS NOT NULL
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0
 )
 SELECT CAST(i - 1 AS BIGINT) AS i, CAST(j - 1 AS BIGINT) AS j,
        CAST(SUM(CAST(qv[i] AS BIGINT) * CAST(qv[j] AS BIGINT)) AS BIGINT)
@@ -239,6 +248,8 @@ WITH q AS (
          transform(embedding,
                    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
   FROM {emb}
+  WHERE embedding IS NOT NULL
+    AND NOT exists(embedding, x -> x IS NULL)
 ), n AS (
   SELECT vec_id, qv,
          aggregate(zip_with(qv, qv, (x, y) -> x * y),
@@ -271,6 +282,8 @@ WITH q AS (
                         x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))
            AS qv
   FROM embeddings
+  WHERE embedding IS NOT NULL
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0
 ), n AS (
   SELECT vec_id, qv,
          CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS n2

@@ -268,6 +268,8 @@ WITH q AS (
          transform(embedding,
                    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
   FROM {emb}
+  WHERE embedding IS NOT NULL
+    AND NOT exists(embedding, x -> x IS NULL)
 ), e AS (
   SELECT vec_id, CAST(pos DIV 8 AS BIGINT) AS sub, pos, val
   FROM (SELECT vec_id, posexplode(qv) AS (pos, val) FROM q)
@@ -299,6 +301,8 @@ WITH q AS (
                         x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))
            AS qv
   FROM embeddings
+  WHERE embedding IS NOT NULL
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0
 ), e AS (
   SELECT vec_id, CAST((i - 1) // 8 AS BIGINT) AS sub, i AS pos,
          CAST(qv[i] AS BIGINT) AS val

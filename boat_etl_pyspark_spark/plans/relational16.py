@@ -298,6 +298,7 @@ WITH daily AS (
          date_format(date_trunc('day', ts), 'yyyy-MM-dd') AS day,
          COUNT(*) AS n
   FROM {events}
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL
   GROUP BY event_type, date_format(date_trunc('day', ts), 'yyyy-MM-dd')
 ), trail AS (
   SELECT event_type, day, n,
@@ -323,6 +324,7 @@ WITH daily AS (
          strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
          COUNT(*) AS n
   FROM events
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL
   GROUP BY event_type, strftime(date_trunc('day', ts), '%Y-%m-%d')
 ), trail AS (
   SELECT event_type, day, n,

@@ -164,7 +164,9 @@ _BOOT_DUCK = _boot_sql(
 _CUSUM_CORE = """
 WITH daily AS (
   SELECT event_type, CAST({epoch_day} AS BIGINT) AS d, COUNT(*) AS x
-  FROM {events} GROUP BY event_type, {epoch_day}
+  FROM {events}
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY event_type, {epoch_day}
 ), seq AS (
   SELECT event_type, d, x,
          ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS t,

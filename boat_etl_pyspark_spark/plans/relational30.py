@@ -47,6 +47,7 @@ WITH v AS (
   SELECT CAST(round(value * 100) AS BIGINT) {idiv} {grid} AS s,
          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
   FROM {events}
+  WHERE value IS NOT NULL
 ), cnt AS (
   SELECT s, SUM(y) AS cp, COUNT(*) AS ct FROM v GROUP BY s
 ), w AS (

@@ -177,10 +177,18 @@ def ml_lift_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     then the decile bucketing, cumulative gains ppm and lift milli are
     windows over the 10-row decile relation. Best scores land in
     decile 1."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id",
-        (-F.round(F.col("value") * 100).cast("bigint")).alias("neg_cents"),
-        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    # a NULL score can't be ranked (and sorts on opposite ends across
+    # engines) — scoreless rows are dropped symmetrically.
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "event_id",
+            (-F.round(F.col("value") * 100).cast("bigint")).alias("neg_cents"),
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("y"),
+        )
     )
     ranked = global_rank(ev, ["neg_cents", "event_id"])
     n_rel = ranked.agg(F.count("*").alias("n"))
@@ -222,6 +230,7 @@ WITH ranked AS (
                             event_id) AS rank,
          COUNT(*) OVER () AS n
   FROM events
+  WHERE value IS NOT NULL
 ), deciles AS (
   SELECT (rank - 1) * 10 // n + 1 AS decile,
          COUNT(*) AS n_events, SUM(y) AS n_pos

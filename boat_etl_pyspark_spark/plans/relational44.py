@@ -131,7 +131,14 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     convergence is checked, not assumed."""
     from . import track_persist
 
-    ev = load_table(spark, sf_dir, "events")
+    # NULL ts/user_id hit opposite window NULL-ordering defaults and a
+    # NULL event_type would mint a phantom chain state — dropped
+    # symmetrically with the oracle.
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     trans = (
         ev.withColumn("prev", F.lag("event_type").over(w))
@@ -153,6 +160,8 @@ WITH seq AS (
          LAG(event_type) OVER (PARTITION BY user_id
                                ORDER BY ts, event_id) AS prev
   FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    AND event_type IS NOT NULL
 ), tcount AS (
   SELECT prev, event_type AS next, COUNT(*) AS c
   FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2
@@ -202,12 +211,18 @@ def events_sprt_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     first crossing timestamps. The fixture's true rate (~0.198) sits
     between the hypotheses, so the expected outcome is 'no early
     stop' — which the numbers must PROVE, not presume."""
-    ev = load_table(spark, sf_dir, "events").select(
-        F.unix_micros("ts").alias("u"),
-        "event_id",
-        F.when(F.col("event_type") == "purchase", F.lit(_SPRT_L1))
-        .otherwise(F.lit(_SPRT_L0))
-        .alias("llr"),
+    # a NULL ts has no place on the sequential-time axis (and sorts on
+    # opposite ends of it across engines) — dropped symmetrically.
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull())
+        .select(
+            F.unix_micros("ts").alias("u"),
+            "event_id",
+            F.when(F.col("event_type") == "purchase", F.lit(_SPRT_L1))
+            .otherwise(F.lit(_SPRT_L0))
+            .alias("llr"),
+        )
     )
     cum = global_prefix_sum(
         ev, order_by=["u", "event_id"], value_col="llr", out_col="cum"
@@ -222,6 +237,7 @@ WITH base AS (
          CASE WHEN event_type = 'purchase' THEN {_SPRT_L1}
               ELSE {_SPRT_L0} END AS llr
   FROM events
+  WHERE ts IS NOT NULL
 ), c AS (
   SELECT u, llr,
          SUM(llr) OVER (ORDER BY u, event_id

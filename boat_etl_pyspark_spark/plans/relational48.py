@@ -150,7 +150,7 @@ WITH daily AS (
   SELECT ({epoch_us}) {idiv} 86400000000 AS d,
          SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS x,
          SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
-  FROM {events} GROUP BY 1
+  FROM {events} WHERE ts IS NOT NULL GROUP BY 1
 ), lagged AS (
   SELECT x, y,
          LAG(x) OVER (ORDER BY d) AS xp,

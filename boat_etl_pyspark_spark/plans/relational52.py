@@ -46,7 +46,7 @@ WITH users AS (
   SELECT user_id,
          CAST(user_id % 2 AS BIGINT) AS treated,
          MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
-  FROM {events} GROUP BY user_id
+  FROM {events} WHERE user_id IS NOT NULL GROUP BY user_id
 ), scored AS (
   SELECT treated, y,
          NTILE(10) OVER (ORDER BY md5(CAST(user_id AS {str})), user_id)

@@ -36,6 +36,8 @@ WITH seq AS (
          LAG(event_type) OVER (PARTITION BY user_id
                                ORDER BY ts, event_id) AS prev
   FROM {events}
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    AND event_type IS NOT NULL
 ), trans AS (
   SELECT prev, event_type AS next, COUNT(*) AS c
   FROM seq WHERE prev IS NOT NULL GROUP BY prev, event_type

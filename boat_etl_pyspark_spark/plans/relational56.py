@@ -135,7 +135,8 @@ _EWMA_MAXLAG = 62  # beyond 62 shifts a milli-scaled int64 term is 0
 _EWMACC_CORE = f"""
 WITH daily AS (
   SELECT {{epoch_us}} {{idiv}} 86400000000 AS d, COUNT(*) AS x
-  FROM {{events}} GROUP BY {{epoch_us}} {{idiv}} 86400000000
+  FROM {{events}} WHERE ts IS NOT NULL
+  GROUP BY {{epoch_us}} {{idiv}} 86400000000
 ), idx AS (
   SELECT x, ROW_NUMBER() OVER (ORDER BY d) AS i FROM daily
 ), stats AS (

@@ -39,11 +39,18 @@ _GAP_US = 6 * 3600 * 1_000_000
 
 
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id",
-        F.unix_micros("ts").alias("t_us"),
-        "event_id",
-        cents(F.col("value")).alias("value_cents"),
+    # ts drives window ORDER BY and user_id the partition key; a NULL
+    # in either meets opposite engine defaults (Spark NULLS FIRST asc,
+    # DuckDB NULLS LAST) — dropped symmetrically with the oracle.
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("t_us"),
+            "event_id",
+            cents(F.col("value")).alias("value_cents"),
+        )
     )
     w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
     flagged = ev.withColumn(
@@ -66,6 +73,7 @@ WITH e AS (
   SELECT user_id, epoch_us(ts) AS t_us, event_id,
          CAST(ROUND(value * 100) AS BIGINT) AS value_cents
   FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
 ),
 flagged AS (
   SELECT *,

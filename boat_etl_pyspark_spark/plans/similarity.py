@@ -34,18 +34,26 @@ def _emb_view(spark: SparkSession, sf_dir: str, name: str) -> str:
     return name
 
 
-# Spark + DuckDB fragments for vectors with norms attached.
+# Spark + DuckDB fragments for vectors with norms attached. A NULL
+# array or a NULL element has no geometry, and each engine invents its
+# own arithmetic for one (DuckDB's list_prepend turns a NULL list into
+# [0.0]; Spark's aggregate yields NULL) — both are excluded up front,
+# identically in both fragments.
 _SPARK_VECS = """
   SELECT vec_id, label, v,
          aggregate(v, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x) AS n2
-  FROM (SELECT vec_id, label, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM {emb})
+  FROM (SELECT vec_id, label, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM {emb}
+        WHERE embedding IS NOT NULL
+          AND NOT exists(embedding, x -> x IS NULL))
 """
 
 _DUCK_VECS = """
   SELECT vec_id, label, v,
          list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(v, x -> x * x)),
                      (acc, x) -> acc + x) AS n2
-  FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+  FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        WHERE embedding IS NOT NULL
+          AND len(list_filter(embedding, x -> x IS NULL)) = 0)
 """
 
 _SPARK_DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"

@@ -309,7 +309,16 @@ def sim_blocked_matmul_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast join against LSH buckets instead (sim_rp_lsh_buckets)."""
     import numpy as np
 
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # np.stack needs rectangular input: a NULL array or NULL element
+    # has no geometry and is dropped, symmetrically with the oracle.
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(
+            F.col("embedding").isNotNull()
+            & ~F.expr("exists(embedding, x -> x IS NULL)")
+        )
+        .select("vec_id", "embedding")
+    )
     q_rows = (
         emb.where(F.col("vec_id") < _MM_NQ)
         .orderBy("vec_id")
@@ -368,6 +377,8 @@ WITH s AS (
          list_transform(embedding,
            x -> CAST(FLOOR(CAST(x AS DOUBLE) * {_MM_SCALE} + 0.5) AS BIGINT)) AS iv
   FROM embeddings
+  WHERE embedding IS NOT NULL
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0
 ), q AS (
   SELECT * FROM s WHERE vec_id < {_MM_NQ}
 ), p AS (

@@ -1,0 +1,222 @@
+"""NULL-row parity nets for the events and embeddings tables — the
+round-7 extension of the NULL-documents net to the other two synthetic
+tables. A real 100 TB ingest WILL contain rows with NULL timestamps,
+NULL user ids, NULL metric values, NULL embedding arrays; each engine
+has its own defaults where those meet ORDER BY (Spark sorts NULLS
+FIRST ascending, DuckDB NULLS LAST), window frames, x/NULL arithmetic,
+and list HOFs — so any query that lets a NULL reach one of those
+surfaces without a pinned, symmetric rule diverges silently.
+
+The fixtures keep the REAL sf0.001 rows (realistic distributions keep
+funnels/windows producing output) and append a handful of NULL-bearing
+rows, one per nullable column plus an all-NULL payload row.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from tests.conftest import SF_SMOKE
+from tests.test_oracle_parity import frames_equal
+
+
+def _copy_sf(dst: str, skip: str) -> None:
+    for p in glob.glob(os.path.join(SF_SMOKE, "*.parquet")):
+        if os.path.basename(p) != skip:
+            shutil.copy(p, os.path.join(dst, os.path.basename(p)))
+
+
+# ---------------------------------------------------------------------------
+# NULL events: real sf0.001 events + six NULL-bearing rows.
+# ---------------------------------------------------------------------------
+
+_NULL_EVENT_QUERIES = (
+    # events family (all registry events_* names)
+    "events_ab_srm_check",
+    "events_ab_test_lift",
+    "events_bot_detection",
+    "events_burstiness",
+    "events_cuped_variance_reduction",
+    "events_dau_mau_stickiness",
+    "events_diff_in_diff",
+    "events_funnel_conversion",
+    "events_markov_entropy_rate",
+    "events_markov_stationary",
+    "events_markov_transitions",
+    "events_multitouch_attribution",
+    "events_pattern_vshape",
+    "events_rate_spike_zscore",
+    "events_rfm_segmentation",
+    "events_sessionize",
+    "events_sprt_ab_test",
+    "events_time_to_convert",
+    "events_uplift_qini",
+    "events_user_journey_paths",
+    # ts family (all read events)
+    "ts_circular_time_stats",
+    "ts_ewma_control_chart",
+    "ts_exponential_fit_ks",
+    "ts_extreme_value_gumbel",
+    "ts_hurst_exponent",
+    "ts_lead_lag_xcorr",
+    "ts_ohlc_bars",
+    "ts_periodogram",
+    "ts_seasonal_decompose",
+    "ts_weekday_seasonality",
+    # events-reading window queries (the tied-timestamp curation)
+    "window_rolling_24h_value",
+    "window_time_weighted_avg",
+    "window_cusum_changepoint",
+    "window_max_drawdown",
+    "window_hampel_outliers",
+    "window_ewma_spend",
+    "window_bollinger_bands",
+    "window_rsi_14",
+    "window_ulcer_index",
+    # score metrics built on events.value
+    "ml_roc_auc",
+    "ml_pr_auc",
+    "ml_threshold_youden",
+    "ml_confusion_threshold",
+    "ml_lift_gains_table",
+    "ml_calibration_bins",
+    "ml_calibration_ece",
+    "ml_logreg_quality",
+    "ml_brier_decomposition",
+    "agg_mann_whitney_u",
+)
+
+
+@pytest.fixture(scope="module")
+def null_events_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("sf_null_events"))
+    _copy_sf(d, skip="events.parquet")
+    real = pq.read_table(os.path.join(SF_SMOKE, "events.parquet"))
+    next_id = 10_000_000
+    base = np.datetime64("2024-02-15T09:30:00.000000", "us")
+    rows = {
+        "event_id": [],
+        "ts": [],
+        "user_id": [],
+        "event_type": [],
+        "value": [],
+        "props": [],
+    }
+
+    def add(ts, user_id, event_type, value, props):
+        nonlocal next_id
+        rows["event_id"].append(next_id)
+        rows["ts"].append(ts)
+        rows["user_id"].append(user_id)
+        rows["event_type"].append(event_type)
+        rows["value"].append(value)
+        rows["props"].append(props)
+        next_id += 1
+
+    add(None, 3, "view", 10.0, '{"k": 1}')        # NULL ts
+    add(base, None, "click", 5.0, '{"k": 1}')      # NULL user
+    add(base, 4, None, 7.5, '{"k": 1}')            # NULL type
+    add(base, 5, "purchase", None, '{"k": 1}')     # NULL value
+    add(base, 6, "view", 2.0, None)                # NULL props
+    add(None, None, None, None, None)              # all-NULL payload
+    extra = pa.table(
+        {
+            "event_id": pa.array(rows["event_id"], pa.int64()),
+            "ts": pa.array(rows["ts"], pa.timestamp("us")),
+            "user_id": pa.array(rows["user_id"], pa.int64()),
+            "event_type": pa.array(rows["event_type"], pa.string()),
+            "value": pa.array(rows["value"], pa.float64()),
+            "props": pa.array(rows["props"], pa.string()),
+        }
+    )
+    merged = pa.concat_tables([real.select(extra.column_names), extra])
+    pq.write_table(merged, os.path.join(d, "events.parquet"), version="2.6")
+    return d
+
+
+@pytest.mark.parametrize("name", _NULL_EVENT_QUERIES)
+def test_event_query_parity_on_null_rows(spark, oracle, null_events_dir, name):
+    import __spark_entry__ as m
+    from boat_etl_pyspark_spark.plans import release_caches
+
+    try:
+        spark_pd = m.queries()[name](spark, null_events_dir).toPandas()
+        con = oracle(null_events_dir)
+        oracle_pd = con.execute(m.oracle_sql()[name]).fetchdf()
+    finally:
+        release_caches(spark)
+    problems = frames_equal(spark_pd, oracle_pd)
+    assert not problems, f"{name}: " + "; ".join(problems)
+
+
+# ---------------------------------------------------------------------------
+# NULL embeddings: real sf0.001 embeddings + a NULL array row, a row
+# with a NULL element INSIDE the array, and a NULL label row.
+# ---------------------------------------------------------------------------
+
+_NULL_EMBED_QUERIES = (
+    "sim_bruteforce_topk",
+    "sim_ivf_topk",
+    "sim_rp_lsh_buckets",
+    "sim_norm_stats",
+    "sim_quantize_int8",
+    "sim_product_quantize",
+    "sim_blocked_matmul_topk",
+    "sim_batch_diversity",
+    "sim_mmr_diverse_topk",
+    "sim_ivf_recall_eval",
+    "curate_semdedup",
+    "embed_kmeans_lloyd",
+    "embed_gram_matrix",
+    "embed_centroid_drift",
+    "embed_isotropy_participation",
+    "ml_hard_negative_mining",
+)
+
+
+@pytest.fixture(scope="module")
+def null_embeddings_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("sf_null_embeddings"))
+    _copy_sf(d, skip="embeddings.parquet")
+    real = pq.read_table(os.path.join(SF_SMOKE, "embeddings.parquet"))
+    dims = len(real.column("embedding")[0].as_py())
+    rng = np.random.RandomState(11)
+    normal = [float(x) for x in rng.randn(dims).astype(np.float32)]
+    holed = list(normal)
+    holed[3] = None  # NULL element inside the array
+    extra = pa.table(
+        {
+            "vec_id": pa.array([10_000_000, 10_000_001, 10_000_002], pa.int64()),
+            "embedding": pa.array(
+                [None, holed, normal], pa.list_(pa.float32())
+            ),
+            "label": pa.array([1, 2, None], pa.int32()),
+        }
+    )
+    merged = pa.concat_tables([real.select(extra.column_names), extra])
+    pq.write_table(merged, os.path.join(d, "embeddings.parquet"), version="2.6")
+    return d
+
+
+@pytest.mark.parametrize("name", _NULL_EMBED_QUERIES)
+def test_embedding_query_parity_on_null_rows(
+    spark, oracle, null_embeddings_dir, name
+):
+    import __spark_entry__ as m
+    from boat_etl_pyspark_spark.plans import release_caches
+
+    try:
+        spark_pd = m.queries()[name](spark, null_embeddings_dir).toPandas()
+        con = oracle(null_embeddings_dir)
+        oracle_pd = con.execute(m.oracle_sql()[name]).fetchdf()
+    finally:
+        release_caches(spark)
+    problems = frames_equal(spark_pd, oracle_pd)
+    assert not problems, f"{name}: " + "; ".join(problems)
