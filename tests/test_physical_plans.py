@@ -567,3 +567,17 @@ def test_semdedup_persists_assignment_for_pair_join(spark, queries):
         assert plan.count("InMemoryTableScan") == 3
     finally:
         release_caches(spark)
+
+
+def test_null_row_filters_push_to_parquet_scan(spark, queries):
+    """The round-7 NULL-row filters must stay SCAN predicates, not
+    post-scan Filter nodes: IsNotNull on a scanned column reaches the
+    parquet reader as a row-group-level null-count prune, which is the
+    100 TB justification for fixing NULL semantics with per-query
+    filters instead of a global ingest pass (SCALE.md NULL posture)."""
+    plan = plan_of(queries["events_sessionize"](spark, SF_SMOKE))
+    assert "IsNotNull(ts)" in plan and "IsNotNull(user_id)" in plan, plan
+    plan = plan_of(queries["sim_bruteforce_topk"](spark, SF_SMOKE))
+    assert "IsNotNull(embedding)" in plan, plan
+    plan = plan_of(queries["ml_lift_gains_table"](spark, SF_SMOKE))
+    assert "IsNotNull(value)" in plan, plan
