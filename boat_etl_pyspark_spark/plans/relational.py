@@ -671,8 +671,18 @@ GROUP BY 1, 2
 
 
 def json_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extraction is total and engine-symmetric on hostile props:
+    malformed JSON, a non-numeric k, and NULL all yield NULL (Spark's
+    get_json_object is already total; the oracle guards with
+    json_valid + TRY_CAST), and non-integer numerics go through an
+    explicit DOUBLE-then-truncate in BOTH engines — Spark's bare
+    string→bigint cast truncates where DuckDB's rounds."""
     events = load_table(spark, sf_dir, "events")
-    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    k = (
+        F.get_json_object(F.col("props"), "$.k")
+        .cast("double")
+        .cast("bigint")
+    )
     return (
         events.select("event_type", k.alias("k"))
         .groupBy("event_type")
@@ -695,7 +705,10 @@ SELECT
   MIN(k) AS k_min,
   MAX(k) AS k_max
 FROM (
-  SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  SELECT event_type,
+         CAST(trunc(TRY_CAST(json_extract_string(
+                CASE WHEN json_valid(props) THEN props END, '$.k')
+              AS DOUBLE)) AS BIGINT) AS k
   FROM events
 )
 GROUP BY event_type

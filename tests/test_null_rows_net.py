@@ -220,3 +220,71 @@ def test_embedding_query_parity_on_null_rows(
         release_caches(spark)
     problems = frames_equal(spark_pd, oracle_pd)
     assert not problems, f"{name}: " + "; ".join(problems)
+
+
+# ---------------------------------------------------------------------------
+# Hostile props JSON: the events.props column on real ingest will
+# contain malformed JSON, non-object documents, non-numeric and
+# non-integer k values. Spark's get_json_object is total (NULL on any
+# garbage) while DuckDB's json_extract_string THROWS on malformed
+# input and its string→BIGINT cast ROUNDS where Spark's truncates —
+# three distinct divergence mechanisms in one column.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def hostile_props_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("sf_hostile_props"))
+    _copy_sf(d, skip="events.parquet")
+    real = pq.read_table(os.path.join(SF_SMOKE, "events.parquet"))
+    base = np.datetime64("2024-02-15T10:00:00.000000", "us")
+    props = [
+        "{bad",             # malformed
+        "",                 # empty string
+        "null",             # JSON null document
+        "[]",               # non-object
+        '{"k": "x"}',       # non-numeric k
+        '{"k": 1.5}',       # non-integer k (truncate-vs-round seed)
+        '{"k": true}',      # boolean k
+        '{"k": -3.9}',      # negative non-integer (trunc toward zero)
+        None,               # NULL props
+        '{"j": 7}',         # missing key
+    ]
+    n = len(props)
+    extra = pa.table(
+        {
+            "event_id": pa.array(range(20_000_000, 20_000_000 + n), pa.int64()),
+            "ts": pa.array(
+                [base + np.timedelta64(i, "s") for i in range(n)],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([i % 5 for i in range(n)], pa.int64()),
+            "event_type": pa.array(["view"] * n),
+            "value": pa.array([1.0] * n),
+            "props": pa.array(props, pa.string()),
+        }
+    )
+    merged = pa.concat_tables([real.select(extra.column_names), extra])
+    pq.write_table(merged, os.path.join(d, "events.parquet"), version="2.6")
+    return d
+
+
+def test_json_event_props_parity_on_hostile_props(
+    spark, oracle, hostile_props_dir
+):
+    import __spark_entry__ as m
+    from boat_etl_pyspark_spark.plans import release_caches
+
+    try:
+        spark_pd = (
+            m.queries()["json_event_props"](spark, hostile_props_dir)
+            .toPandas()
+        )
+        con = oracle(hostile_props_dir)
+        oracle_pd = con.execute(
+            m.oracle_sql()["json_event_props"]
+        ).fetchdf()
+    finally:
+        release_caches(spark)
+    problems = frames_equal(spark_pd, oracle_pd)
+    assert not problems, "json_event_props: " + "; ".join(problems)
