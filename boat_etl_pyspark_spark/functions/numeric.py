@@ -22,8 +22,15 @@ from pyspark.sql import functions as F
 
 
 def cents(col: Column, scale: int = 100) -> Column:
-    """Per-row: double money value -> exact scaled integer units."""
-    return F.round(col * F.lit(scale)).cast("bigint")
+    """Per-row: double money value -> exact scaled integer units.
+
+    try_cast, not cast: Spark's non-ANSI CAST invents integers for
+    non-finite doubles (NaN -> 0, Inf -> 2^63-1) where DuckDB's CAST
+    throws — TRY_CAST yields NULL for NaN/Inf/overflow in BOTH
+    engines, so a corrupt measurement behaves exactly like a NULL one
+    instead of silently minting a zero-cent sale. Identical to CAST on
+    every finite in-range value."""
+    return F.round(col * F.lit(scale)).try_cast("bigint")
 
 
 def money_sum(col: Column, scale: int = 100) -> Column:

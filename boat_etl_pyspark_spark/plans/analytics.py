@@ -242,6 +242,11 @@ def agg_width_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     from ..functions.numeric import money_sum
 
+    # NaN is the one value the two engines bucket differently (DuckDB's
+    # NaN compares greater than everything, so `NaN >= 350` lands it in
+    # the overflow bucket; Spark's width_bucket yields NULL). NULL rows
+    # keep their own NULL "unmeasured" bucket in both engines.
+    ev = ev.where(F.col("value").isNull() | ~F.isnan("value"))
     bucket = F.expr("width_bucket(value, 0.0, 350.0, 7)")
     return ev.groupBy(bucket.cast("bigint").alias("bucket")).agg(
         F.count("*").alias("n_events"),
@@ -255,8 +260,9 @@ SELECT CAST(CASE WHEN value < 0.0 THEN 0
                  WHEN value >= 350.0 THEN 8
                  ELSE floor(value / 50.0) + 1 END AS BIGINT) AS bucket,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS value_sum
+       CAST(SUM(TRY_CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS value_sum
 FROM events
+WHERE value IS NULL OR NOT isnan(value)
 GROUP BY 1
 """
 

@@ -212,7 +212,7 @@ _PART_SQL = """
 SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
        COUNT(*) AS n_purchases,
        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
-       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS value_sum
+       CAST(SUM(TRY_CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS value_sum
 FROM events
 WHERE event_type = 'purchase'
 GROUP BY 1

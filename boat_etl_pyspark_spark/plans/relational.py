@@ -273,7 +273,7 @@ _JOIN_RANGE_SQL = """
 SELECT
   lo, hi,
   COUNT(*) AS n_events,
-  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS value_sum
+  CAST(SUM(TRY_CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS value_sum
 FROM events
 JOIN (VALUES (0.0, 50.0), (50.0, 100.0), (100.0, 150.0), (150.0, 200.0),
              (200.0, 250.0), (250.0, 300.0), (300.0, 350.0)) AS b(lo, hi)
@@ -639,7 +639,7 @@ SELECT
   event_type,
   COUNT(*) AS n_events,
   COUNT(DISTINCT user_id) AS n_users,
-  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS value_sum
+  CAST(SUM(TRY_CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS value_sum
 FROM events
 GROUP BY 1, 2
 """

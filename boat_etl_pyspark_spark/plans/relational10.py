@@ -197,7 +197,7 @@ WITH per AS (
   SELECT event_type,
          CAST(isodow(ts) AS BIGINT) AS iso_dow,
          CAST(COUNT(*) AS BIGINT) AS n_events,
-         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+         CAST(SUM(TRY_CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
   FROM events GROUP BY 1, 2
 ), tot AS (
   SELECT event_type, CAST(SUM(n_events) AS BIGINT) AS tot FROM per GROUP BY 1

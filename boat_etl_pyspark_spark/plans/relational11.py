@@ -121,7 +121,9 @@ def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     decomposition — flag each (user, type)'s first occurrence, then
     running-sum the flags — needs one exchange on user_id and two
     codegen'd window passes."""
-    ev = load_table(spark, sf_dir, "events")
+    # NULL ts meets opposite engine NULL-ordering defaults in the
+    # running frame — dropped symmetrically with the oracle.
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     return running_distinct(
         ev.select("user_id", "event_id", "event_type",
                   F.unix_micros("ts").alias("ts_us")),
@@ -140,6 +142,7 @@ WITH flagged AS (
                 ORDER BY epoch_us(ts), event_id) = 1
               THEN 1 ELSE 0 END AS first_seen
   FROM events
+  WHERE ts IS NOT NULL
 )
 SELECT user_id, event_id, ts_us,
        CAST(SUM(first_seen) OVER (

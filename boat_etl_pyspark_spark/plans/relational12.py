@@ -76,7 +76,7 @@ def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
 _OHLC_SQL = f"""
 WITH ev AS (
   SELECT event_type, epoch_us(ts) AS ts_us, event_id,
-         CAST(ROUND(value * 100) AS BIGINT) AS v_cents,
+         TRY_CAST(ROUND(value * 100) AS BIGINT) AS v_cents,
          (epoch_us(ts) // {_BAR_US}) * {_BAR_US} AS bar_us
   FROM events
 ), marked AS (
@@ -196,9 +196,9 @@ def events_pattern_vshape(spark: SparkSession, sf_dir: str) -> DataFrame:
 _VSHAPE_SQL = """
 WITH lagged AS (
   SELECT user_id, epoch_us(ts) AS ts_us,
-         CAST(ROUND(value * 100) AS BIGINT) AS v,
-         LAG(CAST(ROUND(value * 100) AS BIGINT), 1) OVER w AS v1,
-         LAG(CAST(ROUND(value * 100) AS BIGINT), 2) OVER w AS v2
+         TRY_CAST(ROUND(value * 100) AS BIGINT) AS v,
+         LAG(TRY_CAST(ROUND(value * 100) AS BIGINT), 1) OVER w AS v1,
+         LAG(TRY_CAST(ROUND(value * 100) AS BIGINT), 2) OVER w AS v2
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
 )

@@ -159,7 +159,7 @@ SELECT CAST(nation AS INT) AS nation, hops FROM {prev}
 _WELCH_SPARK = """
 WITH vals AS (
   SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
-         CAST(round(value * 100) AS BIGINT) AS v
+         TRY_CAST(round(value * 100) AS BIGINT) AS v
   FROM {events}
   WHERE event_type = 'purchase'
 ), arms AS (
@@ -204,7 +204,7 @@ FROM stats
 _WELCH_DUCK = """
 WITH vals AS (
   SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
-         CAST(round(value * 100) AS BIGINT) AS v
+         TRY_CAST(round(value * 100) AS BIGINT) AS v
   FROM events
   WHERE event_type = 'purchase'
 ), arms AS (
@@ -266,8 +266,9 @@ WITH daily AS (
   SELECT event_type,
          CAST(datediff(CAST(date_trunc('day', ts) AS DATE),
                        DATE '1970-01-01') AS BIGINT) AS x,
-         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+         CAST(SUM(TRY_CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
   FROM {events}
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL
   GROUP BY event_type, CAST(date_trunc('day', ts) AS DATE)
 ), sums AS (
   SELECT event_type, x, y,
@@ -296,8 +297,9 @@ WITH daily AS (
   SELECT event_type,
          CAST(datediff('day', DATE '1970-01-01',
                        CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS x,
-         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+         CAST(SUM(TRY_CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
   FROM events
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL
   GROUP BY event_type, CAST(date_trunc('day', ts) AS DATE)
 ), sums AS (
   SELECT event_type, x, y,

@@ -196,8 +196,9 @@ _TWAP_CORE = """
 WITH e AS (
   SELECT user_id, event_id,
          {epoch_us} AS ts_us,
-         CAST(round(value * 100) AS BIGINT) AS cents
+         TRY_CAST(round(value * 100) AS BIGINT) AS cents
   FROM {events}
+  WHERE TRY_CAST(round(value * 100) AS BIGINT) IS NOT NULL
 ), d AS (
   SELECT user_id, cents,
          LEAD(ts_us) OVER (PARTITION BY user_id

@@ -399,7 +399,7 @@ def window_rolling_24h_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ROLLING_SQL = """
 SELECT event_id, user_id, epoch_us(ts) AS ts_us,
        COUNT(*) OVER w AS n_24h,
-       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS DOUBLE) / 100.0 AS value_24h
+       CAST(SUM(TRY_CAST(ROUND(value * 100) AS BIGINT)) OVER w AS DOUBLE) / 100.0 AS value_24h
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
              RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)

@@ -40,10 +40,11 @@ _SCORE_GRID_CENTS = 1
 _MW_CORE = """
 WITH vals AS (
   SELECT CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END AS arm,
-         CAST(round(value * 100) AS BIGINT) {idiv} {grid} AS v
+         TRY_CAST(round(value * 100) AS BIGINT) {idiv} {grid} AS v
   FROM {events}
   WHERE event_type = 'purchase'
-    AND value IS NOT NULL AND user_id IS NOT NULL
+    AND TRY_CAST(round(value * 100) AS BIGINT) IS NOT NULL
+    AND user_id IS NOT NULL
 ), pv AS (
   SELECT v,
          SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS c0,

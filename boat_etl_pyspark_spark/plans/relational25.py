@@ -44,7 +44,7 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max(F.unix_micros("ts")).alias("last_us"),
             F.count("*").alias("freq"),
-            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+            F.sum(F.round(F.col("value") * 100).try_cast("bigint")).alias(
                 "m_cents"
             ),
         )
@@ -86,7 +86,7 @@ WITH pu AS (
   SELECT user_id,
          MAX(epoch_us(ts)) AS last_us,
          COUNT(*) AS freq,
-         SUM(CAST(round(value * 100) AS BIGINT)) AS m_cents
+         SUM(TRY_CAST(round(value * 100) AS BIGINT)) AS m_cents
   FROM events WHERE event_type = 'purchase'
   GROUP BY user_id
 ), q AS (

@@ -32,8 +32,9 @@ _DD_TOPK = 20
 _DD_CORE = f"""
 WITH e AS (
   SELECT user_id, event_id, {{epoch_us}} AS us,
-         CAST(round(value * 100) AS BIGINT) AS cents
+         TRY_CAST(round(value * 100) AS BIGINT) AS cents
   FROM {{events}}
+  WHERE TRY_CAST(round(value * 100) AS BIGINT) IS NOT NULL
 ), c0 AS (
   SELECT user_id, us, event_id,
          SUM(cents) OVER (PARTITION BY user_id ORDER BY us, event_id

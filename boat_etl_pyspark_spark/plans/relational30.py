@@ -44,10 +44,10 @@ _SCORE_GRID_CENTS = 1
 
 _AUC_CORE = """
 WITH v AS (
-  SELECT CAST(round(value * 100) AS BIGINT) {idiv} {grid} AS s,
+  SELECT TRY_CAST(round(value * 100) AS BIGINT) {idiv} {grid} AS s,
          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
   FROM {events}
-  WHERE value IS NOT NULL
+  WHERE TRY_CAST(round(value * 100) AS BIGINT) IS NOT NULL
 ), cnt AS (
   SELECT s, SUM(y) AS cp, COUNT(*) AS ct FROM v GROUP BY s
 ), w AS (
@@ -98,9 +98,10 @@ _AUC_DUCK = _AUC_CORE.format(events="events", big="HUGEINT", idiv="//",
 
 _CAL_CORE = """
 WITH v AS (
-  SELECT least(CAST(round(value * 100) AS BIGINT) * 2500, 1000000) AS p_ppm,
+  SELECT least(TRY_CAST(round(value * 100) AS BIGINT) * 2500, 1000000) AS p_ppm,
          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
   FROM {events}
+  WHERE TRY_CAST(round(value * 100) AS BIGINT) IS NOT NULL
 ), b AS (
   SELECT least(p_ppm {idiv} 100000, 9) AS bin, p_ppm, y FROM v
 )
@@ -139,9 +140,10 @@ _CONF_THRESHOLDS = "(VALUES (2500), (5000), (10000)) AS t(thr_cents)"
 
 _CONF_CORE = """
 WITH v AS (
-  SELECT CAST(round(value * 100) AS BIGINT) AS s,
+  SELECT TRY_CAST(round(value * 100) AS BIGINT) AS s,
          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
   FROM {events}
+  WHERE TRY_CAST(round(value * 100) AS BIGINT) IS NOT NULL
 ), m AS (
   SELECT t.thr_cents,
          SUM(CASE WHEN v.s >= t.thr_cents AND v.y = 1 THEN 1 ELSE 0 END)

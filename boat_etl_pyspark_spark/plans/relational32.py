@@ -238,8 +238,9 @@ _H_DUCK_MED = "list_sort([{a}, {b}, {c}, {d}, {e}])[3]"
 _HAMPEL_CORE = """
 WITH e AS (
   SELECT user_id, event_id, {epoch_us} AS us,
-         CAST(round(value * 100) AS BIGINT) AS cents
+         TRY_CAST(round(value * 100) AS BIGINT) AS cents
   FROM {events}
+  WHERE TRY_CAST(round(value * 100) AS BIGINT) IS NOT NULL
 ), w AS (
   SELECT user_id, us, event_id, cents,
          LAG(cents, 2)  OVER win AS l2,

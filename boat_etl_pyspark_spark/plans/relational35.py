@@ -177,14 +177,15 @@ def ml_lift_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     then the decile bucketing, cumulative gains ppm and lift milli are
     windows over the 10-row decile relation. Best scores land in
     decile 1."""
-    # a NULL score can't be ranked (and sorts on opposite ends across
-    # engines) — scoreless rows are dropped symmetrically.
+    # a NULL/NaN/Inf score can't be ranked (and each engine invents a
+    # different rank position for one) — scoreless rows are dropped
+    # symmetrically via the same try-cast predicate the oracle uses.
     ev = (
         load_table(spark, sf_dir, "events")
-        .where(F.col("value").isNotNull())
+        .where(F.round(F.col("value") * 100).try_cast("bigint").isNotNull())
         .select(
             "event_id",
-            (-F.round(F.col("value") * 100).cast("bigint")).alias("neg_cents"),
+            (-F.round(F.col("value") * 100).try_cast("bigint")).alias("neg_cents"),
             F.when(F.col("event_type") == "purchase", 1)
             .otherwise(0)
             .alias("y"),
@@ -226,11 +227,11 @@ def ml_lift_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LIFT_SQL = """
 WITH ranked AS (
   SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
-         ROW_NUMBER() OVER (ORDER BY -CAST(round(value * 100) AS BIGINT),
+         ROW_NUMBER() OVER (ORDER BY -TRY_CAST(round(value * 100) AS BIGINT),
                             event_id) AS rank,
          COUNT(*) OVER () AS n
   FROM events
-  WHERE value IS NOT NULL
+  WHERE TRY_CAST(round(value * 100) AS BIGINT) IS NOT NULL
 ), deciles AS (
   SELECT (rank - 1) * 10 // n + 1 AS decile,
          COUNT(*) AS n_events, SUM(y) AS n_pos

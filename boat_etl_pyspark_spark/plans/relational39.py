@@ -104,7 +104,7 @@ def _ri_duck() -> str:
 _DID_CORE = """
 WITH e AS (
   SELECT user_id % 2 AS treat, ({epoch_us}) AS u,
-         CAST(floor(value * 1000) AS BIGINT) AS v
+         TRY_CAST(floor(CASE WHEN value - value = 0 AND abs(value) < 9.0e15 THEN value * 1000 END) AS BIGINT) AS v
   FROM {events}
 ), span AS (
   SELECT MIN(u) + (MAX(u) - MIN(u)) {idiv} 2 AS mid FROM e

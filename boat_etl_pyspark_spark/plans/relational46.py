@@ -75,8 +75,11 @@ _PERM_K = 64
 _PERM_CORE = f"""
 WITH per_user AS (
   SELECT user_id, SUM(v) AS sv, COUNT(*) AS c
-  FROM (SELECT user_id, CAST(floor(value * 1000) AS BIGINT) AS v
-        FROM {{events}})
+  FROM (SELECT user_id, TRY_CAST(floor(CASE WHEN value - value = 0 AND abs(value) < 9.0e15 THEN value * 1000 END) AS BIGINT) AS v
+        FROM {{events}}
+        -- the md5 pseudo-assignment needs an identity: Spark's concat
+        -- nulls out on a NULL user_id where DuckDB's skips it
+        WHERE user_id IS NOT NULL)
   GROUP BY user_id
 ), obs AS (
   SELECT CAST(floor((CAST(SUM(CASE WHEN user_id % 2 = 1 THEN sv END)

@@ -29,7 +29,7 @@ from ..sources.readers import load_table
 _CUPED_CORE = """
 WITH e AS (
   SELECT user_id, ({epoch_us}) AS u,
-         CAST(floor(value * 1000) AS BIGINT) AS v
+         TRY_CAST(floor(CASE WHEN value - value = 0 AND abs(value) < 9.0e15 THEN value * 1000 END) AS BIGINT) AS v
   FROM {events}
 ), span AS (
   SELECT MIN(u) + (MAX(u) - MIN(u)) {idiv} 2 AS mid FROM e

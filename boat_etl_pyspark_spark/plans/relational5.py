@@ -345,7 +345,9 @@ def window_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``last(..., ignorenulls)`` over an ordered per-user window. One
     shuffle on user_id; the frame is running, so state per row is a
     single value regardless of stream length."""
-    ev = load_table(spark, sf_dir, "events")
+    # NULL ts meets opposite engine NULL-ordering defaults in the
+    # running frame — dropped symmetrically with the oracle.
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     from pyspark.sql import Window
 
     masked = ev.select(
@@ -380,6 +382,7 @@ FROM (
   SELECT event_id, user_id, epoch_us(ts) AS ts_us,
          CASE WHEN event_type != 'click' THEN value END AS v
   FROM events
+  WHERE ts IS NOT NULL
 )
 """
 

@@ -106,10 +106,11 @@ _QINI_DUCK = _QINI_CORE.format(events="events", str="VARCHAR", idiv="//")
 
 _BRIER_CORE = """
 WITH v AS (
-  SELECT least(CAST(round(value * 100) AS BIGINT) * 2500, 1000000)
+  SELECT least(TRY_CAST(round(value * 100) AS BIGINT) * 2500, 1000000)
            AS p_ppm,
          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
   FROM {events}
+  WHERE TRY_CAST(round(value * 100) AS BIGINT) IS NOT NULL
 ), g AS (
   SELECT COUNT(*) AS n, SUM(y) AS sy,
          SUM(CAST((p_ppm - y * 1000000) AS {big})

@@ -234,7 +234,8 @@ _LB_LAGS = 7
 _LB_CORE = f"""
 WITH daily AS (
   SELECT {{epoch_us}} {{idiv}} 86400000000 AS d, COUNT(*) AS x
-  FROM {{events}} GROUP BY {{epoch_us}} {{idiv}} 86400000000
+  FROM {{events}} WHERE ts IS NOT NULL
+  GROUP BY {{epoch_us}} {{idiv}} 86400000000
 ), idx AS (
   SELECT x, ROW_NUMBER() OVER (ORDER BY d) AS i,
          COUNT(*) OVER () AS n, SUM(x) OVER () AS sx,

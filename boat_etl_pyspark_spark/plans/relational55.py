@@ -346,9 +346,10 @@ _SCORE_GRID_CENTS = 1
 
 _YOUDEN_CORE = """
 WITH v AS (
-  SELECT CAST(round(value * 100) AS BIGINT) {idiv} {grid} AS s,
+  SELECT TRY_CAST(round(value * 100) AS BIGINT) {idiv} {grid} AS s,
          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
   FROM {events}
+  WHERE TRY_CAST(round(value * 100) AS BIGINT) IS NOT NULL
 ), grid AS (
   SELECT s, COUNT(*) AS n, SUM(y) AS pos FROM v GROUP BY s
 ), cum AS (

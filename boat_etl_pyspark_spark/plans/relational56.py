@@ -89,10 +89,11 @@ _RSI_DUCK = _RSI_CORE.format(orders="orders", idiv="//", datestr="VARCHAR")
 
 _ECE_CORE = """
 WITH v AS (
-  SELECT least(CAST(round(value * 100) AS BIGINT) * 2500, 1000000)
+  SELECT least(TRY_CAST(round(value * 100) AS BIGINT) * 2500, 1000000)
            AS p_ppm,
          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
   FROM {events}
+  WHERE TRY_CAST(round(value * 100) AS BIGINT) IS NOT NULL
 ), b AS (
   SELECT least(p_ppm {idiv} 100000, 9) AS bin,
          COUNT(*) AS nk, SUM(p_ppm) AS sp, SUM(y) AS sy

@@ -233,7 +233,7 @@ def interp_linear_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 _INTERP_SQL = """
 WITH daily AS (
   SELECT event_type, CAST(ts AS DATE) AS day,
-         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS day_cents
+         CAST(SUM(TRY_CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS day_cents
   FROM events GROUP BY 1, 2
 ), bounds AS (
   SELECT event_type, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1
@@ -326,7 +326,7 @@ WITH wm AS (
   SELECT (epoch_us(ts) // {_WIN_US}) * {_WIN_US} AS ws_us,
          event_type,
          COUNT(*) AS n_events,
-         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+         CAST(SUM(TRY_CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
   FROM events
   GROUP BY 1, 2
 )

@@ -71,7 +71,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SESSIONIZE_SQL = f"""
 WITH e AS (
   SELECT user_id, epoch_us(ts) AS t_us, event_id,
-         CAST(ROUND(value * 100) AS BIGINT) AS value_cents
+         TRY_CAST(ROUND(value * 100) AS BIGINT) AS value_cents
   FROM events
   WHERE ts IS NOT NULL AND user_id IS NOT NULL
 ),
@@ -104,10 +104,17 @@ _MV_CUTOFF = "2024-03-01"
 
 
 def agg_incremental_mv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_type",
-        F.to_date("ts").alias("d"),
-        cents(F.col("value")).alias("value_cents"),
+    # the MV boundary IS the time partition: a NULL-ts row falls in
+    # neither base nor delta, so the merge would silently lose it while
+    # the full-recompute oracle counts it — dropped symmetrically.
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull())
+        .select(
+            "event_type",
+            F.to_date("ts").alias("d"),
+            cents(F.col("value")).alias("value_cents"),
+        )
     )
 
     def partial(df: DataFrame) -> DataFrame:
@@ -145,10 +152,12 @@ def agg_incremental_mv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MV_MERGE_SQL = """
 SELECT event_type,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
-       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE)
-         / (COUNT(value) * 100.0) AS avg_value
+       CAST(SUM(TRY_CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+       CAST(SUM(TRY_CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE)
+         / (COUNT(TRY_CAST(ROUND(value * 100) AS BIGINT)) * 100.0)
+         AS avg_value
 FROM events
+WHERE ts IS NOT NULL
 GROUP BY event_type
 """
 

@@ -22,7 +22,12 @@ _GAP_US = 30 * 60 * 1_000_000  # 30-minute session gap
 
 
 def stream_tumbling_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = read_events_stream(spark, sf_dir)
+    # explicit, not incidental: an event without event-time cannot be
+    # watermarked or windowed (Spark's window agg would silently drop
+    # it) — filtered symmetrically with the oracle.
+    ev = read_events_stream(spark, sf_dir).where(
+        F.col("ev_time").isNotNull()
+    )
     win = (
         ev.withWatermark("ev_time", "1 hour")
         .groupBy(F.window("ev_time", "6 hours").alias("w"), "event_type")
@@ -47,8 +52,9 @@ SELECT
   ((epoch_us(ts) // 21600000000) + 1) * 21600000000 AS we_us,
   event_type,
   COUNT(*) AS n_events,
-  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS value_sum
+  CAST(SUM(TRY_CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS value_sum
 FROM events
+WHERE ts IS NOT NULL
 GROUP BY 1, 2, 3
 """
 
@@ -85,14 +91,18 @@ WITH hit AS (
 )
 SELECT ws_us, ws_us + 21600000000 AS we_us,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS value_sum
+       CAST(SUM(TRY_CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS value_sum
 FROM hit
 GROUP BY ws_us
 """
 
 
 def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = read_events_stream(spark, sf_dir)
+    # no event-time, no session: filtered symmetrically with the oracle
+    # (Spark's session_window would silently drop the row).
+    ev = read_events_stream(spark, sf_dir).where(
+        F.col("ev_time").isNotNull()
+    )
     win = (
         ev.withWatermark("ev_time", "1 hour")
         .groupBy(F.session_window("ev_time", "30 minutes").alias("w"), "user_id")
@@ -112,7 +122,8 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SESSION_SQL = f"""
-WITH e AS (SELECT user_id, epoch_us(ts) AS tu, value FROM events),
+WITH e AS (SELECT user_id, epoch_us(ts) AS tu, value FROM events
+           WHERE ts IS NOT NULL),
 m AS (
   SELECT *, CASE WHEN tu - LAG(tu) OVER (PARTITION BY user_id ORDER BY tu)
                       >= {_GAP_US} THEN 1 ELSE 0 END AS new_s
@@ -127,7 +138,7 @@ SELECT user_id,
        MIN(tu) AS session_start_us,
        MAX(tu) + {_GAP_US} AS session_end_us,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS value_sum
+       CAST(SUM(TRY_CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS value_sum
 FROM s
 GROUP BY user_id, sid
 """
@@ -151,7 +162,7 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STATEFUL_SQL = """
 SELECT user_id,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS value_sum
+       CAST(SUM(TRY_CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS value_sum
 FROM events
 GROUP BY user_id
 """
@@ -198,7 +209,7 @@ def stream_static_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STREAM_STATIC_SQL = """
 SELECT lo, hi,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS value_sum
+       CAST(SUM(TRY_CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS value_sum
 FROM events
 JOIN (VALUES (0.0, 70.0), (70.0, 140.0), (140.0, 210.0),
              (210.0, 280.0), (280.0, 350.0)) AS b(lo, hi)
@@ -288,7 +299,7 @@ _KAFKA_ROUNDTRIP_SQL = """
 SELECT user_id % 4 AS partition,
        event_type,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS value_sum,
+       CAST(SUM(TRY_CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS value_sum,
        MAX(event_id) AS max_offset
 FROM events
 GROUP BY 1, 2
@@ -391,7 +402,7 @@ def stream_foreachbatch_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FOREACHBATCH_SQL = """
 SELECT event_type,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+       CAST(SUM(TRY_CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
 FROM events
 GROUP BY event_type
 """
@@ -439,7 +450,9 @@ def stream_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def run_once() -> None:
         ev = read_events_stream(spark, sf_dir, dir_override=arrival,
-                                max_files_per_trigger=1)
+                                max_files_per_trigger=1).where(
+            F.col("ev_time").isNotNull()
+        )
         win = (
             ev.withWatermark("ev_time", "1 hour")
             .groupBy(F.window("ev_time", "6 hours").alias("w"), "event_type")
@@ -506,8 +519,9 @@ SELECT
   ((epoch_us(ts) // 21600000000) + 1) * 21600000000 AS we_us,
   event_type,
   COUNT(*) AS n_events,
-  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+  CAST(SUM(TRY_CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
 FROM events
+WHERE ts IS NOT NULL
 GROUP BY 1, 2, 3
 """
 

@@ -111,7 +111,7 @@ def _late_split_dir(sf_dir: str) -> str:
 _AUDIT_CORE = f"""
 ordered AS (
   SELECT ({{epoch_us}}) AS u,
-         CAST(ROUND(value * 100) AS BIGINT) AS c,
+         TRY_CAST(ROUND(value * 100) AS BIGINT) AS c,
          ROW_NUMBER() OVER (ORDER BY ts, event_id) AS rn,
          COUNT(*) OVER () AS n
   FROM {{events}}

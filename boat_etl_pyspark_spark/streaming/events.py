@@ -210,10 +210,18 @@ def stateful_user_totals(stream_df: DataFrame) -> DataFrame:
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def update(key, pdfs, state: GroupState):
+        import numpy as np
+
         n, cents_sum = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            cents_sum += int(pdf["value"].mul(100).round().astype("int64").sum())
+            # mirror SUM(TRY_CAST(round(value*100) AS BIGINT)): NULL,
+            # NaN and +/-Inf contribute nothing (astype would raise on
+            # them), finite values contribute exact rounded cents
+            vals = pdf["value"].to_numpy(dtype="float64") * 100.0
+            # TRY_CAST also NULLs BIGINT overflow, not just NaN/Inf
+            ok = np.isfinite(vals) & (np.abs(vals) < 9.2e18)
+            cents_sum += int(np.rint(vals[ok]).astype("int64").sum())
         state.update((n, cents_sum))
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "value_sum": [cents_sum / 100.0]}

@@ -91,6 +91,50 @@ _NULL_EVENT_QUERIES = (
     "ml_logreg_quality",
     "ml_brier_decomposition",
     "agg_mann_whitney_u",
+    # remaining events consumers (every registry query whose oracle
+    # references the events table — pinned complete by
+    # test_event_nets_cover_every_events_consumer)
+    "agg_incremental_mv_merge",
+    "agg_ljung_box",
+    "agg_mode_per_group",
+    "agg_permutation_test_lift",
+    "agg_survival_kaplan_meier",
+    "agg_survival_nelson_aalen",
+    "agg_user_engagement_bitmap",
+    "agg_welch_ttest",
+    "agg_width_bucket_histogram",
+    "date_daily_event_stats",
+    "date_densified_daily_events",
+    "gaps_islands_user_streaks",
+    "interp_linear_fill",
+    "io_partitioned_scan",
+    "join_asof_cogrouped",
+    "join_asof_nearest",
+    "join_asof_purchase_last_view",
+    "join_interval_overlap",
+    "join_range_value_buckets",
+    "json_event_props",
+    "json_variant_nested",
+    "ml_power_analysis",
+    "stream_append_mode_windows",
+    "stream_chained_agg",
+    "stream_checkpoint_restart",
+    "stream_dedup_user_event_types",
+    "stream_dedup_within_watermark",
+    "stream_foreachbatch_totals",
+    "stream_kafka_roundtrip",
+    "stream_late_data_audit",
+    "stream_session_windows",
+    "stream_sliding_6h_3h",
+    "stream_stateful_user_totals",
+    "stream_static_value_buckets",
+    "stream_stream_attribution",
+    "stream_stream_full_outer",
+    "stream_stream_left_outer",
+    "stream_tumbling_6h",
+    "window_locf_fill",
+    "window_rolling_regression",
+    "window_running_distinct",
 )
 
 
@@ -288,3 +332,74 @@ def test_json_event_props_parity_on_hostile_props(
         release_caches(spark)
     problems = frames_equal(spark_pd, oracle_pd)
     assert not problems, "json_event_props: " + "; ".join(problems)
+
+
+# ---------------------------------------------------------------------------
+# Non-finite events.value: parquet carries NaN and +/-Infinity doubles,
+# and the engines invent different integers for them — Spark's
+# non-ANSI CAST(NaN AS BIGINT) = 0 and CAST(Inf AS BIGINT) = 2^63-1
+# where DuckDB's CAST throws (TRY_CAST -> NULL). Every value-cents
+# query is exposed. Policy under test: non-finite value behaves
+# exactly like NULL value (TRY_CAST in both engines), composing with
+# the NULL-row rules pinned above.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def nonfinite_events_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("sf_nonfinite_events"))
+    _copy_sf(d, skip="events.parquet")
+    real = pq.read_table(os.path.join(SF_SMOKE, "events.parquet"))
+    base = np.datetime64("2024-02-15T11:00:00.000000", "us")
+    vals = [float("nan"), float("inf"), float("-inf"), 1e300, 12.34]
+    n = len(vals)
+    extra = pa.table(
+        {
+            "event_id": pa.array(range(30_000_000, 30_000_000 + n), pa.int64()),
+            "ts": pa.array(
+                [base + np.timedelta64(i, "s") for i in range(n)],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([i % 3 for i in range(n)], pa.int64()),
+            "event_type": pa.array(
+                ["purchase", "view", "purchase", "view", "purchase"]
+            ),
+            "value": pa.array(vals, pa.float64()),
+            "props": pa.array(['{"k": 1}'] * n),
+        }
+    )
+    merged = pa.concat_tables([real.select(extra.column_names), extra])
+    pq.write_table(merged, os.path.join(d, "events.parquet"), version="2.6")
+    return d
+
+
+@pytest.mark.parametrize("name", _NULL_EVENT_QUERIES)
+def test_event_query_parity_on_nonfinite_values(
+    spark, oracle, nonfinite_events_dir, name
+):
+    import __spark_entry__ as m
+    from boat_etl_pyspark_spark.plans import release_caches
+
+    try:
+        spark_pd = m.queries()[name](spark, nonfinite_events_dir).toPandas()
+        con = oracle(nonfinite_events_dir)
+        oracle_pd = con.execute(m.oracle_sql()[name]).fetchdf()
+    finally:
+        release_caches(spark)
+    problems = frames_equal(spark_pd, oracle_pd)
+    assert not problems, f"{name}: " + "; ".join(problems)
+
+
+def test_event_nets_cover_every_events_consumer():
+    """Every registry query whose oracle reads the events table must be
+    in the NULL/non-finite event nets — a new events consumer cannot
+    ship without hostile-row parity coverage."""
+    import re
+
+    import __spark_entry__ as m
+
+    consumers = {
+        n for n, s in m.oracle_sql().items() if re.search(r"\bevents\b", s)
+    }
+    missing = consumers - set(_NULL_EVENT_QUERIES)
+    assert not missing, f"events consumers missing from nets: {sorted(missing)}"
