@@ -135,6 +135,8 @@ GROUP BY cohort_month, order_month
 _QUANT_SPARK = """
 WITH e AS (
   SELECT vec_id, label, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM {emb}
+  WHERE embedding IS NOT NULL
+    AND NOT exists(embedding, x -> x IS NULL OR isnan(x) OR abs(x) > 1e6)
 ),
 q AS (
   SELECT vec_id, label, v,
@@ -161,6 +163,8 @@ GROUP BY label
 _QUANT_DUCK = """
 WITH e AS (
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE embedding IS NOT NULL
+    AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR abs(x) > 1e6)) = 0
 ),
 q AS (
   SELECT vec_id, label, v,

@@ -50,7 +50,7 @@ WITH q AS (
                    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
   FROM {emb}
   WHERE embedding IS NOT NULL
-    AND NOT exists(embedding, x -> x IS NULL)
+    AND NOT exists(embedding, x -> x IS NULL OR isnan(x) OR abs(x) > 1e6)
 ), e AS (
   SELECT vec_id, posexplode(qv) AS (pos, val) FROM q
 ), c0 AS (
@@ -97,7 +97,7 @@ WITH q AS (
            AS qv
   FROM embeddings
   WHERE embedding IS NOT NULL
-    AND len(list_filter(embedding, x -> x IS NULL)) = 0
+    AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR abs(x) > 1e6)) = 0
 ), e AS (
   SELECT vec_id, i AS pos, CAST(qv[i] AS BIGINT) AS val
   FROM q, (SELECT unnest(range(1, 65)) AS i)
@@ -167,7 +167,7 @@ def embed_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _GRAM_DIMS
     emb = load_table(spark, sf_dir, "embeddings").where(
         F.col("embedding").isNotNull()
-        & ~F.expr("exists(embedding, x -> x IS NULL)")
+        & ~F.expr("exists(embedding, x -> x IS NULL OR isnan(x) OR abs(x) > 1e6)")
     )
     q = emb.select(
         F.expr(
@@ -204,7 +204,7 @@ WITH q AS (
            AS qv
   FROM embeddings
   WHERE embedding IS NOT NULL
-    AND len(list_filter(embedding, x -> x IS NULL)) = 0
+    AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR abs(x) > 1e6)) = 0
 )
 SELECT CAST(i - 1 AS BIGINT) AS i, CAST(j - 1 AS BIGINT) AS j,
        CAST(SUM(CAST(qv[i] AS BIGINT) * CAST(qv[j] AS BIGINT)) AS BIGINT)
@@ -249,7 +249,7 @@ WITH q AS (
                    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
   FROM {emb}
   WHERE embedding IS NOT NULL
-    AND NOT exists(embedding, x -> x IS NULL)
+    AND NOT exists(embedding, x -> x IS NULL OR isnan(x) OR abs(x) > 1e6)
 ), n AS (
   SELECT vec_id, qv,
          aggregate(zip_with(qv, qv, (x, y) -> x * y),
@@ -283,7 +283,7 @@ WITH q AS (
            AS qv
   FROM embeddings
   WHERE embedding IS NOT NULL
-    AND len(list_filter(embedding, x -> x IS NULL)) = 0
+    AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR abs(x) > 1e6)) = 0
 ), n AS (
   SELECT vec_id, qv,
          CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS n2

@@ -272,7 +272,7 @@ WITH q AS (
                    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
   FROM {emb}
   WHERE embedding IS NOT NULL
-    AND NOT exists(embedding, x -> x IS NULL)
+    AND NOT exists(embedding, x -> x IS NULL OR isnan(x) OR abs(x) > 1e6)
 ), e AS (
   SELECT vec_id, CAST(pos DIV 8 AS BIGINT) AS sub, pos, val
   FROM (SELECT vec_id, posexplode(qv) AS (pos, val) FROM q)
@@ -305,7 +305,7 @@ WITH q AS (
            AS qv
   FROM embeddings
   WHERE embedding IS NOT NULL
-    AND len(list_filter(embedding, x -> x IS NULL)) = 0
+    AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR abs(x) > 1e6)) = 0
 ), e AS (
   SELECT vec_id, CAST((i - 1) // 8 AS BIGINT) AS sub, i AS pos,
          CAST(qv[i] AS BIGINT) AS val

@@ -118,6 +118,8 @@ WITH q AS (
                    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v,
          md5(CAST(vec_id AS STRING)) AS hk
   FROM {{emb}}
+  WHERE embedding IS NOT NULL
+    AND NOT exists(embedding, x -> x IS NULL OR isnan(x) OR abs(x) > 1e6)
 ), samp AS (
   SELECT vec_id, v FROM q ORDER BY hk, vec_id LIMIT {_DIV_K}
 ), pairs AS (
@@ -153,6 +155,8 @@ WITH q AS (
            AS v,
          md5(CAST(vec_id AS VARCHAR)) AS hk
   FROM embeddings
+  WHERE embedding IS NOT NULL
+    AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR abs(x) > 1e6)) = 0
 ), samp AS (
   SELECT vec_id, v FROM q ORDER BY hk, vec_id LIMIT {_DIV_K}
 ), pairs AS (
@@ -273,7 +277,10 @@ def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIFT_SPARK = """
 WITH q AS (
   SELECT label, pos, CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS val
-  FROM {emb} LATERAL VIEW posexplode(embedding) p AS pos, x
+  FROM (SELECT * FROM {emb}
+        WHERE embedding IS NOT NULL
+          AND NOT exists(embedding, x -> x IS NULL OR isnan(x) OR abs(x) > 1e6))
+  LATERAL VIEW posexplode(embedding) p AS pos, x
 ), lab AS (
   SELECT label, pos, SUM(val) AS s, COUNT(*) AS n
   FROM q GROUP BY label, pos
@@ -296,7 +303,9 @@ WITH q AS (
          CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS val
   FROM (SELECT label, unnest(embedding) AS x,
                generate_subscripts(embedding, 1) AS pos
-        FROM embeddings)
+        FROM embeddings
+        WHERE embedding IS NOT NULL
+    AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR abs(x) > 1e6)) = 0)
 ), lab AS (
   SELECT label, pos, SUM(val) AS s, COUNT(*) AS n
   FROM q GROUP BY label, pos

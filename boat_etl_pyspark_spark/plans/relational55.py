@@ -42,7 +42,7 @@ _HNM_ANCHORS = 50
 
 _HNM_CORE = f"""
 WITH q AS (
-  SELECT vec_id, label, {{quant}} AS qv FROM {{emb}}
+  SELECT vec_id, label, {{quant}} AS qv FROM {{emb}} WHERE {{valid}}
 ), anchors AS (
   SELECT vec_id, label, qv FROM (
     SELECT vec_id, label, qv,
@@ -113,6 +113,7 @@ def ml_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         _HNM_CORE.format(
             emb="r55_hnm_emb", quant=_HNM_QUANT_SPARK,
             dot=_HNM_DOT_SPARK, str="STRING",
+            valid="embedding IS NOT NULL AND NOT exists(embedding, x -> x IS NULL OR isnan(x) OR abs(x) > 1e6)",
         )
     )
 
@@ -120,6 +121,7 @@ def ml_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HNM_DUCK = _HNM_CORE.format(
     emb="embeddings", quant=_HNM_QUANT_DUCK,
     dot=_HNM_DOT_DUCK, str="VARCHAR",
+    valid="embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR abs(x) > 1e6)) = 0",
 )
 
 # ---------------------------------------------------------------------------
@@ -250,7 +252,7 @@ _ISO_DIMS = 16
 
 _ISO_CORE = f"""
 WITH q AS (
-  SELECT {{quant}} AS qv FROM {{emb}}
+  SELECT {{quant}} AS qv FROM {{emb}} WHERE {{valid}}
 ), pairs AS (
   SELECT i, j, qv[{{ix}}] * qv[{{jx}}] AS prod
   FROM q {{expand}}
@@ -314,6 +316,7 @@ def embed_isotropy_participation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ix="i - 1",
             jx="j - 1",
             idiv="DIV",
+            valid="embedding IS NOT NULL AND NOT exists(embedding, x -> x IS NULL OR isnan(x) OR abs(x) > 1e6)",
         )
     )
 
@@ -332,6 +335,7 @@ _ISO_DUCK = _ISO_CORE.format(
     ix="i",
     jx="j",
     idiv="//",
+    valid="embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR abs(x) > 1e6)) = 0",
 )
 
 # ---------------------------------------------------------------------------

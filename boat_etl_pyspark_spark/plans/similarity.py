@@ -44,7 +44,7 @@ _SPARK_VECS = """
          aggregate(v, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x) AS n2
   FROM (SELECT vec_id, label, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM {emb}
         WHERE embedding IS NOT NULL
-          AND NOT exists(embedding, x -> x IS NULL))
+          AND NOT exists(embedding, x -> x IS NULL OR isnan(x) OR abs(x) > 1e6))
 """
 
 _DUCK_VECS = """
@@ -53,7 +53,7 @@ _DUCK_VECS = """
                      (acc, x) -> acc + x) AS n2
   FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
         WHERE embedding IS NOT NULL
-          AND len(list_filter(embedding, x -> x IS NULL)) = 0)
+          AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR abs(x) > 1e6)) = 0)
 """
 
 _SPARK_DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"

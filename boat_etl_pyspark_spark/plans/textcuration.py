@@ -315,7 +315,7 @@ def sim_blocked_matmul_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "embeddings")
         .where(
             F.col("embedding").isNotNull()
-            & ~F.expr("exists(embedding, x -> x IS NULL)")
+            & ~F.expr("exists(embedding, x -> x IS NULL OR isnan(x) OR abs(x) > 1e6)")
         )
         .select("vec_id", "embedding")
     )
@@ -378,7 +378,7 @@ WITH s AS (
            x -> CAST(FLOOR(CAST(x AS DOUBLE) * {_MM_SCALE} + 0.5) AS BIGINT)) AS iv
   FROM embeddings
   WHERE embedding IS NOT NULL
-    AND len(list_filter(embedding, x -> x IS NULL)) = 0
+    AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR abs(x) > 1e6)) = 0
 ), q AS (
   SELECT * FROM s WHERE vec_id < {_MM_NQ}
 ), p AS (

@@ -235,13 +235,22 @@ def null_embeddings_dir(tmp_path_factory):
     normal = [float(x) for x in rng.randn(dims).astype(np.float32)]
     holed = list(normal)
     holed[3] = None  # NULL element inside the array
+    nan_el = list(normal)
+    nan_el[5] = float("nan")  # NaN element: no geometry
+    inf_el = list(normal)
+    inf_el[7] = float("inf")  # Inf element
+    huge_el = list(normal)
+    huge_el[2] = 1.0e30  # finite but overflows every integer quantizer
     extra = pa.table(
         {
-            "vec_id": pa.array([10_000_000, 10_000_001, 10_000_002], pa.int64()),
-            "embedding": pa.array(
-                [None, holed, normal], pa.list_(pa.float32())
+            "vec_id": pa.array(
+                [10_000_000 + i for i in range(6)], pa.int64()
             ),
-            "label": pa.array([1, 2, None], pa.int32()),
+            "embedding": pa.array(
+                [None, holed, normal, nan_el, inf_el, huge_el],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array([1, 2, None, 3, 4, 0], pa.int32()),
         }
     )
     merged = pa.concat_tables([real.select(extra.column_names), extra])
