@@ -285,6 +285,41 @@ def validate_data_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint").alias("documents_nchars_mismatch"),
     )
 
+    # events + embeddings ingest contract (round 7): the per-query
+    # NULL/non-finite filters DROP invalid rows; this audit COUNTS
+    # them, so the pipeline operator sees how much the filters ate
+    # before trusting any downstream metric. Same scan-side
+    # conditional-aggregate shape as every rule above.
+    ev = load_table(spark, sf_dir, "events")
+    e_agg = ev.agg(
+        F.sum(F.when(F.col("ts").isNull(), 1).otherwise(0))
+        .cast("bigint").alias("events_null_ts"),
+        F.sum(F.when(F.col("user_id").isNull(), 1).otherwise(0))
+        .cast("bigint").alias("events_null_user_id"),
+        F.sum(F.when(F.col("event_type").isNull(), 1).otherwise(0))
+        .cast("bigint").alias("events_null_event_type"),
+        F.sum(
+            F.when(
+                F.isnan("value")
+                | (F.abs(F.col("value")) == F.lit(float("inf"))),
+                1,
+            ).otherwise(0)
+        ).cast("bigint").alias("events_nonfinite_value"),
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb_agg = emb.agg(
+        F.sum(
+            F.when(
+                F.col("embedding").isNull()
+                | F.expr(
+                    "exists(embedding, x -> x IS NULL OR isnan(x)"
+                    " OR abs(x) > 1e6)"
+                ),
+                1,
+            ).otherwise(0)
+        ).cast("bigint").alias("embeddings_invalid_vector"),
+    )
+
     def unpivot(df: DataFrame) -> DataFrame:
         cols = df.columns
         pairs = ", ".join(f"'{c}', {c}" for c in cols)
@@ -298,6 +333,8 @@ def validate_data_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(unpivot(ship_before_order))
         .unionAll(unpivot(orphans))
         .unionAll(unpivot(d_agg))
+        .unionAll(unpivot(e_agg))
+        .unionAll(unpivot(emb_agg))
     )
 
 
@@ -356,6 +393,31 @@ SELECT 'documents_nchars_mismatch',
        CAST(SUM(CASE WHEN text IS NOT NULL AND n_chars IS NOT NULL
                       AND n_chars != length(text)
                      THEN 1 ELSE 0 END) AS BIGINT) FROM documents
+UNION ALL
+SELECT 'events_null_ts',
+       CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM events
+UNION ALL
+SELECT 'events_null_user_id',
+       CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM events
+UNION ALL
+SELECT 'events_null_event_type',
+       CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM events
+UNION ALL
+SELECT 'events_nonfinite_value',
+       CAST(SUM(CASE WHEN isnan(value) OR isinf(value) THEN 1 ELSE 0 END)
+            AS BIGINT)
+  FROM events
+UNION ALL
+SELECT 'embeddings_invalid_vector',
+       CAST(SUM(CASE WHEN embedding IS NULL
+                      OR len(list_filter(embedding,
+                             x -> x IS NULL OR isnan(x)
+                                  OR abs(x) > 1e6)) > 0
+                     THEN 1 ELSE 0 END) AS BIGINT)
+  FROM embeddings
 """
 
 

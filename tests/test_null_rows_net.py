@@ -135,6 +135,7 @@ _NULL_EVENT_QUERIES = (
     "window_locf_fill",
     "window_rolling_regression",
     "window_running_distinct",
+    "validate_data_contract",
 )
 
 
