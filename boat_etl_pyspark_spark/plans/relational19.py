@@ -198,7 +198,8 @@ WITH e AS (
          {epoch_us} AS ts_us,
          TRY_CAST(round(value * 100) AS BIGINT) AS cents
   FROM {events}
-  WHERE TRY_CAST(round(value * 100) AS BIGINT) IS NOT NULL
+  WHERE value IS NOT NULL  -- scan-pushdown half of the predicate
+    AND TRY_CAST(round(value * 100) AS BIGINT) IS NOT NULL
 ), d AS (
   SELECT user_id, cents,
          LEAD(ts_us) OVER (PARTITION BY user_id

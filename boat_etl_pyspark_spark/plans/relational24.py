@@ -43,6 +43,7 @@ WITH vals AS (
          TRY_CAST(round(value * 100) AS BIGINT) {idiv} {grid} AS v
   FROM {events}
   WHERE event_type = 'purchase'
+    AND value IS NOT NULL  -- scan-pushdown half of the predicate
     AND TRY_CAST(round(value * 100) AS BIGINT) IS NOT NULL
     AND user_id IS NOT NULL
 ), pv AS (

@@ -34,7 +34,8 @@ WITH e AS (
   SELECT user_id, event_id, {{epoch_us}} AS us,
          TRY_CAST(round(value * 100) AS BIGINT) AS cents
   FROM {{events}}
-  WHERE TRY_CAST(round(value * 100) AS BIGINT) IS NOT NULL
+  WHERE value IS NOT NULL  -- scan-pushdown half of the predicate
+    AND TRY_CAST(round(value * 100) AS BIGINT) IS NOT NULL
 ), c0 AS (
   SELECT user_id, us, event_id,
          SUM(cents) OVER (PARTITION BY user_id ORDER BY us, event_id

@@ -47,7 +47,8 @@ WITH v AS (
   SELECT TRY_CAST(round(value * 100) AS BIGINT) {idiv} {grid} AS s,
          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
   FROM {events}
-  WHERE TRY_CAST(round(value * 100) AS BIGINT) IS NOT NULL
+  WHERE value IS NOT NULL  -- scan-pushdown half of the predicate
+    AND TRY_CAST(round(value * 100) AS BIGINT) IS NOT NULL
 ), cnt AS (
   SELECT s, SUM(y) AS cp, COUNT(*) AS ct FROM v GROUP BY s
 ), w AS (
@@ -101,7 +102,8 @@ WITH v AS (
   SELECT least(TRY_CAST(round(value * 100) AS BIGINT) * 2500, 1000000) AS p_ppm,
          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
   FROM {events}
-  WHERE TRY_CAST(round(value * 100) AS BIGINT) IS NOT NULL
+  WHERE value IS NOT NULL  -- scan-pushdown half of the predicate
+    AND TRY_CAST(round(value * 100) AS BIGINT) IS NOT NULL
 ), b AS (
   SELECT least(p_ppm {idiv} 100000, 9) AS bin, p_ppm, y FROM v
 )
@@ -143,7 +145,8 @@ WITH v AS (
   SELECT TRY_CAST(round(value * 100) AS BIGINT) AS s,
          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
   FROM {events}
-  WHERE TRY_CAST(round(value * 100) AS BIGINT) IS NOT NULL
+  WHERE value IS NOT NULL  -- scan-pushdown half of the predicate
+    AND TRY_CAST(round(value * 100) AS BIGINT) IS NOT NULL
 ), m AS (
   SELECT t.thr_cents,
          SUM(CASE WHEN v.s >= t.thr_cents AND v.y = 1 THEN 1 ELSE 0 END)

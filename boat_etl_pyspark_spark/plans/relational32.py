@@ -240,7 +240,8 @@ WITH e AS (
   SELECT user_id, event_id, {epoch_us} AS us,
          TRY_CAST(round(value * 100) AS BIGINT) AS cents
   FROM {events}
-  WHERE TRY_CAST(round(value * 100) AS BIGINT) IS NOT NULL
+  WHERE value IS NOT NULL  -- scan-pushdown half of the predicate
+    AND TRY_CAST(round(value * 100) AS BIGINT) IS NOT NULL
 ), w AS (
   SELECT user_id, us, event_id, cents,
          LAG(cents, 2)  OVER win AS l2,

@@ -50,7 +50,8 @@ WITH v AS (
   SELECT TRY_CAST(round(value * 100) AS BIGINT) {idiv} {grid} AS s,
          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
   FROM {events}
-  WHERE TRY_CAST(round(value * 100) AS BIGINT) IS NOT NULL
+  WHERE value IS NOT NULL  -- scan-pushdown half of the predicate
+    AND TRY_CAST(round(value * 100) AS BIGINT) IS NOT NULL
 ), cnt AS (
   SELECT s, SUM(y) AS cp, COUNT(*) AS ct FROM v GROUP BY s
 ), w AS (

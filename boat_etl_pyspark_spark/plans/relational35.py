@@ -182,7 +182,12 @@ def ml_lift_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     # symmetrically via the same try-cast predicate the oracle uses.
     ev = (
         load_table(spark, sf_dir, "events")
-        .where(F.round(F.col("value") * 100).try_cast("bigint").isNotNull())
+        .where(
+            # plain isNotNull is the scan-pushdown half; try_cast
+            # handles NaN/Inf post-scan
+            F.col("value").isNotNull()
+            & F.round(F.col("value") * 100).try_cast("bigint").isNotNull()
+        )
         .select(
             "event_id",
             (-F.round(F.col("value") * 100).try_cast("bigint")).alias("neg_cents"),
@@ -231,7 +236,8 @@ WITH ranked AS (
                             event_id) AS rank,
          COUNT(*) OVER () AS n
   FROM events
-  WHERE TRY_CAST(round(value * 100) AS BIGINT) IS NOT NULL
+  WHERE value IS NOT NULL  -- scan-pushdown half of the predicate
+    AND TRY_CAST(round(value * 100) AS BIGINT) IS NOT NULL
 ), deciles AS (
   SELECT (rank - 1) * 10 // n + 1 AS decile,
          COUNT(*) AS n_events, SUM(y) AS n_pos

@@ -110,7 +110,8 @@ WITH v AS (
            AS p_ppm,
          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
   FROM {events}
-  WHERE TRY_CAST(round(value * 100) AS BIGINT) IS NOT NULL
+  WHERE value IS NOT NULL  -- scan-pushdown half of the predicate
+    AND TRY_CAST(round(value * 100) AS BIGINT) IS NOT NULL
 ), g AS (
   SELECT COUNT(*) AS n, SUM(y) AS sy,
          SUM(CAST((p_ppm - y * 1000000) AS {big})

@@ -353,7 +353,8 @@ WITH v AS (
   SELECT TRY_CAST(round(value * 100) AS BIGINT) {idiv} {grid} AS s,
          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
   FROM {events}
-  WHERE TRY_CAST(round(value * 100) AS BIGINT) IS NOT NULL
+  WHERE value IS NOT NULL  -- scan-pushdown half of the predicate
+    AND TRY_CAST(round(value * 100) AS BIGINT) IS NOT NULL
 ), grid AS (
   SELECT s, COUNT(*) AS n, SUM(y) AS pos FROM v GROUP BY s
 ), cum AS (

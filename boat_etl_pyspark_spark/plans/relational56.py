@@ -93,7 +93,8 @@ WITH v AS (
            AS p_ppm,
          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
   FROM {events}
-  WHERE TRY_CAST(round(value * 100) AS BIGINT) IS NOT NULL
+  WHERE value IS NOT NULL  -- scan-pushdown half of the predicate
+    AND TRY_CAST(round(value * 100) AS BIGINT) IS NOT NULL
 ), b AS (
   SELECT least(p_ppm {idiv} 100000, 9) AS bin,
          COUNT(*) AS nk, SUM(p_ppm) AS sp, SUM(y) AS sy
