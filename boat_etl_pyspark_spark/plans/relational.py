@@ -676,13 +676,20 @@ def json_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     get_json_object is already total; the oracle guards with
     json_valid + TRY_CAST), and non-integer numerics go through an
     explicit DOUBLE-then-truncate in BOTH engines — Spark's bare
-    string→bigint cast truncates where DuckDB's rounds."""
+    string→bigint cast truncates where DuckDB's rounds. The outer
+    DOUBLE→BIGINT step uses try_cast on BOTH sides (round-7 ADVICE):
+    valid-JSON k values like 1e300, "Infinity", or "NaN" parse to
+    non-finite/overflowing doubles, where Spark's non-ANSI cast would
+    silently yield 2^63-1 or 0 and DuckDB's plain CAST would throw —
+    try_cast maps all of them to NULL in both engines. One residual
+    corner needs an explicit guard: at exactly 2^63 Spark's ANSI
+    overflow check (floor(d) > Long.MaxValue.toDouble, both 2^63 as
+    doubles) passes and saturates to 2^63-1 while DuckDB's strict
+    `< 2^63` bound yields NULL, so the Spark side pre-filters with the
+    same strict bound before try_cast."""
     events = load_table(spark, sf_dir, "events")
-    k = (
-        F.get_json_object(F.col("props"), "$.k")
-        .cast("double")
-        .cast("bigint")
-    )
+    kd = F.get_json_object(F.col("props"), "$.k").cast("double")
+    k = F.when(kd < float(2**63), kd.try_cast("bigint"))
     return (
         events.select("event_type", k.alias("k"))
         .groupBy("event_type")
@@ -706,7 +713,7 @@ SELECT
   MAX(k) AS k_max
 FROM (
   SELECT event_type,
-         CAST(trunc(TRY_CAST(json_extract_string(
+         TRY_CAST(trunc(TRY_CAST(json_extract_string(
                 CASE WHEN json_valid(props) THEN props END, '$.k')
               AS DOUBLE)) AS BIGINT) AS k
   FROM events

@@ -168,12 +168,20 @@ def events_pattern_vshape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per user: count strict V-shapes (value drops, then rises) in
     the event-time-ordered value series — the MATCH_RECOGNIZE shape
     expressed as two lags over one user-keyed window. Users with no V
-    are absent (inner aggregate), which the oracle mirrors."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id",
-        F.unix_micros("ts").alias("ts_us"),
-        "event_id",
-        cents(F.col("value")).alias("v"),
+    are absent (inner aggregate), which the oracle mirrors. NULL ts
+    rows are dropped symmetrically (round-7 ADVICE): ts is a consumed
+    column (window ORDER BY + first_vshape_ts_us) and Spark sorts
+    NULLS FIRST where DuckDB sorts NULLS LAST, which would shift lag
+    pairs at opposite ends of each user partition."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "event_id",
+            cents(F.col("value")).alias("v"),
+        )
     )
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     lagged = ev.withColumn("v1", F.lag("v", 1).over(w)).withColumn(
@@ -200,6 +208,7 @@ WITH lagged AS (
          LAG(TRY_CAST(ROUND(value * 100) AS BIGINT), 1) OVER w AS v1,
          LAG(TRY_CAST(ROUND(value * 100) AS BIGINT), 2) OVER w AS v2
   FROM events
+  WHERE ts IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
 )
 SELECT user_id,

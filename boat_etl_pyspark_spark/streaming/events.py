@@ -219,9 +219,20 @@ def stateful_user_totals(stream_df: DataFrame) -> DataFrame:
             # NaN and +/-Inf contribute nothing (astype would raise on
             # them), finite values contribute exact rounded cents
             vals = pdf["value"].to_numpy(dtype="float64") * 100.0
-            # TRY_CAST also NULLs BIGINT overflow, not just NaN/Inf
-            ok = np.isfinite(vals) & (np.abs(vals) < 9.2e18)
-            cents_sum += int(np.rint(vals[ok]).astype("int64").sum())
+            # ROUND() in both engines is half AWAY from zero — np.rint
+            # would round half to even, off by one cent on exact-.5
+            # values like value=0.125 (round-7 ADVICE).
+            rounded = np.copysign(np.floor(np.abs(vals) + 0.5), vals)
+            # TRY_CAST also NULLs BIGINT overflow, not just NaN/Inf;
+            # mirror its exact bounds [-2^63, 2^63) — the old 9.2e18
+            # guard dropped finite doubles in [9.2e18, 2^63) that
+            # TRY_CAST accepts.
+            ok = (
+                np.isfinite(rounded)
+                & (rounded >= -9223372036854775808.0)
+                & (rounded < 9223372036854775808.0)
+            )
+            cents_sum += int(rounded[ok].astype("int64").sum())
         state.update((n, cents_sum))
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "value_sum": [cents_sum / 100.0]}

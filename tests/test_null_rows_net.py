@@ -303,6 +303,14 @@ def hostile_props_dir(tmp_path_factory):
         '{"k": -3.9}',      # negative non-integer (trunc toward zero)
         None,               # NULL props
         '{"j": 7}',         # missing key
+        '{"k": 1e300}',     # overflows BIGINT (r07 ADVICE: non-ANSI
+        #                     cast saturates, plain DuckDB CAST throws)
+        '{"k": "Infinity"}',  # parses to +Inf in both engines
+        '{"k": "NaN"}',       # parses to NaN in both engines
+        '{"k": -1e300}',      # negative overflow
+        '{"k": 9223372036854775808}',  # exactly 2^63: Spark ANSI
+        #                     overflow check passes at the double
+        #                     boundary, DuckDB's strict < 2^63 doesn't
     ]
     n = len(props)
     extra = pa.table(
@@ -361,7 +369,22 @@ def nonfinite_events_dir(tmp_path_factory):
     _copy_sf(d, skip="events.parquet")
     real = pq.read_table(os.path.join(SF_SMOKE, "events.parquet"))
     base = np.datetime64("2024-02-15T11:00:00.000000", "us")
-    vals = [float("nan"), float("inf"), float("-inf"), 1e300, 12.34]
+    vals = [
+        float("nan"),
+        float("inf"),
+        float("-inf"),
+        1e300,
+        12.34,
+        0.125,     # cents land exactly on .5: ROUND is half AWAY from
+        #            zero in both engines (13), np.rint would give 12
+        -0.125,    # and the negative mirror (-13, not -12)
+        # NOT here: a huge-but-TRY_CAST-castable value (e.g. 9.21e16,
+        # cents 9.21e18 ∈ [9.2e18, 2^63)). Five queries multiply cents
+        # by small integers downstream, where DuckDB BIGINT arithmetic
+        # THROWS and Spark wraps — a real latent class, documented in
+        # COVERAGE.md for round 9; the TRY_CAST-band behavior itself is
+        # pinned by test_stateful_totals_parity_on_guard_band_values.
+    ]
     n = len(vals)
     extra = pa.table(
         {
@@ -372,7 +395,7 @@ def nonfinite_events_dir(tmp_path_factory):
             ),
             "user_id": pa.array([i % 3 for i in range(n)], pa.int64()),
             "event_type": pa.array(
-                ["purchase", "view", "purchase", "view", "purchase"]
+                [("purchase", "view")[i % 2] for i in range(n)]
             ),
             "value": pa.array(vals, pa.float64()),
             "props": pa.array(['{"k": 1}'] * n),
@@ -398,6 +421,68 @@ def test_event_query_parity_on_nonfinite_values(
         release_caches(spark)
     problems = frames_equal(spark_pd, oracle_pd)
     assert not problems, f"{name}: " + "; ".join(problems)
+
+
+@pytest.fixture(scope="module")
+def guard_band_events_dir(tmp_path_factory):
+    """Values whose cents land in TRY_CAST's outer reaches: the
+    [9.2e18, 2^63) band the old stateful guard wrongly dropped, the
+    first overflow beyond it, and exact-half cents (round-7 ADVICE).
+    Kept OUT of the shared non-finite fixture: five queries multiply
+    cents by small integers downstream where DuckDB BIGINT arithmetic
+    throws (see nonfinite_events_dir comment), so only the stateful
+    totals operator — whose arithmetic is a pure SUM — replays it."""
+    d = str(tmp_path_factory.mktemp("sf_guard_band_events"))
+    _copy_sf(d, skip="events.parquet")
+    real = pq.read_table(os.path.join(SF_SMOKE, "events.parquet"))
+    base = np.datetime64("2024-02-15T12:00:00.000000", "us")
+    vals = [
+        0.125,      # 12.5 cents: half AWAY from zero -> 13
+        -0.125,     # -13, not -12
+        9.21e16,    # cents 9.21e18 in [9.2e18, 2^63): TRY_CAST keeps it
+        -9.21e16,   # the negative band mirror
+        9.3e16,     # cents 9.3e18 >= 2^63: TRY_CAST -> NULL, drops out
+    ]
+    n = len(vals)
+    extra = pa.table(
+        {
+            "event_id": pa.array(range(40_000_000, 40_000_000 + n), pa.int64()),
+            "ts": pa.array(
+                [base + np.timedelta64(i, "s") for i in range(n)],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([777] * n, pa.int64()),
+            "event_type": pa.array(["purchase"] * n),
+            "value": pa.array(vals, pa.float64()),
+            "props": pa.array(['{"k": 1}'] * n),
+        }
+    )
+    merged = pa.concat_tables([real.select(extra.column_names), extra])
+    pq.write_table(merged, os.path.join(d, "events.parquet"), version="2.6")
+    return d
+
+
+def test_stateful_totals_parity_on_guard_band_values(
+    spark, oracle, guard_band_events_dir
+):
+    import __spark_entry__ as m
+    from boat_etl_pyspark_spark.plans import release_caches
+
+    name = "stream_stateful_user_totals"
+    try:
+        spark_pd = m.queries()[name](spark, guard_band_events_dir).toPandas()
+        con = oracle(guard_band_events_dir)
+        oracle_pd = con.execute(m.oracle_sql()[name]).fetchdf()
+    finally:
+        release_caches(spark)
+    problems = frames_equal(spark_pd, oracle_pd)
+    assert not problems, f"{name}: " + "; ".join(problems)
+    # the synthetic user's total pins the exact band semantics:
+    # 13 - 13 + 9.21e18 - 9.21e18 + (dropped) = 0 cents
+    row = spark_pd[spark_pd["user_id"] == 777]
+    assert len(row) == 1
+    assert float(row["value_sum"].iloc[0]) == 0.0
+    assert int(row["n_events"].iloc[0]) == 5
 
 
 def test_event_nets_cover_every_events_consumer():
