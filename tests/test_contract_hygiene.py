@@ -202,6 +202,101 @@ def test_fingerprint_bank_covers_every_green():
         ), f"malformed fingerprint for {name}: {row}"
 
 
+def _load_tool(stem):
+    import importlib.util
+
+    path = os.path.join(os.path.dirname(_COV), "tools", f"{stem}.py")
+    spec = importlib.util.spec_from_file_location(stem, path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_spark_template_edit_flips_changed_since_green():
+    """Round-7 verdict item 5: most plans render a module-level
+    ``_X_SPARK`` template via ``spark.sql``, so an edit to the template
+    alone changes neither the function source nor the oracle SQL — the
+    fingerprint must cover it anyway, or a stale driver green survives
+    a Spark-side-only bugfix undetected."""
+    fp_mod = _load_tool("fingerprints")
+    name = "dedup_simhash"
+    fn = M._RAW_QUERIES[name]
+    templates = fp_mod.referenced_templates(fn)
+    assert templates, (
+        f"{name} no longer references a module-level template; "
+        "pick another template-rendered query for this test"
+    )
+    tmpl_name = templates[0].split("=", 1)[0]
+    before = fp_mod.compute_fingerprints(M)[name]
+    orig = fn.__globals__[tmpl_name]
+    try:
+        fn.__globals__[tmpl_name] = orig + "\n-- edited"
+        after_fps = fp_mod.compute_fingerprints(M)
+    finally:
+        fn.__globals__[tmpl_name] = orig
+    assert after_fps[name] != before
+    # and the change lands in the rotation's changed-since-green set
+    changed = fp_mod.changed_since_green(
+        greens={name: 7},
+        fingerprints=after_fps,
+        bank={name: {"fp": before, "green": 7}},
+    )
+    assert name in changed
+    # control: with the template restored the query is unchanged
+    assert name not in fp_mod.changed_since_green(
+        greens={name: 7},
+        fingerprints={name: before},
+        bank={name: {"fp": before, "green": 7}},
+    )
+
+
+def test_rotation_changed_cap_prevents_starvation():
+    """Round-7 verdict items 1-2: uncapped changed-first let a
+    73-query hardening round fill the whole window with
+    re-certifications and the never-checked backlog didn't shrink.
+    The cap guarantees never-checked names at least WINDOW -
+    CHANGED_CAP slots no matter how many queries a round edits, and
+    overflow changed names still outrank plain stale greens."""
+    rot = _load_tool("rotation")
+    n_changed = rot.WINDOW + 10  # a hardening round bigger than the window
+    changed = [f"chg_{i:03d}" for i in range(n_changed)]
+    never = [f"new_{i:03d}" for i in range(rot.WINDOW)]
+    stale = [f"old_{i:03d}" for i in range(5)]
+    names = changed + never + stale
+    greens = {n: 3 for n in changed}
+    greens.update({n: 1 for n in stale})
+    window = rot.compute_check_first(
+        names=names,
+        greens=greens,
+        changed_set=set(changed),
+    )
+    assert len(window) == rot.WINDOW
+    got_changed = [n for n in window if n.startswith("chg_")]
+    got_never = [n for n in window if n.startswith("new_")]
+    assert len(got_changed) == rot.CHANGED_CAP
+    assert len(got_never) == rot.WINDOW - rot.CHANGED_CAP
+    # with room to spare, overflow changed names come before stale greens
+    window2 = rot.compute_check_first(
+        names=names,
+        greens=greens,
+        changed_set=set(changed),
+        window=n_changed + len(never) + len(stale),
+    )
+    assert list(window2[-len(stale):]) == stale  # stale last
+    overflow = window2[rot.CHANGED_CAP + len(never) : -len(stale)]
+    assert all(n.startswith("chg_") for n in overflow)
+    # changed order is banked-green-round ascending (stalest first)
+    mixed_greens = dict(greens)
+    mixed_greens["chg_000"] = 6  # freshest green sorts last
+    window3 = rot.compute_check_first(
+        names=names,
+        greens=mixed_greens,
+        changed_set={"chg_000", "chg_001"},
+        window=3,
+    )
+    assert list(window3[:2]) == ["chg_001", "chg_000"]
+
+
 def test_null_docs_net_covers_the_tokenizing_net():
     """The NULL-documents parity net must cover every query in the
     degenerate-text (tokenizing) net: a future tokenizing query added

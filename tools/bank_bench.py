@@ -56,6 +56,16 @@ def main() -> None:
         )
     scale = max(fp_scale, agg_scale)
 
+    # Establish the multi-core fingerprint reference (round-7 verdict
+    # item 4) the first time a bench run carries the probe: project the
+    # measured mc fingerprint into fp_ref space with the same scale the
+    # timings use (on the quiet host this banking demands, single-core
+    # and multi-core drift together, so the projection is faithful).
+    # Once set it is pinned to the fp_ref era and never overwritten.
+    if "fp_mc_ref" not in base and "cpu_fingerprint_mc_sec" in full:
+        mc = full["cpu_fingerprint_mc_sec"]
+        base["fp_mc_ref"] = round(((mc["start"] + mc["end"]) / 2) * scale, 4)
+
     improved, added = 0, 0
     for name, sec in full["queries"].items():
         norm = round(sec * scale, 3)

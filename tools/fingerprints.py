@@ -21,11 +21,23 @@ replaces the hand list with a content-addressed bank:
   driver-gate window, AHEAD of never-checked names (round-6 verdict
   item 1), so an edit auto-promotes the query with no manual step.
 
-Granularity caveat (documented, accepted): the hash covers the plan
-function body and the oracle string, not shared helpers it calls. An
-edit to a shared helper escapes the bank; the backstop is the in-repo
-replica gate (``tests/test_oracle_parity.py`` replays all 327 queries
-vs DuckDB at sf0.001 every session) plus the two-scale
+The hash ALSO covers every module-level string constant the plan
+callable references (``fn.__code__.co_names`` ∩ its module globals of
+type ``str``) — round-7 verdict item 5: most plans are
+``spark.sql(_X_SPARK.format(...))`` where ``_X_SPARK`` is a
+module-level template, so a Spark-side-only template edit changes
+neither the function source nor the oracle SQL and would otherwise
+leave a stale green undetected. ``--migrate`` rewrites banked
+fingerprints to the template-inclusive algorithm for entries whose
+pre-template hash still matches (i.e. code unchanged); entries that
+already mismatch stay changed.
+
+Granularity caveat (documented, accepted): the hash still does not
+cover shared HELPER FUNCTIONS a plan calls (only string constants).
+An edit to a shared helper escapes the bank — promote by hand with
+``--promote NAME`` (sets the banked fp to null); the backstop is the
+in-repo replica gate (``tests/test_oracle_parity.py`` replays all 327
+queries vs DuckDB at sf0.001 every session) plus the two-scale
 ``make verify-scale`` sweep.
 
 Round protocol (pinned by ``tests/test_contract_hygiene.py``):
@@ -61,17 +73,42 @@ def _entry_module():
     return entry_mod
 
 
-def compute_fingerprints(entry_mod=None) -> dict[str, str]:
-    """name -> sha256 over (plan callable source + oracle SQL)."""
+def referenced_templates(fn) -> list[str]:
+    """``name=value`` for every module-level string constant the plan
+    callable references, sorted by name. These are the ``_X_SPARK`` /
+    ``_X_SQL`` templates a plan renders via ``spark.sql(...)``;
+    editing one must flip the fingerprint even though the function
+    source and oracle SQL are untouched."""
+    code = getattr(fn, "__code__", None)
+    mod_globals = getattr(fn, "__globals__", {})
+    if code is None:
+        return []
+    out = []
+    for name in sorted(set(code.co_names)):
+        val = mod_globals.get(name)
+        if isinstance(val, str):
+            out.append(f"{name}={val}")
+    return out
+
+
+def compute_fingerprints(
+    entry_mod=None, include_templates: bool = True
+) -> dict[str, str]:
+    """name -> sha256 over (plan callable source + oracle SQL +
+    referenced module-level string constants). ``include_templates=
+    False`` reproduces the pre-round-8 hash, used only by
+    ``--migrate`` to recognize unchanged entries."""
     m = _entry_module() if entry_mod is None else entry_mod
     oracles = m._ORACLE
     out: dict[str, str] = {}
     for name, fn in m._RAW_QUERIES.items():
         src = inspect.getsource(fn)
         sql = oracles.get(name, "")
-        out[name] = hashlib.sha256(
-            src.encode() + b"\x00" + sql.encode()
-        ).hexdigest()
+        payload = src.encode() + b"\x00" + sql.encode()
+        if include_templates:
+            for item in referenced_templates(fn):
+                payload += b"\x00" + item.encode()
+        out[name] = hashlib.sha256(payload).hexdigest()
     return out
 
 
@@ -132,6 +169,42 @@ def bank_greens(
     return updated
 
 
+def migrate_bank(path: str = BANK_PATH) -> list[str]:
+    """One-time round-8 migration: rewrite each banked fingerprint to
+    the template-inclusive algorithm IF its pre-template hash still
+    matches the code on disk (proving the function source + oracle are
+    unchanged since banking). Entries that already mismatch under the
+    old algorithm stay as-is — they are changed either way. The gap
+    this closes is prospective only: a template edited BEFORE the
+    migration while its function stayed untouched cannot be detected
+    retroactively; the oracle-parity replica gate covers that window."""
+    m = _entry_module()
+    old = compute_fingerprints(m, include_templates=False)
+    new = compute_fingerprints(m)
+    bank = load_bank(path)
+    migrated = []
+    for name, row in bank.items():
+        if row.get("fp") is not None and row["fp"] == old.get(name):
+            if row["fp"] != new[name]:
+                row["fp"] = new[name]
+                migrated.append(name)
+    if migrated:
+        save_bank(bank, path)
+    return migrated
+
+
+def promote(names: list[str], path: str = BANK_PATH) -> None:
+    """Null the banked fp for ``names`` — marks their latest green as
+    certifying code no longer on disk (used when a shared HELPER a
+    plan calls changed behavior, which the hash cannot see)."""
+    bank = load_bank(path)
+    for name in names:
+        if name not in bank:
+            raise SystemExit(f"not banked: {name}")
+        bank[name]["fp"] = None
+    save_bank(bank, path)
+
+
 def main() -> None:
     from rotation import latest_green  # sibling module
 
@@ -139,6 +212,16 @@ def main() -> None:
     if "--bank" in sys.argv:
         updated = bank_greens(greens)
         print(f"banked {len(updated)} entries: {updated}")
+        return
+    if "--migrate" in sys.argv:
+        migrated = migrate_bank()
+        print(f"migrated {len(migrated)} entries to the "
+              f"template-inclusive hash")
+        return
+    if "--promote" in sys.argv:
+        names = sys.argv[sys.argv.index("--promote") + 1 :]
+        promote(names)
+        print(f"promoted (fp nulled): {names}")
         return
     changed = sorted(changed_since_green(greens))
     print(f"changed since green ({len(changed)}):")

@@ -12,18 +12,33 @@ to its output so the two can never drift.
 
 Policy (round-6 verdict, "Next round: do this" items 1 and 3):
 
-1. CHANGED-SINCE-GREEN queries come FIRST — their old green row
-   certifies code that is no longer on disk, the worst kind of stale
-   signal. The set is MECHANIZED (round-6 verdict item 3 / ADVICE):
+1. CHANGED-SINCE-GREEN queries come FIRST, **capped at CHANGED_CAP
+   slots per round** — their old green row certifies code that is no
+   longer on disk, the worst kind of stale signal. The set is
+   MECHANIZED (round-6 verdict item 3 / ADVICE):
    ``tools/fingerprints.py`` hashes each query's plan source + oracle
-   SQL against the fingerprint its latest green row certified
+   SQL + referenced module-level string templates against the
+   fingerprint its latest green row certified
    (``tools/fingerprint_bank.json``); editing a green query's plan or
-   oracle auto-promotes it here with no manual step. Registry order
-   within the set.
+   oracle auto-promotes it here with no manual step. Ordered by
+   banked-green round ascending (stalest signal first), ties in
+   registry order.
+
+   ANTI-STARVATION RULE (round-7 verdict items 1-2, pinned by
+   ``tests/test_contract_hygiene.py``): round 7 edited 73 green
+   queries, so uncapped changed-first filled the whole 50-slot window
+   with re-certifications and the never-checked backlog (55) did not
+   shrink at all — any future hardening round would reproduce that
+   starvation. The cap guarantees never-checked/stale names at least
+   ``WINDOW - CHANGED_CAP`` slots every round regardless of how much
+   a round edits. Changed names beyond the cap rank AFTER
+   never-checked but BEFORE plain stale greens (they are stale greens
+   with a known edit on top — strictly worse).
 2. NEVER-CHECKED queries (no green driver row in any round) come
    next. Among them, the verdict's named highest-stakes queries come
    first (``PRIORITY``); the rest follow in registry order.
-3. Remaining slots go to stale greens, oldest round first (ties in
+3. Changed names beyond the cap, same order as (1).
+4. Remaining slots go to stale greens, oldest round first (ties in
    registry order).
 
 Green = ``err`` null, ``rows_match`` and ``schema_match`` true, and
@@ -48,6 +63,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 #: Driver gate width: CORRECTNESS_r{N}.json rows per round.
 WINDOW = 50
+
+#: Max window slots changed-since-green names may take per round; the
+#: other WINDOW - CHANGED_CAP always drain never-checked / stale names
+#: (round-7 verdict anti-starvation rule — see module docstring).
+CHANGED_CAP = WINDOW // 2
 
 #: Hand-pinned head for NEVER-CHECKED queries only (round-5 verdict's
 #: highest-stakes list, in its order). Never-checked names absent from
@@ -119,15 +139,17 @@ def compute_check_first(
     greens: dict[str, int] | None = None,
     window: int = WINDOW,
     rounds: tuple[int, ...] | None = None,
+    changed_set: set[str] | None = None,
 ) -> tuple[str, ...]:
     names = registry_names() if names is None else list(names)
     greens = latest_green(rounds=rounds) if greens is None else greens
-    changed_set = changed_since_green_set(greens)
+    if changed_set is None:
+        changed_set = changed_since_green_set(greens)
     pos = {n: i for i, n in enumerate(names)}
     prio = {n: i for i, n in enumerate(PRIORITY)}
     changed = sorted(
         (n for n in names if n in greens and n in changed_set),
-        key=lambda n: pos[n],
+        key=lambda n: (greens[n], pos[n]),
     )
     never = sorted(
         (n for n in names if n not in greens),
@@ -137,7 +159,8 @@ def compute_check_first(
         (n for n in names if n in greens and n not in changed_set),
         key=lambda n: (greens[n], pos[n]),
     )
-    return tuple((changed + never + stale)[:window])
+    head, overflow = changed[:CHANGED_CAP], changed[CHANGED_CAP:]
+    return tuple((head + never + overflow + stale)[:window])
 
 
 def changed_since_green_set(greens: dict[str, int]) -> set[str]:
