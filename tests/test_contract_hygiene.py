@@ -250,6 +250,39 @@ def test_spark_template_edit_flips_changed_since_green():
     )
 
 
+def test_helper_function_edit_flips_changed_since_green():
+    """Round-8 follow-up to the template gap: the round-7 ADVICE fix
+    to ``stream_stateful_user_totals`` lived in a HELPER function
+    (``streaming/events.py``) invisible to both the plan source and
+    every template, and required a hand ``--promote``. Depth-1
+    referenced-function hashing must promote that class automatically:
+    swapping a referenced repo-local function for one with different
+    source must change the query's fingerprint."""
+    fp_mod = _load_tool("fingerprints")
+    name = "stream_stateful_user_totals"
+    fn = M._RAW_QUERIES[name]
+    refs = fp_mod.referenced_functions(fn)
+    helper_names = [r.split("=", 1)[0] for r in refs]
+    assert "stateful_user_totals" in helper_names, helper_names
+    before = fp_mod.compute_fingerprints(M)[name]
+
+    def _stand_in_with_different_source(stream_df):
+        return stream_df
+
+    from boat_etl_pyspark_spark.streaming import events as ev_mod
+
+    orig = ev_mod.stateful_user_totals
+    _stand_in_with_different_source.__module__ = orig.__module__
+    try:
+        ev_mod.stateful_user_totals = _stand_in_with_different_source
+        after = fp_mod.compute_fingerprints(M)[name]
+    finally:
+        ev_mod.stateful_user_totals = orig
+    assert after != before
+    # control: restored helper reproduces the original fingerprint
+    assert fp_mod.compute_fingerprints(M)[name] == before
+
+
 def test_rotation_changed_cap_prevents_starvation():
     """Round-7 verdict items 1-2: uncapped changed-first let a
     73-query hardening round fill the whole window with

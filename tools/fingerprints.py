@@ -32,13 +32,22 @@ fingerprints to the template-inclusive algorithm for entries whose
 pre-template hash still matches (i.e. code unchanged); entries that
 already mismatch stay changed.
 
-Granularity caveat (documented, accepted): the hash still does not
-cover shared HELPER FUNCTIONS a plan calls (only string constants).
-An edit to a shared helper escapes the bank — promote by hand with
-``--promote NAME`` (sets the banked fp to null); the backstop is the
-in-repo replica gate (``tests/test_oracle_parity.py`` replays all 327
-queries vs DuckDB at sf0.001 every session) plus the two-scale
-``make verify-scale`` sweep.
+The hash ALSO covers the source of every repo-local FUNCTION the plan
+callable references (depth 1): round 8's ``stream_stateful_user_totals``
+fix lived in a helper (``streaming/events.py``) that neither the plan
+source nor any template showed, and needed a hand ``--promote``. With
+depth-1 function hashing that class promotes automatically. The cost
+is accepted: an edit to a widely-shared helper (``load_table``,
+``cents``) flips every query that calls it — which is HONEST (their
+certified behavior may have changed), and the rotation's CHANGED_CAP
+bounds the scheduling impact to 25 slots/round.
+
+Granularity caveat (documented, accepted): depth 1 only — an edit two
+calls deep (a helper's helper) still escapes, as do methods and
+closures; promote those by hand with ``--promote NAME`` (sets the
+banked fp to null). The backstop is the in-repo replica gate
+(``tests/test_oracle_parity.py`` replays all 327 queries vs DuckDB at
+sf0.001 every session) plus the two-scale ``make verify-scale`` sweep.
 
 Round protocol (pinned by ``tests/test_contract_hygiene.py``):
 
@@ -91,13 +100,81 @@ def referenced_templates(fn) -> list[str]:
     return out
 
 
+def _function_local_imports(fn) -> dict:
+    """name -> object for ``from X import y`` statements INSIDE the
+    plan callable's body (the repo's lazy-import idiom for streaming
+    helpers). These bind locals, not globals, so ``co_names`` +
+    ``__globals__`` alone cannot resolve them."""
+    import importlib
+    import re
+
+    out: dict = {}
+    try:
+        src = inspect.getsource(fn)
+    except (OSError, TypeError):
+        return out
+    pkg = (getattr(fn, "__module__", "") or "").rpartition(".")[0]
+    for m in re.finditer(
+        r"^\s*from\s+([.\w]+)\s+import\s+([\w ,]+)", src, re.M
+    ):
+        modname = m.group(1)
+        try:
+            mod = importlib.import_module(
+                modname, package=pkg if modname.startswith(".") else None
+            )
+        except Exception:
+            continue
+        for name in (s.strip() for s in m.group(2).split(",")):
+            if name and hasattr(mod, name):
+                out[name] = getattr(mod, name)
+    return out
+
+
+def referenced_functions(fn) -> list[str]:
+    """``name=source`` for every repo-local function the plan callable
+    references (depth 1), sorted by name — module globals plus
+    function-local imports. Catches behavior edits in helpers the plan
+    delegates to (e.g. the streaming operators in
+    ``streaming/events.py``) that neither the plan source nor any
+    string template reflects."""
+    code = getattr(fn, "__code__", None)
+    mod_globals = getattr(fn, "__globals__", {})
+    if code is None:
+        return []
+    candidates = dict(_function_local_imports(fn))
+    for name in set(code.co_names):
+        if name in mod_globals:
+            candidates[name] = mod_globals[name]
+    out = []
+    for name in sorted(candidates):
+        val = candidates[name]
+        if not inspect.isfunction(val) or val is fn:
+            continue
+        mod = getattr(val, "__module__", "") or ""
+        if not (
+            mod.startswith("boat_etl_pyspark_spark")
+            or mod == "__spark_entry__"
+        ):
+            continue  # stdlib / third-party: pinned by the environment
+        try:
+            out.append(f"{name}={inspect.getsource(val)}")
+        except (OSError, TypeError):
+            continue
+    return out
+
+
+#: Current hash algorithm. 1 = plan source + oracle SQL; 2 = + referenced
+#: module-level string templates (round-8 verdict item 5); 3 = + referenced
+#: repo-local function sources, depth 1 (round-8 --promote follow-up).
+ALGO_VERSION = 3
+
+
 def compute_fingerprints(
-    entry_mod=None, include_templates: bool = True
+    entry_mod=None, version: int = ALGO_VERSION
 ) -> dict[str, str]:
-    """name -> sha256 over (plan callable source + oracle SQL +
-    referenced module-level string constants). ``include_templates=
-    False`` reproduces the pre-round-8 hash, used only by
-    ``--migrate`` to recognize unchanged entries."""
+    """name -> sha256 per ``ALGO_VERSION``. Older ``version`` values
+    reproduce prior-era hashes, used only by ``--migrate`` to
+    recognize unchanged entries."""
     m = _entry_module() if entry_mod is None else entry_mod
     oracles = m._ORACLE
     out: dict[str, str] = {}
@@ -105,8 +182,11 @@ def compute_fingerprints(
         src = inspect.getsource(fn)
         sql = oracles.get(name, "")
         payload = src.encode() + b"\x00" + sql.encode()
-        if include_templates:
+        if version >= 2:
             for item in referenced_templates(fn):
+                payload += b"\x00" + item.encode()
+        if version >= 3:
+            for item in referenced_functions(fn):
                 payload += b"\x00" + item.encode()
         out[name] = hashlib.sha256(payload).hexdigest()
     return out
@@ -170,24 +250,29 @@ def bank_greens(
 
 
 def migrate_bank(path: str = BANK_PATH) -> list[str]:
-    """One-time round-8 migration: rewrite each banked fingerprint to
-    the template-inclusive algorithm IF its pre-template hash still
-    matches the code on disk (proving the function source + oracle are
-    unchanged since banking). Entries that already mismatch under the
-    old algorithm stay as-is — they are changed either way. The gap
-    this closes is prospective only: a template edited BEFORE the
-    migration while its function stayed untouched cannot be detected
-    retroactively; the oracle-parity replica gate covers that window."""
+    """Algorithm-upgrade migration: rewrite each banked fingerprint to
+    the current ``ALGO_VERSION`` IF its hash matches the code on disk
+    under ANY older algorithm version (proving the hashed content is
+    unchanged since banking). Entries that match no version stay as-is
+    — they are changed either way. The gap each upgrade closes is
+    prospective only: content the old hash didn't cover that changed
+    BEFORE the migration cannot be detected retroactively; the
+    oracle-parity replica gate covers that window."""
     m = _entry_module()
-    old = compute_fingerprints(m, include_templates=False)
-    new = compute_fingerprints(m)
+    current = compute_fingerprints(m)
+    older = [
+        compute_fingerprints(m, version=v)
+        for v in range(1, ALGO_VERSION)
+    ]
     bank = load_bank(path)
     migrated = []
     for name, row in bank.items():
-        if row.get("fp") is not None and row["fp"] == old.get(name):
-            if row["fp"] != new[name]:
-                row["fp"] = new[name]
-                migrated.append(name)
+        fp = row.get("fp")
+        if fp is None or fp == current.get(name):
+            continue
+        if any(fp == old.get(name) for old in older):
+            row["fp"] = current[name]
+            migrated.append(name)
     if migrated:
         save_bank(bank, path)
     return migrated
@@ -215,8 +300,8 @@ def main() -> None:
         return
     if "--migrate" in sys.argv:
         migrated = migrate_bank()
-        print(f"migrated {len(migrated)} entries to the "
-              f"template-inclusive hash")
+        print(f"migrated {len(migrated)} entries to hash algorithm "
+              f"v{ALGO_VERSION}")
         return
     if "--promote" in sys.argv:
         names = sys.argv[sys.argv.index("--promote") + 1 :]
