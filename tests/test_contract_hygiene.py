@@ -283,6 +283,40 @@ def test_helper_function_edit_flips_changed_since_green():
     assert fp_mod.compute_fingerprints(M)[name] == before
 
 
+def test_fingerprint_migration_recognizes_only_older_era_hashes(tmp_path):
+    """``--migrate`` must upgrade a banked hash to the current
+    algorithm ONLY when it matches the on-disk content under some
+    older algorithm version (proof the content is unchanged). A hash
+    matching no version — a genuinely edited query, or an orphaned
+    intermediate — must stay put, and null promotions must survive."""
+    fp_mod = _load_tool("fingerprints")
+    fps_now = fp_mod.compute_fingerprints(M)
+    names = list(fps_now)[:4]
+    v1 = fp_mod.compute_fingerprints(M, version=1)
+    bank_path = str(tmp_path / "bank.json")
+    fp_mod.save_bank(
+        {
+            names[0]: {"fp": v1[names[0]], "green": 5},   # v1 era: upgrade
+            names[1]: {"fp": "0" * 64, "green": 5},       # unknown: keep
+            names[2]: {"fp": None, "green": 5},           # promoted: keep
+            names[3]: {"fp": fps_now[names[3]], "green": 7},  # current: keep
+        },
+        path=bank_path,
+    )
+    migrated = fp_mod.migrate_bank(path=bank_path)
+    assert migrated == [names[0]]
+    bank = fp_mod.load_bank(bank_path)
+    assert bank[names[0]]["fp"] == fps_now[names[0]]
+    assert bank[names[1]]["fp"] == "0" * 64
+    assert bank[names[2]]["fp"] is None
+    assert bank[names[3]]["fp"] == fps_now[names[3]]
+    # and the kept-unknown / kept-null entries still read as changed
+    changed = fp_mod.changed_since_green(
+        greens={n: 5 for n in names}, fingerprints=fps_now, bank=bank
+    )
+    assert changed == {names[1], names[2]}
+
+
 def test_rotation_changed_cap_prevents_starvation():
     """Round-7 verdict items 1-2: uncapped changed-first let a
     73-query hardening round fill the whole window with
