@@ -283,6 +283,37 @@ def test_helper_function_edit_flips_changed_since_green():
     assert fp_mod.compute_fingerprints(M)[name] == before
 
 
+def test_rotation_red_rows_do_not_count_as_checked(tmp_path):
+    """A red driver row (err, rows/schema mismatch, or hash_match
+    False) must NOT register as a green check: the query stays at the
+    front of the window until a green row lands, and a later red row
+    must not erase an earlier green."""
+    import json
+
+    rot = _load_tool("rotation")
+    r1 = {
+        "ok_q": {"err": None, "rows_match": True, "schema_match": True,
+                 "hash_match": True},
+        "err_q": {"err": "boom", "rows_match": True, "schema_match": True,
+                  "hash_match": True},
+        "rows_q": {"err": None, "rows_match": False, "schema_match": True,
+                   "hash_match": True},
+        "hash_q": {"err": None, "rows_match": True, "schema_match": True,
+                   "hash_match": False},
+        "rows_only_q": {"err": None, "rows_match": True,
+                        "schema_match": True, "hash_match": None},
+    }
+    r2 = {  # ok_q goes red later: the r1 green must survive
+        "ok_q": {"err": "flake", "rows_match": False,
+                 "schema_match": False, "hash_match": False},
+    }
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps(r1))
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps(r2))
+    greens = rot.latest_green(repo=str(tmp_path))
+    assert greens == {"ok_q": 1, "rows_only_q": 1}
+    assert rot.available_rounds(repo=str(tmp_path)) == (1, 2)
+
+
 def test_fingerprint_migration_recognizes_only_older_era_hashes(tmp_path):
     """``--migrate`` must upgrade a banked hash to the current
     algorithm ONLY when it matches the on-disk content under some
