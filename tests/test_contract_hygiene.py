@@ -147,9 +147,16 @@ def test_check_first_matches_rotation_tool():
     spec.loader.exec_module(rot)
     # pin against the BASIS rounds the list was generated from, so a
     # new round's CORRECTNESS file landing on disk doesn't redden the
-    # pin before the round-start regeneration ritual runs
+    # pin before the round-start regeneration ritual runs; likewise
+    # pin against the changed-since-green set AS OF PIN TIME
+    # (_CHECK_FIRST_CHANGED_BASIS) — the window is pinned at round
+    # start before the round's edits (round-8 verdict item 7), so
+    # mid-round edits promote into the NEXT round's window instead of
+    # retroactively rewriting (and reddening) this one
     expected = rot.compute_check_first(
-        names=list(M._RAW_QUERIES), rounds=M._CHECK_FIRST_BASIS
+        names=list(M._RAW_QUERIES),
+        rounds=M._CHECK_FIRST_BASIS,
+        changed_set=set(M._CHECK_FIRST_CHANGED_BASIS),
     )
     assert M._CHECK_FIRST == expected, (
         "regenerate with: python tools/rotation.py --python\n"

@@ -47,8 +47,15 @@ row). A red row does NOT count as checked — the query stays at the
 front until a green row lands.
 
 Usage: ``python tools/rotation.py`` prints the 50 names, one per line;
-``--python`` prints them as a tuple literal ready to paste into
-``__spark_entry__.py``.
+``--python`` prints them as tuple literals ready to paste into
+``__spark_entry__.py`` — including ``_CHECK_FIRST_CHANGED_BASIS``, the
+changed-since-green set AS OF PIN TIME. The window is pinned at ROUND
+START, before the round's plan edits (round-8 verdict item 7: a
+hardening round's own edits must not displace the never-checked
+backlog drain); queries edited after the pin become changed-since-green
+and enter the NEXT round's window head. The hygiene test replays the
+computation with the pinned changed set so mid-round edits cannot
+silently redden (or retroactively rewrite) a round's window.
 """
 
 from __future__ import annotations
@@ -194,7 +201,12 @@ def main() -> None:
     check_first = compute_check_first()
     if "--python" in sys.argv:
         rounds = available_rounds()
+        changed = sorted(changed_since_green_set(latest_green(rounds=rounds)))
         print(f"_CHECK_FIRST_BASIS = {rounds!r}")
+        print("_CHECK_FIRST_CHANGED_BASIS = (")
+        for name in changed:
+            print(f'    "{name}",')
+        print(")")
         print("_CHECK_FIRST = (")
         for name in check_first:
             print(f'    "{name}",')
