@@ -1,0 +1,167 @@
+"""Shared ingest-validity contract (round-9 hostile-value classes).
+
+The round-8 hostile-shape probe replayed domain-edge rows through all
+consumers in both engines and attributed every latent divergence to one
+of four value classes. The policy here is the same one round 7 pinned
+for NULL/NaN/Inf measurements: values outside a DOCUMENTED validity
+domain are corrupt ingest and are excluded by the SAME predicate in the
+Spark plan and the DuckDB oracle — never handled by engine-specific
+arithmetic that the other engine cannot reproduce. Each constant below
+is the single source of truth; plans interpolate these fragments into
+their SQL templates (or apply them via ``F.expr``), so the symmetric
+predicate cannot drift between engines.
+
+Why bounds instead of widening, per class:
+
+* **Money values** (``events.value``): cents are exact BIGINTs, and
+  several operators multiply cents by small integers (bin widths,
+  ppm scalers <= ~1e5). A TRY_CAST-castable but absurd value (cents
+  9.21e18) overflows those products — DuckDB BIGINT arithmetic THROWS
+  while Spark wraps. Widening to DECIMAL costs 128-bit arithmetic on
+  every row of the hot path and still overflows eventually; bounding
+  |value| <= 1e12 dollars (cents <= 1e14, x1e4 multipliers <= 1e18)
+  is scan-pushdown-able and honest about what a money column may
+  contain. At 100 TB the bound is the documented knob: raise it and
+  the multiplier budget shrinks proportionally.
+* **Embeddings**: the corpus contract fixes the dimension (the fixture
+  generator writes 64); a ragged/empty vector has no geometry. numpy
+  ``np.stack`` CRASHES on ragged batches and per-dimension SQL joins
+  silently count short vectors one-sided — ``size(embedding) = 64``
+  excludes both failure modes identically in both engines.
+* **Event time**: Structured Streaming initializes every stream's
+  watermark at epoch 0, so a PRE-EPOCH event time is late-by-
+  construction and silently dropped by stateful operators in their
+  first micro-batch — correct streaming semantics with no batch-oracle
+  counterpart (bisected: commit b285e49). Bounding event time to the
+  pipeline's operational window [2000-01-01, 2100-01-01) with a
+  post-1970 lower edge eliminates the asymmetry by construction and
+  prunes parquet row groups at scale.
+* **Text**: C0 control bytes (except tab/newline) break the XML 1.0
+  character model (the writer THROWS) and CSV reassembly; invisible
+  formatting codepoints (soft hyphen, zero-widths, BOM) diverge
+  between Python ``unicodedata`` and DuckDB's utf8proc length /
+  normalization semantics. Neither class carries text content — a
+  document containing one is corrupt ingest. Token-shaped operators
+  additionally bound token length: a 100k-char "token" is not a
+  token, and the pair space it mints is quadratic garbage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Money-value domain (events.value, dollars)
+# ---------------------------------------------------------------------------
+
+#: |value| bound in dollars. Cents (x100) stay <= 1e14, so products
+#: with multipliers up to ~9e4 (ppm scalers, bin counts, epoch-day
+#: coordinates) stay exact in signed INT64 in both engines.
+VALUE_DOMAIN_DOLLARS = 1.0e12
+
+#: Row-level predicate (drops NULL too — use where the query already
+#: filters rows without a usable value). BETWEEN is pushdown-able to
+#: the parquet scan; NaN fails the upper compare and +/-Inf fail one
+#: side in both engines, so the bound subsumes the non-finite net.
+VALUE_DOMAIN_SQL = "value BETWEEN -1.0e12 AND 1.0e12"
+
+#: Value-level form: out-of-domain behaves exactly like NULL (keeps
+#: the row; its measurement contributes nothing) — use where the row
+#: must survive for counting/densification semantics.
+VALUE_BOUNDED_SQL = "(CASE WHEN value BETWEEN -1.0e12 AND 1.0e12 THEN value END)"
+
+
+def value_bounded(col: Column) -> Column:
+    """DataFrame-API twin of ``VALUE_BOUNDED_SQL``."""
+    return F.when(
+        col.between(-VALUE_DOMAIN_DOLLARS, VALUE_DOMAIN_DOLLARS), col
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-vector validity (embeddings.embedding)
+# ---------------------------------------------------------------------------
+
+#: Corpus embedding dimension (the data contract's generator writes
+#: fixed-width vectors; see TESTDATA.md).
+EMB_DIMS = 64
+
+#: Full vector-validity rule: present, exactly EMB_DIMS wide, every
+#: element present/finite/sane. Spark and DuckDB spell the element
+#: scan differently but the predicate is value-identical.
+EMB_VALID_SPARK = (
+    f"embedding IS NOT NULL AND size(embedding) = {EMB_DIMS}"
+    " AND NOT exists(embedding, x -> x IS NULL OR isnan(x) OR abs(x) > 1e6)"
+)
+EMB_VALID_DUCK = (
+    f"embedding IS NOT NULL AND len(embedding) = {EMB_DIMS}"
+    " AND len(list_filter(embedding,"
+    " x -> x IS NULL OR isnan(x) OR abs(x) > 1e6)) = 0"
+)
+
+
+# ---------------------------------------------------------------------------
+# Event-time validity window (events.ts / stream ev_time)
+# ---------------------------------------------------------------------------
+
+EV_TIME_LO = "2000-01-01 00:00:00"
+EV_TIME_HI = "2100-01-01 00:00:00"
+
+
+def ts_valid_sql(col: str = "ts") -> str:
+    """Event-time validity predicate for ``col`` (drops NULL too).
+
+    Identical text is valid Spark SQL and DuckDB SQL; both engines
+    compare the wall-clock timestamp against the bound literals, and
+    the post-1970 lower edge makes the stream-watermark epoch-0
+    initialization unobservable (see module docstring)."""
+    return (
+        f"{col} >= TIMESTAMP '{EV_TIME_LO}'"
+        f" AND {col} < TIMESTAMP '{EV_TIME_HI}'"
+    )
+
+
+def ts_valid(col: str = "ts") -> Column:
+    """DataFrame-API twin of ``ts_valid_sql``."""
+    return F.expr(ts_valid_sql(col))
+
+
+#: numpy bounds for splitter-side (Arrow) filtering, microseconds.
+EV_TIME_LO_US = 946_684_800_000_000  # 2000-01-01T00:00:00Z
+EV_TIME_HI_US = 4_102_444_800_000_000  # 2100-01-01T00:00:00Z
+
+
+# ---------------------------------------------------------------------------
+# Text character-class validity (documents.text)
+# ---------------------------------------------------------------------------
+
+#: Hostile character class: C0 controls except tab (09) / newline (0A),
+#: plus invisible formatting codepoints with no text content whose
+#: length/normalization semantics differ across unicode libraries —
+#: soft hyphen (AD), zero-width space/joiners (200B-200D), word joiner
+#: (2060), BOM/ZWNBSP (FEFF). Same regex source compiles identically
+#: under Java regex (Spark rlike) and RE2 (DuckDB regexp_matches).
+TEXT_HOSTILE_RE = (
+    "[\\x00-\\x08\\x0B-\\x1F\\x{00AD}\\x{200B}-\\x{200D}"
+    "\\x{2060}\\x{FEFF}]"
+)
+
+#: Row predicate keeping NULL text (the NULL-documents net pins NULL
+#: flow separately); a document CONTAINING a hostile char is dropped.
+#: DuckDB's plain '' literals keep backslashes literal, so the regex
+#: reaches RE2 intact; the Spark side goes through the DataFrame API
+#: (no SQL string-literal unescaping) via ``text_valid()``.
+TEXT_VALID_DUCK = (
+    f"(text IS NULL OR NOT regexp_matches(text, '{TEXT_HOSTILE_RE}'))"
+)
+
+
+def text_valid(col: str = "text") -> Column:
+    """DataFrame-API twin of ``TEXT_VALID_DUCK``."""
+    return F.col(col).isNull() | ~F.col(col).rlike(TEXT_HOSTILE_RE)
+
+#: Max token length for token-pair operators (``text_bpe_pair_stats``):
+#: tokens longer than this are corrupt ingest (no natural language has
+#: them) and would mint a linear-in-length pair stream per token.
+TEXT_MAX_TOKEN = 512

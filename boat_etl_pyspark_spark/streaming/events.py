@@ -221,8 +221,16 @@ def stateful_user_totals(stream_df: DataFrame) -> DataFrame:
             vals = pdf["value"].to_numpy(dtype="float64") * 100.0
             # ROUND() in both engines is half AWAY from zero — np.rint
             # would round half to even, off by one cent on exact-.5
-            # values like value=0.125 (round-7 ADVICE).
-            rounded = np.copysign(np.floor(np.abs(vals) + 0.5), vals)
+            # values like value=0.125 (round-7 ADVICE). The naive
+            # abs+0.5 replica is ALSO wrong twice (round-8 ADVICE):
+            # 0.49999999999999994+0.5 rounds UP to 1.0 in float64, and
+            # for odd integer cents in [2^52, 2^53) the +0.5 tie goes
+            # to the EVEN neighbor. floor and the subtraction below are
+            # exact in float64, so comparing the exact fractional part
+            # against 0.5 matches ROUND() on all finite doubles.
+            a = np.abs(vals)
+            fl = np.floor(a)
+            rounded = np.copysign(fl + (a - fl >= 0.5), vals)
             # TRY_CAST also NULLs BIGINT overflow, not just NaN/Inf;
             # mirror its exact bounds [-2^63, 2^63) — the old 9.2e18
             # guard dropped finite doubles in [9.2e18, 2^63) that
