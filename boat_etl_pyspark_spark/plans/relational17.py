@@ -266,7 +266,8 @@ WITH daily AS (
   SELECT event_type,
          CAST(datediff(CAST(date_trunc('day', ts) AS DATE),
                        DATE '1970-01-01') AS BIGINT) AS x,
-         CAST(SUM(TRY_CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+         CAST(SUM(TRY_CAST(round((CASE WHEN value BETWEEN -1.0e12 AND 1.0e12
+                          THEN value END) * 100) AS BIGINT)) AS BIGINT) AS y
   FROM {events}
   WHERE ts IS NOT NULL AND event_type IS NOT NULL
   GROUP BY event_type, CAST(date_trunc('day', ts) AS DATE)
@@ -297,7 +298,8 @@ WITH daily AS (
   SELECT event_type,
          CAST(datediff('day', DATE '1970-01-01',
                        CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS x,
-         CAST(SUM(TRY_CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+         CAST(SUM(TRY_CAST(round((CASE WHEN value BETWEEN -1.0e12 AND 1.0e12
+                          THEN value END) * 100) AS BIGINT)) AS BIGINT) AS y
   FROM events
   WHERE ts IS NOT NULL AND event_type IS NOT NULL
   GROUP BY event_type, CAST(date_trunc('day', ts) AS DATE)
@@ -328,7 +330,12 @@ def window_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 7-day OLS slope of daily purchase volume per event
     type. Daily rollup bounds the window input to (types x days)
     rows; the five power sums share one frame on one event_type
-    exchange; slope is a single guarded double division per row."""
+    exchange; slope is a single guarded double division per row.
+
+    Out-of-domain values (|value| > contract.VALUE_DOMAIN_DOLLARS)
+    contribute like NULL — value-level, so hostile rows still create
+    their day — keeping the x*y / sy*sx power-sum products exact
+    INT64 in both engines (DuckDB throws on overflow, Spark wraps)."""
     load_table(spark, sf_dir, "events").createOrReplaceTempView(
         "r17_rollreg_events"
     )

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F  # noqa: F401
 
 from ..sources.readers import load_table
+from .contract import VALUE_DOMAIN_SQL
 
 # ---------------------------------------------------------------------------
 # Exact ROC AUC (rank-sum identity)
@@ -97,22 +98,26 @@ _AUC_DUCK = _AUC_CORE.format(events="events", big="HUGEINT", idiv="//",
 # ~[0, 330]), clamped to [0, 1]; in ppm that is min(cents * 2500,
 # 1_000_000). Ten fixed-width bins over the prediction.
 
-_CAL_CORE = """
+# The value-domain bound (contract.VALUE_DOMAIN_SQL) keeps the cents
+# x2500 ppm product exact INT64 in both engines: a TRY_CAST-castable
+# 9.21e18-cent value would otherwise overflow where DuckDB throws and
+# Spark wraps (round-8 probe). BETWEEN is scan-pushdown-able.
+_CAL_CORE = f"""
 WITH v AS (
   SELECT least(TRY_CAST(round(value * 100) AS BIGINT) * 2500, 1000000) AS p_ppm,
          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
-  FROM {events}
-  WHERE value IS NOT NULL  -- scan-pushdown half of the predicate
+  FROM {{events}}
+  WHERE {VALUE_DOMAIN_SQL}  -- scan-pushdown half of the predicate
     AND TRY_CAST(round(value * 100) AS BIGINT) IS NOT NULL
 ), b AS (
-  SELECT least(p_ppm {idiv} 100000, 9) AS bin, p_ppm, y FROM v
+  SELECT least(p_ppm {{idiv}} 100000, 9) AS bin, p_ppm, y FROM v
 )
 SELECT CAST(bin AS BIGINT) AS bin,
        CAST(COUNT(*) AS BIGINT) AS n_events,
-       CAST(SUM(p_ppm) {idiv} COUNT(*) AS BIGINT) AS mean_pred_ppm,
-       CAST(SUM(y) * 1000000 {idiv} COUNT(*) AS BIGINT) AS obs_ppm,
-       CAST(SUM(p_ppm) {idiv} COUNT(*)
-            - SUM(y) * 1000000 {idiv} COUNT(*) AS BIGINT) AS gap_ppm
+       CAST(SUM(p_ppm) {{idiv}} COUNT(*) AS BIGINT) AS mean_pred_ppm,
+       CAST(SUM(y) * 1000000 {{idiv}} COUNT(*) AS BIGINT) AS obs_ppm,
+       CAST(SUM(p_ppm) {{idiv}} COUNT(*)
+            - SUM(y) * 1000000 {{idiv}} COUNT(*) AS BIGINT) AS gap_ppm
 FROM b GROUP BY bin
 ORDER BY bin
 """

@@ -104,13 +104,17 @@ _QINI_DUCK = _QINI_CORE.format(events="events", str="VARCHAR", idiv="//")
 # Brier decomposition
 # ---------------------------------------------------------------------------
 
+# Value-domain bound (contract.VALUE_DOMAIN_SQL, pinned by
+# tests/test_contract_hygiene.py): keeps the cents x2500 ppm product
+# exact INT64 in both engines — DuckDB throws on BIGINT overflow where
+# Spark wraps (round-8 probe).
 _BRIER_CORE = """
 WITH v AS (
   SELECT least(TRY_CAST(round(value * 100) AS BIGINT) * 2500, 1000000)
            AS p_ppm,
          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
   FROM {events}
-  WHERE value IS NOT NULL  -- scan-pushdown half of the predicate
+  WHERE value BETWEEN -1.0e12 AND 1.0e12  -- scan-pushdown half
     AND TRY_CAST(round(value * 100) AS BIGINT) IS NOT NULL
 ), g AS (
   SELECT COUNT(*) AS n, SUM(y) AS sy,

@@ -87,13 +87,17 @@ _RSI_DUCK = _RSI_CORE.format(orders="orders", idiv="//", datestr="VARCHAR")
 # Expected calibration error
 # ---------------------------------------------------------------------------
 
+# Value-domain bound (contract.VALUE_DOMAIN_SQL, pinned by
+# tests/test_contract_hygiene.py): keeps the cents x2500 ppm product
+# exact INT64 in both engines — DuckDB throws on BIGINT overflow where
+# Spark wraps (round-8 probe).
 _ECE_CORE = """
 WITH v AS (
   SELECT least(TRY_CAST(round(value * 100) AS BIGINT) * 2500, 1000000)
            AS p_ppm,
          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
   FROM {events}
-  WHERE value IS NOT NULL  -- scan-pushdown half of the predicate
+  WHERE value BETWEEN -1.0e12 AND 1.0e12  -- scan-pushdown half
     AND TRY_CAST(round(value * 100) AS BIGINT) IS NOT NULL
 ), b AS (
   SELECT least(p_ppm {idiv} 100000, 9) AS bin,

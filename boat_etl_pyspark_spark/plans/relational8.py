@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.numeric import cents
+from .contract import value_bounded
 from ..sources.readers import load_table
 from ..streaming.events import (
     read_events_stream,
@@ -186,9 +187,13 @@ def interp_linear_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     densification is a broadcast range join against a generated
     dimension, exactly as here."""
     ev = load_table(spark, sf_dir, "events")
+    # value-level domain bound (contract.VALUE_DOMAIN_DOLLARS): an
+    # out-of-domain value contributes like NULL but its day still
+    # exists, keeping the p_cents*d_next interpolation products exact
+    # INT64 in both engines (round-8 probe overflow class).
     daily = ev.groupBy(
         F.col("event_type"), F.to_date("ts").alias("day")
-    ).agg(F.sum(cents(F.col("value"))).alias("day_cents"))
+    ).agg(F.sum(cents(value_bounded(F.col("value")))).alias("day_cents"))
     bounds = daily.groupBy("event_type").agg(
         F.min("day").alias("d0"), F.max("day").alias("d1")
     )
@@ -233,7 +238,9 @@ def interp_linear_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 _INTERP_SQL = """
 WITH daily AS (
   SELECT event_type, CAST(ts AS DATE) AS day,
-         CAST(SUM(TRY_CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS day_cents
+         CAST(SUM(TRY_CAST(ROUND((CASE WHEN value BETWEEN -1.0e12 AND 1.0e12
+                                   THEN value END) * 100) AS BIGINT))
+              AS BIGINT) AS day_cents
   FROM events GROUP BY 1, 2
 ), bounds AS (
   SELECT event_type, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1

@@ -378,12 +378,17 @@ def nonfinite_events_dir(tmp_path_factory):
         0.125,     # cents land exactly on .5: ROUND is half AWAY from
         #            zero in both engines (13), np.rint would give 12
         -0.125,    # and the negative mirror (-13, not -12)
-        # NOT here: a huge-but-TRY_CAST-castable value (e.g. 9.21e16,
-        # cents 9.21e18 ∈ [9.2e18, 2^63)). Five queries multiply cents
-        # by small integers downstream, where DuckDB BIGINT arithmetic
-        # THROWS and Spark wraps — a real latent class, documented in
-        # COVERAGE.md for round 9; the TRY_CAST-band behavior itself is
-        # pinned by test_stateful_totals_parity_on_guard_band_values.
+        # huge-but-TRY_CAST-castable values (cents 9.21e18 in
+        # [9.2e18, 2^63)): the round-8 probe's INT64-overflow class —
+        # five queries multiply cents by small integers downstream
+        # where DuckDB BIGINT arithmetic THROWS and Spark wraps. Those
+        # five now bound |value| <= contract.VALUE_DOMAIN_DOLLARS
+        # (1e12) symmetrically, so these rows behave like NULL there;
+        # pure-SUM consumers keep them via TRY_CAST in both engines
+        # (the band semantics stay pinned by
+        # test_stateful_totals_parity_on_guard_band_values).
+        9.21e16,
+        -9.21e16,
     ]
     n = len(vals)
     extra = pa.table(
