@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.readers import load_table
+from .contract import EMB_VALID_SPARK
 
 
 def _emb_view(spark: SparkSession, sf_dir: str, name: str) -> str:
@@ -49,7 +50,7 @@ WITH q AS (
          transform(embedding,
                    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
   FROM {emb}
-  WHERE embedding IS NOT NULL
+  WHERE embedding IS NOT NULL AND size(embedding) = 64
     AND NOT exists(embedding, x -> x IS NULL OR isnan(x) OR abs(x) > 1e6)
 ), e AS (
   SELECT vec_id, posexplode(qv) AS (pos, val) FROM q
@@ -96,7 +97,7 @@ WITH q AS (
                         x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))
            AS qv
   FROM embeddings
-  WHERE embedding IS NOT NULL
+  WHERE embedding IS NOT NULL AND len(embedding) = 64
     AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR abs(x) > 1e6)) = 0
 ), e AS (
   SELECT vec_id, i AS pos, CAST(qv[i] AS BIGINT) AS val
@@ -165,9 +166,10 @@ def embed_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd  # noqa: PLC0415 — worker-side import kept local
 
     d = _GRAM_DIMS
+    # full vector-validity rule incl. size(embedding) = dims: a ragged
+    # or empty vector would crash np.stack below (round-8 probe class)
     emb = load_table(spark, sf_dir, "embeddings").where(
-        F.col("embedding").isNotNull()
-        & ~F.expr("exists(embedding, x -> x IS NULL OR isnan(x) OR abs(x) > 1e6)")
+        F.expr(EMB_VALID_SPARK)
     )
     q = emb.select(
         F.expr(
@@ -203,7 +205,7 @@ WITH q AS (
                         x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))
            AS qv
   FROM embeddings
-  WHERE embedding IS NOT NULL
+  WHERE embedding IS NOT NULL AND len(embedding) = 64
     AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR abs(x) > 1e6)) = 0
 )
 SELECT CAST(i - 1 AS BIGINT) AS i, CAST(j - 1 AS BIGINT) AS j,
@@ -248,7 +250,7 @@ WITH q AS (
          transform(embedding,
                    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
   FROM {emb}
-  WHERE embedding IS NOT NULL
+  WHERE embedding IS NOT NULL AND size(embedding) = 64
     AND NOT exists(embedding, x -> x IS NULL OR isnan(x) OR abs(x) > 1e6)
 ), n AS (
   SELECT vec_id, qv,
@@ -282,7 +284,7 @@ WITH q AS (
                         x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))
            AS qv
   FROM embeddings
-  WHERE embedding IS NOT NULL
+  WHERE embedding IS NOT NULL AND len(embedding) = 64
     AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR abs(x) > 1e6)) = 0
 ), n AS (
   SELECT vec_id, qv,

@@ -271,7 +271,7 @@ WITH q AS (
          transform(embedding,
                    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
   FROM {emb}
-  WHERE embedding IS NOT NULL
+  WHERE embedding IS NOT NULL AND size(embedding) = 64
     AND NOT exists(embedding, x -> x IS NULL OR isnan(x) OR abs(x) > 1e6)
 ), e AS (
   SELECT vec_id, CAST(pos DIV 8 AS BIGINT) AS sub, pos, val
@@ -304,7 +304,7 @@ WITH q AS (
                         x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))
            AS qv
   FROM embeddings
-  WHERE embedding IS NOT NULL
+  WHERE embedding IS NOT NULL AND len(embedding) = 64
     AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR abs(x) > 1e6)) = 0
 ), e AS (
   SELECT vec_id, CAST((i - 1) // 8 AS BIGINT) AS sub, i AS pos,

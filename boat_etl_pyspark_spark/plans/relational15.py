@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..sources.readers import load_table
 from . import mlprep
+from .contract import EMB_VALID_DUCK
 
 # ---------------------------------------------------------------------------
 # Per-group OLS
@@ -367,6 +368,7 @@ WITH q AS (
                         x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))
     AS qv
   FROM embeddings
+  WHERE {EMB_VALID_DUCK}
 ), tri AS (
   SELECT i - 1 AS i, j - 1 AS j,
          CAST(SUM(CAST(qv[i] AS HUGEINT) * qv[j]) AS BIGINT) AS gram

@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from ..sources.readers import load_table
+from .contract import EMB_VALID_SPARK
 
 _EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
@@ -309,14 +310,12 @@ def sim_blocked_matmul_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast join against LSH buckets instead (sim_rp_lsh_buckets)."""
     import numpy as np
 
-    # np.stack needs rectangular input: a NULL array or NULL element
-    # has no geometry and is dropped, symmetrically with the oracle.
+    # np.stack needs rectangular input: a NULL/ragged/empty array or a
+    # NULL element has no geometry and is dropped, symmetrically with
+    # the oracle (contract.EMB_VALID_*, incl. size(embedding) = dims).
     emb = (
         load_table(spark, sf_dir, "embeddings")
-        .where(
-            F.col("embedding").isNotNull()
-            & ~F.expr("exists(embedding, x -> x IS NULL OR isnan(x) OR abs(x) > 1e6)")
-        )
+        .where(F.expr(EMB_VALID_SPARK))
         .select("vec_id", "embedding")
     )
     q_rows = (
@@ -377,7 +376,7 @@ WITH s AS (
          list_transform(embedding,
            x -> CAST(FLOOR(CAST(x AS DOUBLE) * {_MM_SCALE} + 0.5) AS BIGINT)) AS iv
   FROM embeddings
-  WHERE embedding IS NOT NULL
+  WHERE embedding IS NOT NULL AND len(embedding) = 64
     AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR abs(x) > 1e6)) = 0
 ), q AS (
   SELECT * FROM s WHERE vec_id < {_MM_NQ}

@@ -220,6 +220,7 @@ _NULL_EMBED_QUERIES = (
     "curate_semdedup",
     "embed_kmeans_lloyd",
     "embed_gram_matrix",
+    "embed_pca_power",
     "embed_centroid_drift",
     "embed_isotropy_participation",
     "ml_hard_negative_mining",
@@ -242,16 +243,21 @@ def null_embeddings_dir(tmp_path_factory):
     inf_el[7] = float("inf")  # Inf element
     huge_el = list(normal)
     huge_el[2] = 1.0e30  # finite but overflows every integer quantizer
+    empty = []  # no geometry at all: np.stack would raise, SQL joins
+    #             would silently emit zero per-dimension rows
+    half = list(normal)[: dims // 2]  # ragged: crashes np.stack, and
+    #             per-dimension joins count it one-sided (round-8
+    #             probe class — excluded by size(embedding) = dims)
     extra = pa.table(
         {
             "vec_id": pa.array(
-                [10_000_000 + i for i in range(6)], pa.int64()
+                [10_000_000 + i for i in range(8)], pa.int64()
             ),
             "embedding": pa.array(
-                [None, holed, normal, nan_el, inf_el, huge_el],
+                [None, holed, normal, nan_el, inf_el, huge_el, empty, half],
                 pa.list_(pa.float32()),
             ),
-            "label": pa.array([1, 2, None, 3, 4, 0], pa.int32()),
+            "label": pa.array([1, 2, None, 3, 4, 0, 5, 6], pa.int32()),
         }
     )
     merged = pa.concat_tables([real.select(extra.column_names), extra])
