@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 
 from ..operators.library import grid_join, running_distinct
 from ..sources.readers import load_table
+from .contract import ts_valid, ts_valid_sql
 from ..streaming.events import (
     read_events_stream,
     run_stream_to_memory,
@@ -185,7 +186,10 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         state_partitions=4,
     )
     views = (
-        ev.where(F.col("event_type") == "view")
+        # event-time validity window (contract.ts_valid): pre-epoch
+        # rows are watermark-late by construction (commit b285e49)
+        ev.where(ts_valid("ev_time"))
+        .where(F.col("event_type") == "view")
         .select(
             F.col("event_id").alias("view_id"),
             F.col("user_id").alias("v_user"),
@@ -200,6 +204,7 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             max_files_per_trigger=1,
             reuse_session=True,
         )
+        .where(ts_valid("ev_time"))
         .where(F.col("event_type") == "purchase")
         .select(
             F.col("event_id").alias("purchase_id"),
@@ -230,27 +235,54 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     # from the batch copy of the same fixture. An empty/cold-start
     # source has no max timestamp — nothing can have emitted, so any
     # cutoff works; 0 keeps the filter well-typed.
-    max_ts = (
+    mx = (
         load_table(spark, sf_dir, "events")
-        .agg(F.max(F.unix_micros("ts")))
-        .collect()[0][0]
+        .where(ts_valid("CAST(ts AS TIMESTAMP)"))
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase",
+                       F.unix_micros("ts"))
+            ).alias("mp"),
+            F.max(
+                F.when(F.col("event_type") == "view", F.unix_micros("ts"))
+            ).alias("mv"),
+        )
+        .collect()[0]
+    )
+    # global watermark = MIN over both sides' own maxima (each
+    # withWatermark node only sees its type's rows); None if a side
+    # never advanced — then nothing can have emitted
+    max_ts = (
+        None
+        if mx["mp"] is None or mx["mv"] is None
+        else min(mx["mp"], mx["mv"])
     )
     wm_us = (max_ts or 0) - _SSLO_WM_MIN * 60 * 1_000_000
     return result.where(F.col("purchase_ts_us") <= F.lit(wm_us - _SSLO_MARGIN_US))
 
 
 _SSLO_SQL = f"""
-WITH wm AS (
-  SELECT MAX(epoch_us(ts)) - {_SSLO_WM_MIN * 60 * 1_000_000} AS wm_us
-  FROM events
+WITH ev AS (
+  SELECT * FROM events WHERE {ts_valid_sql('ts')}
+), mx AS (
+  SELECT MAX(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS mp,
+         MAX(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS mv
+  FROM ev
+), wm AS (
+  -- global watermark = MIN of the two sides' maxima (NULL if either
+  -- side is empty: that stream never advanced, nothing emitted)
+  SELECT CASE WHEN mp IS NULL OR mv IS NULL THEN NULL
+              ELSE LEAST(mp, mv) END - {_SSLO_WM_MIN * 60 * 1_000_000}
+           AS wm_us
+  FROM mx
 )
 SELECT p.event_id AS purchase_id,
        p.user_id,
        epoch_us(p.ts) AS purchase_ts_us,
        v.event_id AS view_id,
        epoch_us(v.ts) AS view_ts_us
-FROM events p
-LEFT JOIN events v
+FROM ev p
+LEFT JOIN ev v
   ON v.event_type = 'view'
  AND p.user_id = v.user_id
  AND v.ts <= p.ts
@@ -387,7 +419,10 @@ def stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         state_partitions=4,
     )
     views = (
-        ev.where(F.col("event_type") == "view")
+        # event-time validity window (contract.ts_valid): pre-epoch
+        # rows are watermark-late by construction (commit b285e49)
+        ev.where(ts_valid("ev_time"))
+        .where(F.col("event_type") == "view")
         .select(
             F.col("event_id").alias("view_id"),
             F.col("user_id").alias("v_user"),
@@ -402,6 +437,7 @@ def stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             max_files_per_trigger=1,
             reuse_session=True,
         )
+        .where(ts_valid("ev_time"))
         .where(F.col("event_type") == "purchase")
         .select(
             F.col("event_id").alias("purchase_id"),
@@ -428,10 +464,27 @@ def stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("v_time").alias("view_ts_us"),
     )
     result = run_stream_to_memory(joined, "append")
-    max_ts = (
+    mx = (
         load_table(spark, sf_dir, "events")
-        .agg(F.max(F.unix_micros("ts")))
-        .collect()[0][0]
+        .where(ts_valid("CAST(ts AS TIMESTAMP)"))
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase",
+                       F.unix_micros("ts"))
+            ).alias("mp"),
+            F.max(
+                F.when(F.col("event_type") == "view", F.unix_micros("ts"))
+            ).alias("mv"),
+        )
+        .collect()[0]
+    )
+    # global watermark = MIN over both sides' own maxima (each
+    # withWatermark node only sees its type's rows); None if a side
+    # never advanced — then nothing can have emitted
+    max_ts = (
+        None
+        if mx["mp"] is None or mx["mv"] is None
+        else min(mx["mp"], mx["mv"])
     )
     wm_us = (max_ts or 0) - _SSLO_WM_MIN * 60 * 1_000_000
     cut = wm_us - _SSFO_CUT_US
@@ -443,14 +496,22 @@ def stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SSFO_SQL = f"""
-WITH wm AS (
-  SELECT MAX(epoch_us(ts)) - {_SSLO_WM_MIN * 60 * 1_000_000}
+WITH ev AS (
+  SELECT * FROM events WHERE {ts_valid_sql('ts')}
+), mx AS (
+  SELECT MAX(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS mp,
+         MAX(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS mv
+  FROM ev
+), wm AS (
+  -- global watermark = MIN of the two sides' maxima (see _SSLO_SQL)
+  SELECT CASE WHEN mp IS NULL OR mv IS NULL THEN NULL
+              ELSE LEAST(mp, mv) END - {_SSLO_WM_MIN * 60 * 1_000_000}
          - {_SSFO_CUT_US} AS cut_us
-  FROM events
+  FROM mx
 ), p AS (
-  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+  SELECT event_id, user_id, ts FROM ev WHERE event_type = 'purchase'
 ), v AS (
-  SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+  SELECT event_id, user_id, ts FROM ev WHERE event_type = 'view'
 ), matched AS (
   SELECT p.event_id AS purchase_id,
          p.user_id,

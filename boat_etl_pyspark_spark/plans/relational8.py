@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.numeric import cents
-from .contract import value_bounded
+from .contract import ts_valid, ts_valid_sql, value_bounded
 from ..sources.readers import load_table
 from ..streaming.events import (
     read_events_stream,
@@ -302,7 +302,10 @@ def stream_append_mode_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         # narrower state width for the 3-batch replay; see
         # stream_chained_agg's note + SCALE.md floor analysis
         state_partitions=4,
-    )
+    ).where(ts_valid("ev_time"))  # event-time validity window: the
+    #   stream watermark initializes at epoch 0, so pre-1970 rows are
+    #   late-by-construction (round-8 probe, commit b285e49); bound
+    #   symmetrically with the oracle per contract.ts_valid
     agg = (
         ev.withWatermark("ev_time", f"{_APPEND_DELAY_H} hours")
         .groupBy(
@@ -327,14 +330,16 @@ _DELAY_US = _APPEND_DELAY_H * 3600 * 1_000_000
 _WIN_US = 6 * 3600 * 1_000_000
 
 _APPEND_SQL = f"""
-WITH wm AS (
-  SELECT MAX(epoch_us(ts)) - {_DELAY_US} AS wm_us FROM events
+WITH ev AS (
+  SELECT * FROM events WHERE {ts_valid_sql('ts')}
+), wm AS (
+  SELECT MAX(epoch_us(ts)) - {_DELAY_US} AS wm_us FROM ev
 ), win AS (
   SELECT (epoch_us(ts) // {_WIN_US}) * {_WIN_US} AS ws_us,
          event_type,
          COUNT(*) AS n_events,
          CAST(SUM(TRY_CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
-  FROM events
+  FROM ev
   GROUP BY 1, 2
 )
 SELECT ws_us, ws_us + {_WIN_US} AS we_us, event_type, n_events, value_cents

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.numeric import cents
+from .contract import ts_valid, ts_valid_sql
 from ..operators.library import global_rank
 from ..sources.readers import load_table
 from ..streaming.events import (
@@ -160,7 +161,10 @@ def stream_chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         # fixture's state cardinality; the remaining ~2.3s is 3-batch
         # replay planning+commit, inherent to the shape (SCALE.md).
         state_partitions=4,
-    )
+    ).where(ts_valid("ev_time"))  # event-time validity window: the
+    #   stream watermark initializes at epoch 0, so pre-1970 rows are
+    #   late-by-construction (round-8 probe, commit b285e49); bound
+    #   symmetrically with the oracle per contract.ts_valid
     per_user = (
         ev.withWatermark("ev_time", f"{_CHAIN_DELAY_H} hours")
         .groupBy(F.window("ev_time", _CHAIN_WIN).alias("w"), "user_id")
@@ -181,13 +185,15 @@ def stream_chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CHAINED_SQL = f"""
-WITH wm AS (
-  SELECT MAX(epoch_us(ts)) - {_CHAIN_DELAY_US} AS wm_us FROM events
+WITH ev AS (
+  SELECT * FROM events WHERE {ts_valid_sql('ts')}
+), wm AS (
+  SELECT MAX(epoch_us(ts)) - {_CHAIN_DELAY_US} AS wm_us FROM ev
 ), per_user AS (
   SELECT (epoch_us(ts) // {_CHAIN_WIN_US}) * {_CHAIN_WIN_US} AS ws_us,
          user_id,
          COUNT(*) AS n_events
-  FROM events
+  FROM ev
   GROUP BY 1, 2
 )
 SELECT ws_us,

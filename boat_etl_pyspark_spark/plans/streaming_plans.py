@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.numeric import cents
+from .contract import ts_valid, ts_valid_sql
 from ..streaming.events import (
     read_events_stream,
     run_stream_to_memory,
@@ -98,11 +99,13 @@ GROUP BY ws_us
 
 
 def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # no event-time, no session: filtered symmetrically with the oracle
-    # (Spark's session_window would silently drop the row).
-    ev = read_events_stream(spark, sf_dir).where(
-        F.col("ev_time").isNotNull()
-    )
+    # Event-time validity window (contract.ts_valid, symmetric with the
+    # oracle): drops no-event-time rows (Spark's session_window would
+    # silently drop them) AND out-of-domain times — the stream
+    # watermark initializes at epoch 0, so a pre-1970 event time is
+    # late-by-construction in its first micro-batch (round-8 probe,
+    # bisected commit b285e49) while a batch oracle keeps the row.
+    ev = read_events_stream(spark, sf_dir).where(ts_valid("ev_time"))
     win = (
         ev.withWatermark("ev_time", "1 hour")
         .groupBy(F.session_window("ev_time", "30 minutes").alias("w"), "user_id")
@@ -123,7 +126,7 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SESSION_SQL = f"""
 WITH e AS (SELECT user_id, epoch_us(ts) AS tu, value FROM events
-           WHERE ts IS NOT NULL),
+           WHERE {ts_valid_sql('ts')}),
 m AS (
   SELECT *, CASE WHEN tu - LAG(tu) OVER (PARTITION BY user_id ORDER BY tu)
                       >= {_GAP_US} THEN 1 ELSE 0 END AS new_s
@@ -320,17 +323,24 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
         sf_dir,
         dir_override=stream_dir_multi(sf_dir, 3),
         max_files_per_trigger=1,
-    )
+    ).where(ts_valid("ev_time"))  # event-time validity window; see
+    #   stream_session_windows (pre-epoch rows are watermark-late)
+    # the dedup horizon must cover the event-time VALIDITY WINDOW's
+    # full span (contract: [2000-01-01, 2100-01-01), ~36525 days), not
+    # just the dense corpus span: any in-domain row may advance the
+    # watermark, and a key evicted mid-replay re-emits — breaking the
+    # equals-batch-DISTINCT contract the oracle checks
     deduped = (
-        ev.withWatermark("ev_time", "2000 days")
+        ev.withWatermark("ev_time", "36600 days")
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
     return run_stream_to_memory(deduped, "append")
 
 
-_STREAM_DEDUP_WM_SQL = """
+_STREAM_DEDUP_WM_SQL = f"""
 SELECT DISTINCT user_id, event_type FROM events
+WHERE {ts_valid_sql('ts')}
 """
 
 
@@ -449,9 +459,10 @@ def stream_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(arrival)
 
     def run_once() -> None:
+        # event-time validity window (see stream_session_windows)
         ev = read_events_stream(spark, sf_dir, dir_override=arrival,
                                 max_files_per_trigger=1).where(
-            F.col("ev_time").isNotNull()
+            ts_valid("ev_time")
         )
         win = (
             ev.withWatermark("ev_time", "1 hour")
@@ -513,7 +524,7 @@ def stream_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CKPT_RESTART_SQL = """
+_CKPT_RESTART_SQL = f"""
 SELECT
   (epoch_us(ts) // 21600000000) * 21600000000 AS ws_us,
   ((epoch_us(ts) // 21600000000) + 1) * 21600000000 AS we_us,
@@ -521,7 +532,7 @@ SELECT
   COUNT(*) AS n_events,
   CAST(SUM(TRY_CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
 FROM events
-WHERE ts IS NOT NULL
+WHERE {ts_valid_sql('ts')}
 GROUP BY 1, 2, 3
 """
 

@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.numeric import cents
+from .contract import EV_TIME_HI_US, EV_TIME_LO_US, ts_valid, ts_valid_sql
 from ..sources.readers import load_table
 from ..streaming.events import read_events_stream, run_stream_to_memory
 
@@ -68,13 +69,24 @@ def _late_split_dir(sf_dir: str) -> str:
 
     src = os.path.join(sf_dir, "events.parquet")
     src_mtime = os.stat(src).st_mtime_ns
-    key = hashlib.md5(f"{sf_dir}:late4:{src_mtime}".encode()).hexdigest()[:12]
+    key = hashlib.md5(f"{sf_dir}:late4v2:{src_mtime}".encode()).hexdigest()[:12]
     d = os.path.join(tempfile.gettempdir(), f"spark_graft_streamL_{key}")
     if os.path.isdir(d):
         return d
     stage = f"{d}.build.{os.getpid()}"
     os.makedirs(stage, exist_ok=True)
     table = pq.read_table(src)
+    # event-time validity window at the ingest boundary (contract):
+    # the audit's slice arithmetic recomputes file membership by
+    # row_number, so the replay files and the audit's `ordered` CTE
+    # must count exactly the same rows
+    us = table.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+    table = table.filter(
+        pc.and_(
+            pc.greater_equal(us, EV_TIME_LO_US),
+            pc.less(us, EV_TIME_HI_US),
+        )
+    )
     sort_us = table.column("ts").cast(pa.timestamp("us"))
     table = table.append_column("__sort_us", sort_us)
     table = table.take(
@@ -115,6 +127,7 @@ ordered AS (
          ROW_NUMBER() OVER (ORDER BY ts, event_id) AS rn,
          COUNT(*) OVER () AS n
   FROM {{events}}
+  WHERE {ts_valid_sql('ts')}
 ), marks AS (
   SELECT u, c, rn, n, (2 * n) {{idiv}} 10 AS i1, (3 * n) {{idiv}} 10 AS i2
   FROM ordered
@@ -171,7 +184,7 @@ def stream_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         dir_override=d,
         max_files_per_trigger=1,
         state_partitions=4,
-    )
+    ).where(ts_valid("ev_time"))
     win = (
         ev.withWatermark("ev_time", "1 hour")
         .groupBy(F.window("ev_time", "6 hours").alias("w"))
