@@ -41,6 +41,7 @@ from pyspark.sql import types as T
 
 from ..functions.numeric import cents, money_sum
 from ..sources.readers import load_table
+from .contract import TEXT_VALID_DUCK, text_valid
 
 
 _TMP_SEQ = itertools.count()
@@ -92,7 +93,10 @@ _DOC_SCHEMA = T.StructType(
 
 
 def io_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").withColumn(
+    # text char-class validity (contract.text_valid, symmetric with
+    # the oracle): a NUL byte desyncs univocity's multiLine record
+    # reassembly (round-8 probe: 5-char drift on the NUL document)
+    docs = load_table(spark, sf_dir, "documents").where(text_valid()).withColumn(
         "text", F.concat(F.col("text"), F.lit(_DECORATION))
     )
     out = _tmp("csv", sf_dir)
@@ -114,13 +118,14 @@ def io_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CSV_SQL = """
+_CSV_SQL = f"""
 SELECT lang,
        COUNT(*) AS n_docs,
        CAST(SUM(LENGTH(text || '",' || chr(10) || '|')) AS BIGINT) AS sum_chars,
        CAST(COUNT(DISTINCT md5(text || '",' || chr(10) || '|')) AS BIGINT) AS n_distinct_texts,
        CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars
 FROM documents
+WHERE {TEXT_VALID_DUCK}
 GROUP BY lang
 """
 
@@ -231,7 +236,10 @@ def io_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape as the CSV/JSON queries: the oracle aggregates the ORIGINAL
     parquet, so a hash match proves the writer escaped and the reader
     unescaped every entity)."""
-    docs = load_table(spark, sf_dir, "documents").withColumn(
+    # text char-class validity (contract.text_valid): the XML 1.0
+    # character model has no representation for C0 controls — the
+    # writer THROWS on a NUL byte (round-8 probe)
+    docs = load_table(spark, sf_dir, "documents").where(text_valid()).withColumn(
         "text", F.concat(F.col("text"), F.lit(_XML_DECORATION))
     )
     out = _tmp("xml", sf_dir)
@@ -252,13 +260,14 @@ def io_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_XML_SQL = """
+_XML_SQL = f"""
 SELECT lang,
        COUNT(*) AS n_docs,
        CAST(SUM(LENGTH(text || '<&>' || chr(10) || '"x')) AS BIGINT) AS sum_chars,
        CAST(COUNT(DISTINCT md5(text || '<&>' || chr(10) || '"x')) AS BIGINT) AS n_distinct_texts,
        CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars
 FROM documents
+WHERE {TEXT_VALID_DUCK}
 GROUP BY lang
 """
 

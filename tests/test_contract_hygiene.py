@@ -415,3 +415,75 @@ def test_null_docs_net_covers_the_tokenizing_net():
     assert not missing, (
         f"tokenizing queries absent from the NULL-docs net: {sorted(missing)}"
     )
+
+
+def test_ingest_contract_fragments_are_symmetric():
+    """Round-9 hostile-value classes: every fixed query must carry the
+    contract module's validity fragment in BOTH engines, so the
+    symmetric predicate can't silently drift apart (the whole point of
+    contract.py is one source of truth; this pins the literal copies
+    in templates that can't interpolate it)."""
+    from boat_etl_pyspark_spark.plans import (
+        contract,
+        relational11,
+        relational17,
+        textstats2,
+    )
+
+    osql = M.oracle_sql()
+
+    # class A — money-value domain (INT64 cents-overflow queries)
+    assert contract.VALUE_DOMAIN_SQL == "value BETWEEN -1.0e12 AND 1.0e12"
+    assert contract.VALUE_DOMAIN_DOLLARS == 1.0e12
+    row_level = ("ml_calibration_bins", "ml_calibration_ece",
+                 "ml_brier_decomposition")
+    for name in row_level:
+        assert contract.VALUE_DOMAIN_SQL in osql[name], name
+    value_level = "value BETWEEN -1.0e12 AND 1.0e12"
+    assert value_level in osql["interp_linear_fill"]
+    for tpl in (relational17._ROLLREG_SPARK, relational17._ROLLREG_DUCK):
+        assert value_level in tpl
+
+    # class B — embedding dims
+    assert contract.EMB_DIMS == 64
+    emb_queries = ("embed_kmeans_lloyd", "embed_gram_matrix",
+                   "embed_pca_power", "curate_semdedup",
+                   "sim_product_quantize", "sim_blocked_matmul_topk")
+    for name in emb_queries:
+        assert f"len(embedding) = {contract.EMB_DIMS}" in osql[name], name
+
+    # class C — event-time validity window on the watermarked family
+    ts_frag = contract.ts_valid_sql("ts")
+    stream_queries = (
+        "stream_session_windows", "stream_chained_agg",
+        "stream_append_mode_windows", "stream_checkpoint_restart",
+        "stream_dedup_within_watermark", "stream_late_data_audit",
+        "stream_stream_left_outer", "stream_stream_full_outer",
+    )
+    for name in stream_queries:
+        assert ts_frag in osql[name], name
+    # the numpy/Arrow splitter bounds must equal the SQL literals
+    import datetime
+
+    for us, iso in ((contract.EV_TIME_LO_US, contract.EV_TIME_LO),
+                    (contract.EV_TIME_HI_US, contract.EV_TIME_HI)):
+        dt = datetime.datetime(1970, 1, 1) + datetime.timedelta(
+            microseconds=us
+        )
+        assert dt == datetime.datetime.fromisoformat(iso), iso
+
+    # class D — text char-class filter + max token bound
+    for name in ("io_csv_roundtrip", "io_xml_roundtrip",
+                 "text_normalize_unicode"):
+        assert contract.TEXT_VALID_DUCK in osql[name], name
+    assert contract.TEXT_MAX_TOKEN == 512
+    bound = f"BETWEEN 2 AND {contract.TEXT_MAX_TOKEN}"
+    assert bound in textstats2._BPE_SPARK
+    assert bound in textstats2._BPE_DUCK
+    assert f"range(1, {contract.TEXT_MAX_TOKEN})" in textstats2._BPE_DUCK
+
+    # stream-stream cut proxy: both plans and both oracles derive the
+    # watermark from the MIN of the two sides' per-type maxima
+    for sql in (relational11._SSLO_SQL, relational11._SSFO_SQL):
+        assert "LEAST(mp, mv)" in sql
+        assert "mp IS NULL OR mv IS NULL" in sql
