@@ -438,11 +438,14 @@ def test_event_query_parity_on_nonfinite_values(
 def guard_band_events_dir(tmp_path_factory):
     """Values whose cents land in TRY_CAST's outer reaches: the
     [9.2e18, 2^63) band the old stateful guard wrongly dropped, the
-    first overflow beyond it, and exact-half cents (round-7 ADVICE).
-    Kept OUT of the shared non-finite fixture: five queries multiply
-    cents by small integers downstream where DuckDB BIGINT arithmetic
-    throws (see nonfinite_events_dir comment), so only the stateful
-    totals operator — whose arithmetic is a pure SUM — replays it."""
+    first overflow beyond it, exact-half cents (round-7 ADVICE), and
+    the round-8 ADVICE rounding classes (a fraction just under .5 that
+    abs+0.5 rounds up, and odd integer cents in [2^52, 2^53) whose
+    +0.5 tie goes even). The stateful totals operator keeps the FULL
+    TRY_CAST domain (pure SUM — no downstream multiplication), so this
+    dedicated fixture pins the band semantics at values far beyond
+    contract.VALUE_DOMAIN_DOLLARS; the five multiplying queries bound
+    their domain instead (see nonfinite_events_dir)."""
     d = str(tmp_path_factory.mktemp("sf_guard_band_events"))
     _copy_sf(d, skip="events.parquet")
     real = pq.read_table(os.path.join(SF_SMOKE, "events.parquet"))
@@ -453,6 +456,14 @@ def guard_band_events_dir(tmp_path_factory):
         9.21e16,    # cents 9.21e18 in [9.2e18, 2^63): TRY_CAST keeps it
         -9.21e16,   # the negative band mirror
         9.3e16,     # cents 9.3e18 >= 2^63: TRY_CAST -> NULL, drops out
+        # round-8 ADVICE rounding classes (value*100 is IEEE-exact by
+        # construction, verified in both engines):
+        0.004999999999999999,   # cents 0.49999999999999994: ROUND -> 0,
+        #                         but abs+0.5 rounds UP to 1.0 in float64
+        45035996273704.97,      # cents 2^52+1 (odd, no fractional ulp):
+        #                         ROUND keeps it; x+0.5 ties to the EVEN
+        #                         neighbor 2^52+2
+        -45035996273704.97,     # the negative mirror nets the sum to 0
     ]
     n = len(vals)
     extra = pa.table(
@@ -489,11 +500,13 @@ def test_stateful_totals_parity_on_guard_band_values(
     problems = frames_equal(spark_pd, oracle_pd)
     assert not problems, f"{name}: " + "; ".join(problems)
     # the synthetic user's total pins the exact band semantics:
-    # 13 - 13 + 9.21e18 - 9.21e18 + (dropped) = 0 cents
+    # 13 - 13 + 9.21e18 - 9.21e18 + (dropped) + 0 + (2^52+1) - (2^52+1)
+    # = 0 cents — a +1-cent drift on ANY of the rounding-edge rows
+    # (or the even-neighbor tie) breaks the zero
     row = spark_pd[spark_pd["user_id"] == 777]
     assert len(row) == 1
     assert float(row["value_sum"].iloc[0]) == 0.0
-    assert int(row["n_events"].iloc[0]) == 5
+    assert int(row["n_events"].iloc[0]) == 8
 
 
 def test_event_nets_cover_every_events_consumer():

@@ -62,9 +62,22 @@ def main() -> None:
     # timings use (on the quiet host this banking demands, single-core
     # and multi-core drift together, so the projection is faithful).
     # Once set it is pinned to the fp_ref era and never overwritten.
+    # Round-8 ADVICE: when fp and agg scales already DISAGREE at
+    # banking time the host is not quiet, the max() projection inflates
+    # fp_mc_ref, and every future mc disagreement alarm is biased — so
+    # refuse to pin the mc reference from such a run.
+    disagreement = max(fp_scale, agg_scale) / min(fp_scale, agg_scale)
     if "fp_mc_ref" not in base and "cpu_fingerprint_mc_sec" in full:
-        mc = full["cpu_fingerprint_mc_sec"]
-        base["fp_mc_ref"] = round(((mc["start"] + mc["end"]) / 2) * scale, 4)
+        if disagreement >= 1.15:
+            print(
+                f"NOT banking fp_mc_ref: fp/agg scale disagreement "
+                f"{disagreement:.2f} >= 1.15 — rerun on a quiet host"
+            )
+        else:
+            mc = full["cpu_fingerprint_mc_sec"]
+            base["fp_mc_ref"] = round(
+                ((mc["start"] + mc["end"]) / 2) * scale, 4
+            )
 
     improved, added = 0, 0
     for name, sec in full["queries"].items():

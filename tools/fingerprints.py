@@ -54,9 +54,12 @@ Round protocol (pinned by ``tests/test_contract_hygiene.py``):
 1. At round start — BEFORE editing any plan — run
    ``python tools/fingerprints.py --bank`` to absorb the previous
    round's new green rows at their certified (still-on-disk) source.
-2. Edit freely; edited green queries flip to changed automatically.
-3. Regenerate ``_CHECK_FIRST`` via ``python tools/rotation.py
-   --python`` after the last plan edit of the round.
+2. Immediately after banking — still BEFORE any plan edit — pin the
+   round's window: ``python tools/rotation.py --python`` and paste all
+   three tuples (round-8 verdict item 7: a hardening round's own edits
+   must not displace the backlog drain; edits made after the pin
+   promote into the NEXT round's window).
+3. Edit freely; edited green queries flip to changed automatically.
 
 Usage:
     python tools/fingerprints.py --bank     # absorb new greens
@@ -101,32 +104,48 @@ def referenced_templates(fn) -> list[str]:
 
 
 def _function_local_imports(fn) -> dict:
-    """name -> object for ``from X import y`` statements INSIDE the
-    plan callable's body (the repo's lazy-import idiom for streaming
-    helpers). These bind locals, not globals, so ``co_names`` +
-    ``__globals__`` alone cannot resolve them."""
+    """name -> object for import statements INSIDE the plan callable's
+    body (the repo's lazy-import idiom for streaming helpers). These
+    bind locals, not globals, so ``co_names`` + ``__globals__`` alone
+    cannot resolve them. Parsed with ``ast`` (round-8 ADVICE): the old
+    line regex missed parenthesized / multi-line ``from X import (a,
+    b)`` forms and plain ``import x`` statements, silently exempting
+    helpers bound that way from depth-1 hashing."""
+    import ast
     import importlib
-    import re
+    import textwrap
 
     out: dict = {}
     try:
         src = inspect.getsource(fn)
     except (OSError, TypeError):
         return out
+    try:
+        tree = ast.parse(textwrap.dedent(src))
+    except SyntaxError:
+        return out
     pkg = (getattr(fn, "__module__", "") or "").rpartition(".")[0]
-    for m in re.finditer(
-        r"^\s*from\s+([.\w]+)\s+import\s+([\w ,]+)", src, re.M
-    ):
-        modname = m.group(1)
-        try:
-            mod = importlib.import_module(
-                modname, package=pkg if modname.startswith(".") else None
-            )
-        except Exception:
-            continue
-        for name in (s.strip() for s in m.group(2).split(",")):
-            if name and hasattr(mod, name):
-                out[name] = getattr(mod, name)
+    for node in ast.walk(tree):
+        if isinstance(node, ast.ImportFrom):
+            modname = "." * node.level + (node.module or "")
+            try:
+                mod = importlib.import_module(
+                    modname, package=pkg if node.level else None
+                )
+            except Exception:
+                continue
+            for alias in node.names:
+                if alias.name != "*" and hasattr(mod, alias.name):
+                    out[alias.asname or alias.name] = getattr(
+                        mod, alias.name
+                    )
+        elif isinstance(node, ast.Import):
+            for alias in node.names:
+                try:
+                    mod = importlib.import_module(alias.name)
+                except Exception:
+                    continue
+                out[alias.asname or alias.name.partition(".")[0]] = mod
     return out
 
 
