@@ -166,7 +166,7 @@ WITH vals AS (
   SELECT variant,
          COUNT(*) AS n,
          CAST(SUM(CAST(v AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s1,
-         CAST(SUM(CAST(v * v AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s2
+         CAST(SUM(CAST(v AS DECIMAL(38,0)) * v) AS DECIMAL(38,0)) AS s2
   FROM vals GROUP BY variant
 ), wide AS (
   SELECT
@@ -211,7 +211,7 @@ WITH vals AS (
   SELECT variant,
          COUNT(*) AS n,
          SUM(CAST(v AS HUGEINT)) AS s1,
-         SUM(CAST(v * v AS HUGEINT)) AS s2
+         SUM(CAST(v AS HUGEINT) * v) AS s2
   FROM vals GROUP BY variant
 ), wide AS (
   SELECT
