@@ -79,6 +79,41 @@ def value_bounded(col: Column) -> Column:
     )
 
 
+def money_bounded_sql(col: str) -> str:
+    """Value-level money-domain fragment for a raw TPC-H money column
+    (``o_totalprice``, ``l_extendedprice``, ``c_acctbal``,
+    ``s_acctbal``, ``p_retailprice``): out-of-domain (or non-finite —
+    NaN/Inf fail BETWEEN) behaves exactly like NULL. REQUIRED (not
+    merely defensive) wherever the ingest uses ``floor``: Spark's
+    ``floor(double)`` returns LONG, silently minting 0 for NaN and
+    Long.MAX for +Inf BEFORE any TRY_CAST can intervene, where
+    DuckDB's floor stays DOUBLE and TRY_CAST yields NULL."""
+    return (
+        f"(CASE WHEN {col} BETWEEN -1.0e12 AND 1.0e12 THEN {col} END)"
+    )
+
+
+#: l_quantity ingest domain = the data contract's documented rule
+#: (validate_data_contract counts violations of exactly [1, 50]); a
+#: 1e15 "quantity" is corrupt ingest and its cents/squares would
+#: overflow INT64 products where DuckDB throws and Spark wraps.
+QTY_DOMAIN_LO, QTY_DOMAIN_HI = 1.0, 50.0
+
+
+def qty_bounded_sql(col: str = "l_quantity") -> str:
+    return (
+        f"(CASE WHEN {col} BETWEEN {QTY_DOMAIN_LO} AND {QTY_DOMAIN_HI}"
+        f" THEN {col} END)"
+    )
+
+
+#: l_discount / l_tax ingest domain: rates live in [0, 1] (the data
+#: contract's discount rule is [0, 0.10]; [0, 1] is the generous
+#: bound that still keeps every (1 - rate) revenue factor in [0, 1]).
+def rate_bounded_sql(col: str) -> str:
+    return f"(CASE WHEN {col} BETWEEN 0.0 AND 1.0 THEN {col} END)"
+
+
 # ---------------------------------------------------------------------------
 # Embedding-vector validity (embeddings.embedding)
 # ---------------------------------------------------------------------------

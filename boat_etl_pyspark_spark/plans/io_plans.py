@@ -172,7 +172,7 @@ def io_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JSON_SQL = """
 SELECT o_orderpriority,
        COUNT(*) AS n_orders,
-       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+       CAST(SUM(TRY_CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
        strftime(MIN(o_orderdate), '%Y-%m-%d') AS first_day,
        strftime(MAX(o_orderdate), '%Y-%m-%d') AS last_day
 FROM orders
@@ -382,8 +382,8 @@ def io_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BUCKETED_SQL = """
 SELECT o_orderpriority,
        COUNT(*) AS n_items,
-       CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents,
-       CAST(SUM(CAST(ROUND(l_extendedprice) AS BIGINT)) AS BIGINT) AS price_units
+       CAST(SUM(TRY_CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents,
+       CAST(SUM(TRY_CAST(ROUND(l_extendedprice) AS BIGINT)) AS BIGINT) AS price_units
 FROM orders
 JOIN lineitem ON o_orderkey = l_orderkey
 GROUP BY o_orderpriority

@@ -55,7 +55,7 @@ def io_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORC_SQL = """
 SELECT o_orderpriority,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
-       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+       CAST(SUM(TRY_CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
          AS revenue_cents,
        strftime(MIN(o_orderdate), '%Y-%m-%d') AS first_date,
        strftime(MAX(o_orderdate), '%Y-%m-%d') AS last_date
@@ -131,7 +131,7 @@ def io_small_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 _COMPACTION_SQL = """
 SELECT l_returnflag,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
-       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+       CAST(SUM(TRY_CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
          AS price_cents,
        CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
        CASE WHEN (SELECT COUNT(*) FROM lineitem) <= 4 THEN NULL
@@ -200,7 +200,7 @@ def io_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SNAPSHOT_DIFF_SQL = f"""
 WITH o AS (
   SELECT o_orderkey, o_orderdate,
-         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+         TRY_CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
   FROM orders
 ), a AS (
   SELECT o_orderkey, price_cents AS a_cents FROM o
@@ -310,7 +310,7 @@ _CODEC_SQL = """
 SELECT c.codec,
        o_orderpriority,
        COUNT(*) AS n_orders,
-       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+       CAST(SUM(TRY_CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
          AS revenue_cents,
        CASE WHEN (SELECT COUNT(*) FROM orders) < 512 THEN NULL
             ELSE c.codec = 'zstd' END AS smaller_file

@@ -62,13 +62,13 @@ _Q1_SQL = """
 SELECT
   l_returnflag,
   l_linestatus,
-  CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
-  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price,
-  CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_disc_price,
-  CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_charge,
-  CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / (COUNT(l_quantity) * 100.0) AS avg_qty,
-  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / (COUNT(l_extendedprice) * 100.0) AS avg_price,
-  CAST(SUM(CAST(ROUND(l_discount * 10000) AS BIGINT)) AS DOUBLE) / (COUNT(l_discount) * 10000.0) AS avg_disc,
+  CAST(SUM(TRY_CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
+  CAST(SUM(TRY_CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price,
+  CAST(SUM(TRY_CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_disc_price,
+  CAST(SUM(TRY_CAST(ROUND(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_charge,
+  CAST(SUM(TRY_CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / (COUNT(l_quantity) * 100.0) AS avg_qty,
+  CAST(SUM(TRY_CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / (COUNT(l_extendedprice) * 100.0) AS avg_price,
+  CAST(SUM(TRY_CAST(ROUND(l_discount * 10000) AS BIGINT)) AS DOUBLE) / (COUNT(l_discount) * 10000.0) AS avg_disc,
   COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2000-12-01'
@@ -113,7 +113,7 @@ SELECT
   l_orderkey,
   strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
   o_orderpriority,
-  CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+  CAST(SUM(TRY_CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -159,7 +159,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q5_SQL = """
 SELECT
   n_name,
-  CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+  CAST(SUM(TRY_CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -194,7 +194,7 @@ _JOIN_LEFT_SQL = """
 SELECT
   c_custkey, c_name, c_mktsegment,
   COUNT(o_orderkey) AS n_orders,
-  COALESCE(CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0, 0.0) AS total_spend
+  COALESCE(CAST(SUM(TRY_CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0, 0.0) AS total_spend
 FROM customer
 LEFT JOIN orders ON c_custkey = o_custkey
 GROUP BY c_custkey, c_name, c_mktsegment
@@ -370,7 +370,7 @@ SELECT
   COUNT(*) AS n_orders,
   COUNT(DISTINCT o_custkey) AS n_customers,
   COUNT(DISTINCT o_orderpriority) AS n_priorities,
-  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / (COUNT(o_totalprice) * 100.0) AS avg_price
+  CAST(SUM(TRY_CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / (COUNT(o_totalprice) * 100.0) AS avg_price
 FROM orders
 GROUP BY o_orderstatus
 """
@@ -397,7 +397,7 @@ _AGG_ROLLUP_SQL = """
 SELECT
   n_name, c_mktsegment,
   COUNT(*) AS n_customers,
-  CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS acctbal_sum
+  CAST(SUM(TRY_CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS acctbal_sum
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 GROUP BY ROLLUP (n_name, c_mktsegment)
@@ -417,7 +417,7 @@ _AGG_CUBE_SQL = """
 SELECT
   l_returnflag, l_linestatus,
   COUNT(*) AS n_items,
-  CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS qty_sum
+  CAST(SUM(TRY_CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS qty_sum
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
 HAVING COUNT(*) > 0
@@ -431,7 +431,7 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT o_orderstatus, o_orderpriority,
                COUNT(*) AS n_orders,
-               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS price_sum
+               CAST(SUM(TRY_CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS price_sum
         FROM __gs_orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
@@ -441,7 +441,7 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 _AGG_GROUPING_SETS_SQL = """
 SELECT o_orderstatus, o_orderpriority,
        COUNT(*) AS n_orders,
-       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS price_sum
+       CAST(SUM(TRY_CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS price_sum
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 HAVING COUNT(*) > 0
@@ -494,7 +494,7 @@ _WINDOW_RUNNING_SQL = """
 SELECT
   o_custkey, o_orderkey,
   strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
-  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
+  CAST(SUM(TRY_CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
     PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
   ) AS DOUBLE) / 100.0 AS running_spend
@@ -581,7 +581,7 @@ FROM (
          DENSE_RANK() OVER (ORDER BY total_qty DESC, l_partkey ASC) AS qty_dense_rank
   FROM (
     SELECT l_partkey,
-           CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_qty
+           CAST(SUM(TRY_CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_qty
     FROM lineitem GROUP BY l_partkey
   )
 )
@@ -664,7 +664,7 @@ SELECT
   CAST(year(o_orderdate) AS INT) AS order_year,
   CAST(quarter(o_orderdate) AS INT) AS order_quarter,
   COUNT(*) AS n_orders,
-  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS price_sum
+  CAST(SUM(TRY_CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS price_sum
 FROM orders
 GROUP BY 1, 2
 """

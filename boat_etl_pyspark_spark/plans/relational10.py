@@ -121,7 +121,7 @@ def anomaly_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MAD_SQL = """
 WITH o AS (
-  SELECT o_orderstatus, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS p
+  SELECT o_orderstatus, TRY_CAST(ROUND(o_totalprice * 100) AS BIGINT) AS p
   FROM orders
 ), r1 AS (
   SELECT o_orderstatus, p,
@@ -361,7 +361,7 @@ SELECT 'lineitem_qty_out_of_range',
             AS BIGINT) FROM lineitem
 UNION ALL
 SELECT 'lineitem_discount_out_of_range',
-       CAST(SUM(CASE WHEN CAST(ROUND(l_discount * 100) AS BIGINT)
+       CAST(SUM(CASE WHEN TRY_CAST(ROUND(l_discount * 100) AS BIGINT)
                      NOT BETWEEN 0 AND 10 THEN 1 ELSE 0 END) AS BIGINT)
   FROM lineitem
 UNION ALL

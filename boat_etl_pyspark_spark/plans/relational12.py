@@ -142,7 +142,7 @@ def graph_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HIERARCHY_SQL = f"""
 WITH spend AS (
   SELECT o_custkey,
-         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         CAST(SUM(TRY_CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
            AS spend_cents
   FROM orders GROUP BY 1
 ), exploded AS (

@@ -93,7 +93,7 @@ _PIT_SQL = f"""
 WITH o AS (
   SELECT o_orderkey, o_custkey,
          epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS ts_us,
-         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+         TRY_CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
   FROM orders
 ), per_day AS (
   SELECT o_custkey, ts_us, COUNT(*) AS n_day
@@ -294,7 +294,7 @@ _HQ_SPARK = f"""
 WITH o AS (
   SELECT date_trunc('quarter', o_orderdate) AS q,
          date_trunc('month', o_orderdate) AS m,
-         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS p
+         TRY_CAST(ROUND(o_totalprice * 100) AS BIGINT) AS p
   FROM {{orders}}
 ), partials AS (
   SELECT q, m, p DIV {_HQ_WIDTH} AS b, COUNT(*) AS c
@@ -357,7 +357,7 @@ _HQ_DUCK = f"""
 WITH o AS (
   SELECT date_trunc('quarter', o_orderdate) AS q,
          date_trunc('month', o_orderdate) AS m,
-         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS p
+         TRY_CAST(ROUND(o_totalprice * 100) AS BIGINT) AS p
   FROM orders
 ), partials AS (
   SELECT q, m, p // {_HQ_WIDTH} AS b, COUNT(*) AS c

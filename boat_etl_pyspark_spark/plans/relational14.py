@@ -127,7 +127,7 @@ def join_hybrid_skew_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HYBRID_SQL = """
 SELECT o_orderpriority,
        CAST(COUNT(*) AS BIGINT) AS n_items,
-       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+       CAST(SUM(TRY_CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
             AS BIGINT) AS revenue_cents
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority

@@ -51,7 +51,7 @@ _OLS_SPARK = """
 WITH pts AS (
   SELECT l_returnflag AS grp,
          CAST(l_quantity AS BIGINT) AS x,
-         CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+         TRY_CAST(round(l_extendedprice * 100) AS BIGINT) AS y
   FROM {lineitem}
 ), sums AS (
   SELECT grp,
@@ -88,7 +88,7 @@ _OLS_DUCK = """
 WITH pts AS (
   SELECT l_returnflag AS grp,
          CAST(l_quantity AS BIGINT) AS x,
-         CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+         TRY_CAST(round(l_extendedprice * 100) AS BIGINT) AS y
   FROM lineitem
 ), sums AS (
   SELECT grp,
@@ -138,7 +138,7 @@ def agg_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BENFORD_SPARK = """
 WITH digits AS (
-  SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+  SELECT CAST(substring(CAST(TRY_CAST(round(o_totalprice * 100) AS BIGINT)
                              AS STRING), 1, 1) AS INT) AS digit
   FROM {orders}
 ), counts AS (
@@ -159,7 +159,7 @@ FROM tot
 
 _BENFORD_DUCK = """
 WITH digits AS (
-  SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+  SELECT CAST(substring(CAST(TRY_CAST(round(o_totalprice * 100) AS BIGINT)
                              AS VARCHAR), 1, 1) AS INT) AS digit
   FROM orders
 ), counts AS (
@@ -196,7 +196,7 @@ def agg_benford_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EWMA_SPARK = """
 WITH seq AS (
   SELECT o_custkey,
-         CAST(round(o_totalprice * 100) AS BIGINT) * 1000 AS m,
+         TRY_CAST(round(o_totalprice * 100) AS BIGINT) * 1000 AS m,
          ROW_NUMBER() OVER (PARTITION BY o_custkey
                             ORDER BY o_orderdate, o_orderkey) AS rn,
          COUNT(*) OVER (PARTITION BY o_custkey) AS n
@@ -220,7 +220,7 @@ GROUP BY o_custkey
 _EWMA_DUCK = """
 WITH seq AS (
   SELECT o_custkey,
-         CAST(round(o_totalprice * 100) AS BIGINT) * 1000 AS m,
+         TRY_CAST(round(o_totalprice * 100) AS BIGINT) * 1000 AS m,
          ROW_NUMBER() OVER (PARTITION BY o_custkey
                             ORDER BY o_orderdate, o_orderkey) AS rn,
          COUNT(*) OVER (PARTITION BY o_custkey) AS n

@@ -129,7 +129,7 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            F.sum(F.round(F.col("o_totalprice") * 100).try_cast("bigint")).alias(
                 "s_cents"
             )
         )
@@ -152,7 +152,7 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GINI_DUCK = """
 WITH spend AS (
   SELECT o_custkey,
-         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         CAST(SUM(TRY_CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
            AS s_cents
   FROM orders GROUP BY o_custkey
 ), ranked AS (

@@ -49,7 +49,7 @@ _TE_PRIOR = 100  # pseudo-count weight of the global mean
 _TE_CORE = f"""
 WITH j AS (
   SELECT c.c_mktsegment AS segment,
-         CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+         TRY_CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
   FROM {{orders}} o JOIN {{customer}} c ON o.o_custkey = c.c_custkey
 ), seg AS (
   SELECT segment, COUNT(*) AS n, SUM(CAST(cents AS {{big}})) AS s
@@ -276,8 +276,8 @@ def agg_weighted_median_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _cw(df: DataFrame) -> DataFrame:
         return df.select(
-            F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
-            F.round(F.col("l_quantity")).cast("bigint").alias("w"),
+            F.round(F.col("l_extendedprice") * 100).try_cast("bigint").alias("cents"),
+            F.round(F.col("l_quantity")).try_cast("bigint").alias("w"),
         )
 
     li = _cw(raw)
@@ -337,8 +337,8 @@ def agg_weighted_median_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _WM_DUCK = """
 WITH v AS (
-  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
-         CAST(round(l_quantity) AS BIGINT) AS w
+  SELECT TRY_CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+         TRY_CAST(round(l_quantity) AS BIGINT) AS w
   FROM lineitem
 ), g AS (
   SELECT cents, SUM(w) AS w FROM v GROUP BY cents

@@ -83,7 +83,7 @@ WHERE o_totalprice > (SELECT MAX(o_totalprice) * 0.5 FROM orders)
 
 def agg_price_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
-    v = F.round(F.col("o_totalprice")).cast("bigint")  # whole currency units
+    v = F.round(F.col("o_totalprice")).try_cast("bigint")  # whole currency units
     base = orders.groupBy("o_orderstatus").agg(
         F.count("*").alias("n"),
         F.sum(v).alias("s1"),
@@ -104,8 +104,8 @@ _MOMENTS_SQL = """
 WITH b AS (
   SELECT o_orderstatus,
          COUNT(*) AS n,
-         SUM(CAST(ROUND(o_totalprice) AS BIGINT)) AS s1,
-         SUM(CAST(ROUND(o_totalprice) AS BIGINT) * CAST(ROUND(o_totalprice) AS BIGINT)) AS s2
+         SUM(TRY_CAST(ROUND(o_totalprice) AS BIGINT)) AS s1,
+         SUM(TRY_CAST(ROUND(o_totalprice) AS BIGINT) * TRY_CAST(ROUND(o_totalprice) AS BIGINT)) AS s2
   FROM orders GROUP BY o_orderstatus
 )
 SELECT o_orderstatus, n,
@@ -118,8 +118,8 @@ FROM b
 
 def agg_qty_price_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    q = F.round(F.col("l_quantity") * 100).cast("bigint")
-    p = F.round(F.col("l_extendedprice")).cast("bigint")
+    q = F.round(F.col("l_quantity") * 100).try_cast("bigint")
+    p = F.round(F.col("l_extendedprice")).try_cast("bigint")
     base = li.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
         F.sum(q).alias("sq"),
@@ -145,11 +145,11 @@ _CORR_SQL = """
 WITH b AS (
   SELECT l_returnflag,
          COUNT(*) AS n,
-         SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS sq,
-         SUM(CAST(ROUND(l_extendedprice) AS BIGINT)) AS sp,
-         SUM(CAST(ROUND(l_quantity * 100) AS BIGINT) * CAST(ROUND(l_quantity * 100) AS BIGINT)) AS sqq,
-         SUM(CAST(ROUND(l_extendedprice) AS BIGINT) * CAST(ROUND(l_extendedprice) AS BIGINT)) AS spp,
-         SUM(CAST(ROUND(l_quantity * 100) AS BIGINT) * CAST(ROUND(l_extendedprice) AS BIGINT)) AS sqp
+         SUM(TRY_CAST(ROUND(l_quantity * 100) AS BIGINT)) AS sq,
+         SUM(TRY_CAST(ROUND(l_extendedprice) AS BIGINT)) AS sp,
+         SUM(TRY_CAST(ROUND(l_quantity * 100) AS BIGINT) * TRY_CAST(ROUND(l_quantity * 100) AS BIGINT)) AS sqq,
+         SUM(TRY_CAST(ROUND(l_extendedprice) AS BIGINT) * TRY_CAST(ROUND(l_extendedprice) AS BIGINT)) AS spp,
+         SUM(TRY_CAST(ROUND(l_quantity * 100) AS BIGINT) * TRY_CAST(ROUND(l_extendedprice) AS BIGINT)) AS sqp
   FROM lineitem GROUP BY l_returnflag
 )
 SELECT l_returnflag, n,

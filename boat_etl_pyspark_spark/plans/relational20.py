@@ -91,7 +91,7 @@ _PSI_CORE = f"""
 WITH b AS (
   SELECT CASE WHEN o_orderdate < DATE '{_PSI_SPLIT_DATE}' THEN 0 ELSE 1 END
            AS era,
-         LEAST(CAST(round(o_totalprice * 100) AS BIGINT)
+         LEAST(TRY_CAST(round(o_totalprice * 100) AS BIGINT)
                * {_PSI_BUCKETS} {{div}} {_PSI_DOMAIN_CENTS},
                {_PSI_BUCKETS - 1}) AS bucket
   FROM {{orders}}

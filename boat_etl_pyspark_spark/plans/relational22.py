@@ -88,7 +88,7 @@ def _boot_sql(orders: str, key_j: str, hex2int: str, big: str, div: str) -> str:
     return f"""
 WITH r AS (
   SELECT o_custkey,
-         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+         SUM(TRY_CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
   FROM {orders} GROUP BY o_custkey
 ), h AS (
   SELECT cents,

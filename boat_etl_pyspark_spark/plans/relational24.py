@@ -178,7 +178,7 @@ def io_binary_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MANIFEST_SQL = """
 SELECT o_orderpriority,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
-       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+       CAST(SUM(TRY_CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
          AS revenue_cents,
        TRUE AS manifest_ok
 FROM orders

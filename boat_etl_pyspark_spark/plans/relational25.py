@@ -184,7 +184,7 @@ def _abc_duck() -> str:
     return f"""
 WITH pp AS (
   SELECT l_partkey,
-         SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+         SUM(TRY_CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
            AS rev
   FROM lineitem GROUP BY l_partkey
 ), bounds AS (

@@ -94,8 +94,8 @@ _SPEAR_GRID_CENTS = 1
 
 _SPEAR_CORE = """
 WITH v AS (
-  SELECT CAST(round(l_quantity) AS BIGINT) AS x,
-         CAST(round(l_extendedprice * 100) AS BIGINT) {idiv} {grid} AS y
+  SELECT TRY_CAST(round(l_quantity) AS BIGINT) AS x,
+         TRY_CAST(round(l_extendedprice * 100) AS BIGINT) {idiv} {grid} AS y
   FROM {lineitem}
 ), rx AS (
   SELECT x, 2 * (coalesce(SUM(ct) OVER (ORDER BY x

@@ -51,7 +51,7 @@ from ..sources.readers import load_table
 
 _KS_CORE = """
 WITH v AS (
-  SELECT CAST(floor(l_extendedprice) AS BIGINT) AS g, l_returnflag AS flag
+  SELECT TRY_CAST(floor((CASE WHEN l_extendedprice BETWEEN -1.0e12 AND 1.0e12 THEN l_extendedprice END)) AS BIGINT) AS g, l_returnflag AS flag
   FROM {lineitem} WHERE l_returnflag IN ('R', 'N')
 ), cnt AS (
   SELECT g,
@@ -105,7 +105,7 @@ _KS_DUCK = _KS_CORE.format(lineitem="lineitem", big="HUGEINT", idiv="//")
 _ACF_CORE = """
 WITH daily AS (
   SELECT {dayidx} AS di,
-         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+         SUM(TRY_CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
   FROM {orders} GROUP BY o_orderdate
 ), lagged AS (
   SELECT cents AS x,
@@ -180,7 +180,7 @@ _ACF_DUCK = _ACF_CORE.format(
 _THEIL_CORE = """
 WITH spend AS (
   SELECT o_custkey AS ck,
-         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+         SUM(TRY_CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
   FROM {orders} GROUP BY o_custkey
 ), tot AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(CAST(cents AS {big})) AS s
@@ -294,7 +294,7 @@ _KFOLD_CORE = f"""
 WITH f AS (
   SELECT c_mktsegment AS segment,
          CAST({{bucket}} % {_KFOLD_K} AS BIGINT) AS fold,
-         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+         TRY_CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
   FROM {{customer}}
 )
 SELECT segment, fold,

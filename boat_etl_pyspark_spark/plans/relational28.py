@@ -45,9 +45,9 @@ from ..sources.readers import load_table
 
 _KW_CORE = """
 WITH base AS (
-  SELECT l_returnflag AS g, CAST(round(l_quantity) AS BIGINT) AS v,
+  SELECT l_returnflag AS g, TRY_CAST(round(l_quantity) AS BIGINT) AS v,
          COUNT(*) AS c
-  FROM {lineitem} GROUP BY l_returnflag, CAST(round(l_quantity) AS BIGINT)
+  FROM {lineitem} GROUP BY l_returnflag, TRY_CAST(round(l_quantity) AS BIGINT)
 ), w AS (
   SELECT g, v, c,
          SUM(c) OVER (PARTITION BY v) AS ct,
@@ -125,10 +125,10 @@ _CM_PAIRS = (
 
 _CM_CORE = """
 WITH v AS (
-  SELECT CAST(round(l_quantity) AS BIGINT) AS q,
-         CAST(round(l_extendedprice * 100) AS BIGINT) AS e,
-         CAST(round(l_discount * 10000) AS BIGINT) AS d,
-         CAST(round(l_tax * 10000) AS BIGINT) AS t
+  SELECT TRY_CAST(round(l_quantity) AS BIGINT) AS q,
+         TRY_CAST(round(l_extendedprice * 100) AS BIGINT) AS e,
+         TRY_CAST(round(l_discount * 10000) AS BIGINT) AS d,
+         TRY_CAST(round(l_tax * 10000) AS BIGINT) AS t
   FROM {lineitem}
 ), s AS (
   SELECT COUNT(*) AS n,
@@ -206,7 +206,7 @@ _CM_DUCK = _CM_CORE.format(lineitem="lineitem", big="HUGEINT", pairs=_CM_PAIRS)
 _SD_CORE = """
 WITH daily AS (
   SELECT {dayidx} AS di,
-         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+         SUM(TRY_CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
   FROM {orders} GROUP BY o_orderdate
 ), w AS (
   SELECT di, cents,
@@ -274,7 +274,7 @@ _SD_DUCK = _SD_CORE.format(
 _LEV_CORE = """
 WITH x AS (
   SELECT l_returnflag AS g,
-         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+         TRY_CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
   FROM {lineitem}
 ), m AS (
   SELECT g, COUNT(*) AS n_g, SUM(CAST(cents AS {big})) AS s_g

@@ -152,11 +152,11 @@ ORDER BY status
 _DPO_ORACLE = """
 WITH base AS (
   SELECT o_orderstatus,
-         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+         TRY_CAST(round(o_totalprice * 100) AS BIGINT) AS cents
   FROM orders WHERE o_orderstatus <> 'O'
 ), regen AS (
   SELECT o_orderstatus,
-         CAST(round(o_totalprice * 100) AS BIGINT) * 2 AS cents
+         TRY_CAST(round(o_totalprice * 100) AS BIGINT) * 2 AS cents
   FROM orders
   WHERE o_orderstatus = 'O' AND o_orderkey % 3 = 0
 ), unioned AS (
@@ -184,7 +184,7 @@ def io_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFram
     orders = load_table(spark, sf_dir, "orders").selectExpr(
         "o_orderkey",
         "o_orderstatus",
-        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents",
+        "TRY_CAST(round(o_totalprice * 100) AS BIGINT) AS cents",
     )
     orders.write.partitionBy("o_orderstatus").mode("overwrite").parquet(out)
     regen = orders.where("o_orderstatus = 'O' AND o_orderkey % 3 = 0").selectExpr(

@@ -145,7 +145,7 @@ def q22_dormant_positive_customers(spark: SparkSession, sf_dir: str) -> DataFram
 _Q22_SQL = """
 SELECT c_mktsegment,
        COUNT(*) AS n_customers,
-       CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_bal
+       CAST(SUM(TRY_CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_bal
 FROM customer
 WHERE c_acctbal > (SELECT MAX(c_acctbal) * 0.2 FROM customer WHERE c_acctbal > 0)
   AND NOT EXISTS (
@@ -283,11 +283,11 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q14_SQL = """
 SELECT
   CAST(SUM(CASE WHEN p_type = 'PROMO'
-                THEN CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)
+                THEN TRY_CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)
                 ELSE 0 END) AS DOUBLE)
-    / CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS DOUBLE)
+    / CAST(SUM(TRY_CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS DOUBLE)
     * 100.0 AS promo_share_pct,
-  CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_revenue
+  CAST(SUM(TRY_CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_revenue
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 """
@@ -318,10 +318,10 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q18_SQL = """
 WITH big AS (
   SELECT l_orderkey,
-         CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_qty
+         CAST(SUM(TRY_CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_qty
   FROM lineitem
   GROUP BY l_orderkey
-  HAVING CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 > 150.0
+  HAVING CAST(SUM(TRY_CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 > 150.0
 )
 SELECT c_name, o_orderkey, o_totalprice, total_qty
 FROM big

@@ -215,8 +215,8 @@ def agg_trimmed_winsorized_mean(
 
 _TRIM_SQL = f"""
 WITH ranked AS (
-  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
-         ROW_NUMBER() OVER (ORDER BY CAST(round(o_totalprice * 100)
+  SELECT TRY_CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+         ROW_NUMBER() OVER (ORDER BY TRY_CAST(round(o_totalprice * 100)
                                           AS BIGINT), o_orderkey) AS rank,
          COUNT(*) OVER () AS n,
          COUNT(*) OVER () * {_TRIM_PCT} // 100 AS k

@@ -290,7 +290,7 @@ def agg_tail_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TAIL_DUCK = f"""
 WITH o AS (
   SELECT o_orderpriority,
-         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents,
+         TRY_CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents,
          o_orderkey
   FROM orders
 ), ranked AS (

@@ -42,7 +42,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q6_SQL = """
 SELECT
-  CAST(SUM(CAST(ROUND(l_extendedprice * l_discount * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue_delta,
+  CAST(SUM(TRY_CAST(ROUND(l_extendedprice * l_discount * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue_delta,
   COUNT(*) AS n_items
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1997-01-01'
@@ -78,7 +78,7 @@ def q10_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q10_SQL = """
 SELECT c_custkey, c_name, c_acctbal, n_name,
-       CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+       CAST(SUM(TRY_CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -121,7 +121,7 @@ def q15_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q15_SQL = """
 WITH rev AS (
   SELECT l_suppkey,
-         CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_revenue
+         CAST(SUM(TRY_CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01'
     AND l_shipdate <  TIMESTAMP '1997-01-01'
@@ -161,12 +161,12 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q17_SQL = """
 WITH enriched AS (
   SELECT l_partkey, l_quantity, l_extendedprice,
-         CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) OVER (PARTITION BY l_partkey) AS DOUBLE)
+         CAST(SUM(TRY_CAST(ROUND(l_quantity * 100) AS BIGINT)) OVER (PARTITION BY l_partkey) AS DOUBLE)
            / (COUNT(*) OVER (PARTITION BY l_partkey) * 100.0) AS avg_qty
   FROM lineitem
 )
 SELECT
-  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 / 7.0 AS avg_yearly,
+  CAST(SUM(TRY_CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 / 7.0 AS avg_yearly,
   COUNT(*) AS n_items
 FROM enriched
 JOIN part ON l_partkey = p_partkey
@@ -199,7 +199,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q19_SQL = """
 SELECT
-  CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
+  CAST(SUM(TRY_CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
   COUNT(*) AS n_items
 FROM lineitem
 JOIN part ON l_partkey = p_partkey

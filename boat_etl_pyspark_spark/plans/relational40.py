@@ -191,7 +191,7 @@ _STUMP_BINS = 64
 
 _STUMP_CORE = f"""
 WITH f AS (
-  SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS v,
+  SELECT TRY_CAST(floor((CASE WHEN o_totalprice BETWEEN -1.0e12 AND 1.0e12 THEN o_totalprice END) * 100) AS BIGINT) AS v,
          CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
   FROM {{orders}}
 ), span AS (

@@ -58,7 +58,7 @@ def _anova_core() -> str:
     )
     return f"""
 WITH f AS (
-  SELECT c_mktsegment AS seg, CAST(floor(c_acctbal * 100) AS BIGINT) AS v
+  SELECT c_mktsegment AS seg, TRY_CAST(floor((CASE WHEN c_acctbal BETWEEN -1.0e12 AND 1.0e12 THEN c_acctbal END) * 100) AS BIGINT) AS v
   FROM {{customer}}
 ), cells AS (
   SELECT {', '.join(cells)},
@@ -238,7 +238,7 @@ _DW_DUCK = (
 WITH dw_daily AS (
   SELECT CAST(datediff('day', DATE '1970-01-01',
                        CAST(l_shipdate AS DATE)) AS BIGINT) AS d,
-         SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS v
+         SUM(TRY_CAST(floor((CASE WHEN l_extendedprice BETWEEN -1.0e12 AND 1.0e12 THEN l_extendedprice END) * 100) AS BIGINT)) AS v
   FROM lineitem GROUP BY 1
 )"""
     + _DW_CORE.replace("WITH ols AS (", ", ols AS (", 1).format(

@@ -68,7 +68,7 @@ _GBDT_HIST_DUCK = f"""
 WITH f AS (
   SELECT CAST(datediff('day', DATE '1970-01-01',
                        CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
-         CAST(floor(o_totalprice * 100) AS BIGINT) AS y
+         TRY_CAST(floor((CASE WHEN o_totalprice BETWEEN -1.0e12 AND 1.0e12 THEN o_totalprice END) * 100) AS BIGINT) AS y
   FROM orders
 ), span AS (
   SELECT MIN(d) AS lo, MAX(d) AS hi FROM f
@@ -184,7 +184,7 @@ def _lc_hist_duck() -> str:
     return f"""
 WITH f AS (
   SELECT o_orderkey % 5 AS g,
-         CAST(floor(o_totalprice * 100) AS BIGINT) AS v,
+         TRY_CAST(floor((CASE WHEN o_totalprice BETWEEN -1.0e12 AND 1.0e12 THEN o_totalprice END) * 100) AS BIGINT) AS v,
          CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
   FROM orders
 ), span AS (
@@ -282,7 +282,7 @@ _LC_DUCK = (_lc_hist_duck() + ", " + _lc_rounds("hist")).format(idiv="//")
 _MEANS_CORE = """
 WITH f AS (
   SELECT o_orderpriority AS pri,
-         CAST(floor(o_totalprice * 100) AS BIGINT) AS y
+         TRY_CAST(floor((CASE WHEN o_totalprice BETWEEN -1.0e12 AND 1.0e12 THEN o_totalprice END) * 100) AS BIGINT) AS y
   FROM {orders} WHERE o_totalprice > 0
 ), s AS (
   SELECT pri, COUNT(*) AS n, SUM(y) AS sy,

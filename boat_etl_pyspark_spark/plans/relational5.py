@@ -59,7 +59,7 @@ def q7_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q7_SQL = """
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        CAST(year(l_shipdate) AS INT) AS ship_year,
-       CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS volume
+       CAST(SUM(TRY_CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS volume
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -106,10 +106,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q8_SQL = """
 SELECT CAST(year(o_orderdate) AS INT) AS order_year,
        CAST(SUM(CASE WHEN n1.n_name = 'NATION_3'
-                     THEN CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)
+                     THEN TRY_CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)
                      ELSE 0 END) AS DOUBLE)
-         / CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS DOUBLE) AS mkt_share,
-       CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_volume
+         / CAST(SUM(TRY_CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS DOUBLE) AS mkt_share,
+       CAST(SUM(TRY_CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_volume
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -193,7 +193,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q11_SQL = """
 WITH ps AS (
   SELECT l_suppkey, l_partkey,
-         SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS value_cents
+         SUM(TRY_CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS value_cents
   FROM lineitem GROUP BY l_suppkey, l_partkey
 ),
 per_part AS (
@@ -243,7 +243,7 @@ def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q20_SQL = """
 WITH per_sp AS (
   SELECT l_suppkey, l_partkey,
-         SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS qty_cents
+         SUM(TRY_CAST(ROUND(l_quantity * 100) AS BIGINT)) AS qty_cents
   FROM lineitem
   WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'blue%')
   GROUP BY l_suppkey, l_partkey

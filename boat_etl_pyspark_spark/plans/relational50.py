@@ -412,7 +412,7 @@ _BH_ALPHA_MICRO = 100_000  # alpha = 0.1, in micro units
 _BH_CORE = f"""
 WITH cents AS (
   SELECT c.c_nationkey AS nk,
-         CAST(round(o.o_totalprice * 100) AS BIGINT) AS x
+         TRY_CAST(round(o.o_totalprice * 100) AS BIGINT) AS x
   FROM {{orders}} o JOIN {{customer}} c ON o.o_custkey = c.c_custkey
 ), per_n AS (
   SELECT nk, COUNT(*) AS n,
@@ -496,7 +496,7 @@ _BH_DUCK = _BH_CORE.format(
 _PINBALL_CORE = """
 WITH cents AS (
   SELECT c_mktsegment AS segment,
-         CAST(round(c_acctbal * 100) AS BIGINT) AS x
+         TRY_CAST(round(c_acctbal * 100) AS BIGINT) AS x
   FROM {customer}
 ), ranked AS (
   SELECT segment, x,
@@ -559,7 +559,7 @@ _HL_CAP = 400
 _HL_CORE = f"""
 WITH cents AS (
   SELECT c_mktsegment AS segment, c_custkey AS ck,
-         CAST(round(c_acctbal * 100) AS BIGINT) AS x
+         TRY_CAST(round(c_acctbal * 100) AS BIGINT) AS x
   FROM {{customer}}
 ), samp AS (
   SELECT segment, x, rn FROM (

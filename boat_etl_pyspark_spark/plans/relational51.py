@@ -216,7 +216,7 @@ _KEYS_DUCK = _KEYS_CORE.format(
 _PERMIMP_CORE = """
 WITH base AS (
   SELECT o_orderkey AS ok,
-         CAST(round(o_totalprice * 100) AS BIGINT) AS x,
+         TRY_CAST(round(o_totalprice * 100) AS BIGINT) AS x,
          CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
   FROM {orders}
 ), ranked AS (
@@ -278,7 +278,7 @@ _HIGH_VALUE_CENTS = 15_000_000  # $150k
 
 _EFFECT_CORE = f"""
 WITH cents AS (
-  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS x,
+  SELECT TRY_CAST(round(o_totalprice * 100) AS BIGINT) AS x,
          CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g,
          o_orderstatus AS st, o_orderpriority AS pri
   FROM {{orders}}

@@ -301,7 +301,7 @@ _TAU_CAP = 1000
 _TAU_CORE = f"""
 WITH per_c AS (
   SELECT o_custkey AS ck, COUNT(*) AS x,
-         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS y
+         SUM(TRY_CAST(round(o_totalprice * 100) AS BIGINT)) AS y
   FROM {{orders}} GROUP BY o_custkey
 ), samp AS (
   SELECT x, y, rn FROM (
@@ -366,7 +366,7 @@ WITH fp AS (
              CAST(o_orderkey AS {{str}}),
              CAST(o_custkey AS {{str}}),
              o_orderstatus,
-             CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS {{str}}),
+             CAST(TRY_CAST(round(o_totalprice * 100) AS BIGINT) AS {{str}}),
              CAST(CAST(o_orderdate AS DATE) AS {{str}}),
              o_orderpriority)) AS m
     FROM {{orders}}

@@ -47,7 +47,7 @@ _BOLL_WIN = 7  # trailing days, ROWS frame
 _BOLL_CORE = f"""
 WITH daily AS (
   SELECT CAST(o_orderdate AS DATE) AS d,
-         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS x
+         SUM(TRY_CAST(round(o_totalprice * 100) AS BIGINT)) AS x
   FROM {{orders}} GROUP BY CAST(o_orderdate AS DATE)
 ), w AS (
   SELECT d, x,

@@ -100,7 +100,7 @@ _GUMBEL_T = 52
 _GUMBEL_CORE = f"""
 WITH daily AS (
   SELECT CAST(o_orderdate AS DATE) AS d,
-         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS x
+         SUM(TRY_CAST(round(o_totalprice * 100) AS BIGINT)) AS x
   FROM {{orders}} GROUP BY CAST(o_orderdate AS DATE)
 ), idx AS (
   SELECT x, (ROW_NUMBER() OVER (ORDER BY d) - 1) {{idiv}} 7 AS wk

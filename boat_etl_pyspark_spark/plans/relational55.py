@@ -136,7 +136,7 @@ WITH li AS (
   SELECT l.l_partkey AS pk,
          CAST(year(o.o_orderdate) AS BIGINT) AS y,
          SUM(CAST(round(l.l_quantity) AS BIGINT)) AS qty,
-         SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS ext
+         SUM(TRY_CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS ext
   FROM {{lineitem}} l JOIN {{orders}} o ON o.o_orderkey = l.l_orderkey
   WHERE year(o.o_orderdate) IN ({_PI_Y0}, {_PI_Y1})
   GROUP BY l.l_partkey, year(o.o_orderdate)

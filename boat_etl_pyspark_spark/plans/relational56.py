@@ -33,7 +33,7 @@ _RSI_W = 14
 _RSI_CORE = f"""
 WITH daily AS (
   SELECT CAST(o_orderdate AS DATE) AS d,
-         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS x
+         SUM(TRY_CAST(round(o_totalprice * 100) AS BIGINT)) AS x
   FROM {{orders}} GROUP BY CAST(o_orderdate AS DATE)
 ), diffs AS (
   SELECT d, x, x - LAG(x) OVER (ORDER BY d) AS dx

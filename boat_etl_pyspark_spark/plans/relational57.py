@@ -135,7 +135,7 @@ _DRIFT_Y1 = 1997
 
 _DRIFTAUC_CORE = f"""
 WITH v AS (
-  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS s,
+  SELECT TRY_CAST(round(o_totalprice * 100) AS BIGINT) AS s,
          CASE WHEN year(o_orderdate) = {_DRIFT_Y1} THEN 1 ELSE 0 END AS y
   FROM {{orders}}
   WHERE year(o_orderdate) IN ({_DRIFT_Y0}, {_DRIFT_Y1})
@@ -195,7 +195,7 @@ _DRIFTAUC_DUCK = _DRIFTAUC_CORE.format(
 _ULCER_CORE = """
 WITH daily AS (
   SELECT CAST(o_orderdate AS DATE) AS d,
-         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS x
+         SUM(TRY_CAST(round(o_totalprice * 100) AS BIGINT)) AS x
   FROM {orders} GROUP BY CAST(o_orderdate AS DATE)
 ), peaks AS (
   SELECT d, x, MAX(x) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS pk

@@ -37,7 +37,7 @@ def lateral_top2_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFr
         FROM __lat_customer c
         JOIN LATERAL (
           SELECT o_orderkey,
-                 CAST(ROUND(o_totalprice) AS BIGINT) AS total_units
+                 TRY_CAST(ROUND(o_totalprice) AS BIGINT) AS total_units
           FROM __lat_orders o
           WHERE o.o_custkey = c.c_custkey
           ORDER BY o_totalprice DESC, o_orderkey
@@ -52,7 +52,7 @@ SELECT c.c_custkey, t.o_orderkey, t.total_units
 FROM customer c,
 LATERAL (
   SELECT o_orderkey,
-         CAST(ROUND(o_totalprice) AS BIGINT) AS total_units
+         TRY_CAST(ROUND(o_totalprice) AS BIGINT) AS total_units
   FROM orders o
   WHERE o.o_custkey = c.c_custkey
   ORDER BY o_totalprice DESC, o_orderkey
@@ -144,7 +144,7 @@ SELECT l_orderkey,
        MAX(qc) AS q_max_cents,
        BOOL_OR(qc % 100 <> 0) AS has_fractional
 FROM (
-  SELECT l_orderkey, CAST(ROUND(l_quantity * 100) AS BIGINT) AS qc
+  SELECT l_orderkey, TRY_CAST(ROUND(l_quantity * 100) AS BIGINT) AS qc
   FROM lineitem
 )
 GROUP BY l_orderkey

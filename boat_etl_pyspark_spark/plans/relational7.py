@@ -58,7 +58,7 @@ def window_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PERCENT_RANK_SQL = """
 SELECT c_custkey,
        c_mktsegment,
-       CAST(ROUND(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+       TRY_CAST(ROUND(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
        CAST(FLOOR(percent_rank() OVER w * 1000000 + 0.5) AS BIGINT) AS pr_ppm,
        CAST(FLOOR(cume_dist() OVER w * 1000000 + 0.5) AS BIGINT) AS cd_ppm
 FROM customer
@@ -146,7 +146,7 @@ SELECT o_custkey AS custkey,
        CAST(ROW_NUMBER()
          OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
          AS INTEGER) AS n_orders_to_date,
-       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+       CAST(SUM(TRY_CAST(ROUND(o_totalprice * 100) AS BIGINT))
          OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          AS BIGINT) AS cum_spend_cents
@@ -200,7 +200,7 @@ def join_salted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SALTED_SQL = """
 SELECT o_orderpriority,
        COUNT(*) AS n_items,
-       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+       CAST(SUM(TRY_CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
             AS BIGINT) AS revenue_cents
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
@@ -279,8 +279,8 @@ def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EQUIDEPTH_SQL = f"""
 WITH ranked AS (
-  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents,
-         ROW_NUMBER() OVER (ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT),
+  SELECT TRY_CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents,
+         ROW_NUMBER() OVER (ORDER BY TRY_CAST(ROUND(o_totalprice * 100) AS BIGINT),
                             o_orderkey) AS rank
   FROM orders
 ), n AS (SELECT COUNT(*) AS n_total FROM orders)

@@ -119,7 +119,7 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BLOOM_SQL = """
 SELECT COUNT(*) AS n_items,
-       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+       CAST(SUM(TRY_CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
             AS BIGINT) AS revenue_cents
 FROM lineitem
 WHERE l_suppkey IN (

@@ -124,7 +124,7 @@ _SCHEMA_EVO_SQL = f"""
 SELECT CASE WHEN o_orderdate < DATE '{_EVO_CUTOFF}' THEN 'LEGACY'
             ELSE o_orderpriority END AS priority,
        COUNT(*) AS n_orders,
-       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+       CAST(SUM(TRY_CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
          AS revenue_cents
 FROM orders
 GROUP BY 1
@@ -248,9 +248,9 @@ def agg_exact_median_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MEDIAN_SQL = """
 WITH ranked AS (
   SELECT o_orderstatus,
-         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents,
+         TRY_CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents,
          ROW_NUMBER() OVER (PARTITION BY o_orderstatus
-                            ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rank,
+                            ORDER BY TRY_CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rank,
          COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
   FROM orders
 )
@@ -301,7 +301,7 @@ def agg_customer_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LTV_DECILES_SQL = """
 WITH spend AS (
   SELECT o_custkey,
-         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         CAST(SUM(TRY_CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
            AS spend_cents
   FROM orders GROUP BY o_custkey
 ), ranked AS (
