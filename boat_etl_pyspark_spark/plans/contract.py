@@ -93,6 +93,25 @@ def money_bounded_sql(col: str) -> str:
     )
 
 
+def money_cents_sql(col: str, scale: int = 100) -> str:
+    """Full floor-based cents ingest for a raw money column, with the
+    domain bound applied BEFORE the floor (see ``money_bounded_sql``
+    for why the order is load-bearing). ``scale=1`` is the whole-
+    dollar grid form (no multiplication). The same text is valid
+    Spark SQL and DuckDB SQL, so plans interpolate this one fragment
+    on both sides."""
+    mul = f" * {scale}" if scale != 1 else ""
+    return f"TRY_CAST(floor({money_bounded_sql(col)}{mul}) AS BIGINT)"
+
+
+def money_cents(col: str, scale: int = 100) -> Column:
+    """DataFrame-API twin of ``money_cents_sql`` — the SAME fragment
+    via ``F.expr``, so the three DataFrame-side floor ingests cannot
+    drift from their oracles (round-9 ADVICE: the bound was applied
+    one-sided there)."""
+    return F.expr(money_cents_sql(col, scale))
+
+
 #: l_quantity ingest domain = the data contract's documented rule
 #: (validate_data_contract counts violations of exactly [1, 50]); a
 #: 1e15 "quantity" is corrupt ingest and its cents/squares would

@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F  # noqa: F401
 
 from ..sources.readers import load_table
+from .contract import money_cents_sql
 
 # ---------------------------------------------------------------------------
 # Two-sample Kolmogorov–Smirnov
@@ -51,13 +52,13 @@ from ..sources.readers import load_table
 
 _KS_CORE = """
 WITH v AS (
-  SELECT TRY_CAST(floor((CASE WHEN l_extendedprice BETWEEN -1.0e12 AND 1.0e12 THEN l_extendedprice END)) AS BIGINT) AS g, l_returnflag AS flag
+  SELECT """ + money_cents_sql("l_extendedprice", scale=1) + """ AS g, l_returnflag AS flag
   FROM {lineitem} WHERE l_returnflag IN ('R', 'N')
 ), cnt AS (
   SELECT g,
          SUM(CASE WHEN flag = 'R' THEN 1 ELSE 0 END) AS ca,
          SUM(CASE WHEN flag = 'N' THEN 1 ELSE 0 END) AS cb
-  FROM v GROUP BY g
+  FROM v WHERE g IS NOT NULL GROUP BY g
 ), cum AS (
   SELECT SUM(ca) OVER (ORDER BY g) AS cuma,
          SUM(cb) OVER (ORDER BY g) AS cumb,

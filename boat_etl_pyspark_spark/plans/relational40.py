@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.readers import load_table
+from .contract import money_cents_sql
 
 # ---------------------------------------------------------------------------
 # NDCG@k
@@ -191,7 +192,7 @@ _STUMP_BINS = 64
 
 _STUMP_CORE = f"""
 WITH f AS (
-  SELECT TRY_CAST(floor((CASE WHEN o_totalprice BETWEEN -1.0e12 AND 1.0e12 THEN o_totalprice END) * 100) AS BIGINT) AS v,
+  SELECT {money_cents_sql('o_totalprice')} AS v,
          CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
   FROM {{orders}}
 ), span AS (

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.readers import load_table
+from .contract import money_cents, money_cents_sql
 
 # ---------------------------------------------------------------------------
 # One-way ANOVA F (acctbal across market segments)
@@ -58,7 +59,7 @@ def _anova_core() -> str:
     )
     return f"""
 WITH f AS (
-  SELECT c_mktsegment AS seg, TRY_CAST(floor((CASE WHEN c_acctbal BETWEEN -1.0e12 AND 1.0e12 THEN c_acctbal END) * 100) AS BIGINT) AS v
+  SELECT c_mktsegment AS seg, {money_cents_sql('c_acctbal')} AS v
   FROM {{customer}}
 ), cells AS (
   SELECT {', '.join(cells)},
@@ -225,8 +226,7 @@ def agg_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("d")
         ).agg(
-            F.sum(F.floor(F.col("l_extendedprice") * 100).cast("bigint"))
-            .alias("v")
+            F.sum(money_cents("l_extendedprice")).alias("v")
         )
     )
     daily.createOrReplaceTempView("r41_dw_daily")
@@ -234,11 +234,11 @@ def agg_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DW_DUCK = (
-    """
+    f"""
 WITH dw_daily AS (
   SELECT CAST(datediff('day', DATE '1970-01-01',
                        CAST(l_shipdate AS DATE)) AS BIGINT) AS d,
-         SUM(TRY_CAST(floor((CASE WHEN l_extendedprice BETWEEN -1.0e12 AND 1.0e12 THEN l_extendedprice END) * 100) AS BIGINT)) AS v
+         SUM({money_cents_sql('l_extendedprice')}) AS v
   FROM lineitem GROUP BY 1
 )"""
     + _DW_CORE.replace("WITH ols AS (", ", ols AS (", 1).format(

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.readers import load_table
+from .contract import money_cents, money_cents_sql
 
 _BINS = 64
 _ROUNDS = 3
@@ -48,7 +49,7 @@ def _binned_orders(spark: SparkSession, sf_dir: str, view: str):
         )
         .cast("bigint")
         .alias("d"),
-        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("y"),
+        money_cents("o_totalprice").alias("y"),
     )
     span = f.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
     b = f.crossJoin(F.broadcast(span)).select(
@@ -68,7 +69,7 @@ _GBDT_HIST_DUCK = f"""
 WITH f AS (
   SELECT CAST(datediff('day', DATE '1970-01-01',
                        CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
-         TRY_CAST(floor((CASE WHEN o_totalprice BETWEEN -1.0e12 AND 1.0e12 THEN o_totalprice END) * 100) AS BIGINT) AS y
+         {money_cents_sql('o_totalprice')} AS y
   FROM orders
 ), span AS (
   SELECT MIN(d) AS lo, MAX(d) AS hi FROM f
@@ -147,7 +148,7 @@ def _lc_hist_spark(spark: SparkSession, sf_dir: str, view: str):
 
     f = load_table(spark, sf_dir, "orders").select(
         (F.col("o_orderkey") % 5).alias("g"),
-        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("v"),
+        money_cents("o_totalprice").alias("v"),
         F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
     )
     span = f.agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
@@ -184,7 +185,7 @@ def _lc_hist_duck() -> str:
     return f"""
 WITH f AS (
   SELECT o_orderkey % 5 AS g,
-         TRY_CAST(floor((CASE WHEN o_totalprice BETWEEN -1.0e12 AND 1.0e12 THEN o_totalprice END) * 100) AS BIGINT) AS v,
+         {money_cents_sql('o_totalprice')} AS v,
          CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
   FROM orders
 ), span AS (
@@ -279,11 +280,11 @@ _LC_DUCK = (_lc_hist_duck() + ", " + _lc_rounds("hist")).format(idiv="//")
 # Pythagorean means
 # ---------------------------------------------------------------------------
 
-_MEANS_CORE = """
+_MEANS_CORE = f"""
 WITH f AS (
   SELECT o_orderpriority AS pri,
-         TRY_CAST(floor((CASE WHEN o_totalprice BETWEEN -1.0e12 AND 1.0e12 THEN o_totalprice END) * 100) AS BIGINT) AS y
-  FROM {orders} WHERE o_totalprice > 0
+         {money_cents_sql('o_totalprice')} AS y
+  FROM {{orders}} WHERE o_totalprice > 0
 ), s AS (
   SELECT pri, COUNT(*) AS n, SUM(y) AS sy,
          SUM(CAST(floor(ln(CAST(y AS DOUBLE)) * 1000000) AS BIGINT))
@@ -293,7 +294,7 @@ WITH f AS (
 )
 SELECT pri,
        CAST(n AS BIGINT) AS n_orders,
-       CAST(sy {idiv} n AS BIGINT) AS arith_mean_cents,
+       CAST(sy {{idiv}} n AS BIGINT) AS arith_mean_cents,
        CAST(floor(exp(CAST(slog_micro AS DOUBLE) / n / 1000000))
             AS BIGINT) AS geo_mean_cents,
        CAST(floor(CAST(n AS DOUBLE) * 1000000000000.0 / sinv_pico)

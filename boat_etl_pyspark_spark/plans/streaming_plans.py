@@ -447,12 +447,32 @@ def stream_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (
         f"{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}_{os.getpid()}"
     )
-    # one dir triple per (sf_dir, pid); stale triples from dead pids
-    # would otherwise accumulate in /tmp across CI/bench processes
+    # one dir triple per (sf_dir, pid); stale triples from DEAD pids
+    # would otherwise accumulate in /tmp across CI/bench processes.
+    # Only reap triples whose embedded owner pid no longer exists —
+    # an unconditional sweep deletes a concurrently-running process's
+    # arrival dir mid-replay (reproduced round 9: pytest + a driver
+    # replay on one host corrupt each other; VERDICT r09 item 1).
     for stale in glob.glob(
         os.path.join(tempfile.gettempdir(), "spark_graft_ckr_*")
     ):
-        shutil.rmtree(stale, ignore_errors=True)
+        tail = stale.rsplit("_", 1)[-1]
+        if not tail.isdigit():
+            continue
+        owner = int(tail)
+        if owner == os.getpid():
+            continue  # own triple is re-created below via the key
+        try:
+            os.kill(owner, 0)  # signal 0: existence probe only
+        except ProcessLookupError:
+            shutil.rmtree(stale, ignore_errors=True)
+        except PermissionError:
+            pass  # alive under another uid — leave it
+    # the OWN key's triple is always rebuilt from scratch
+    for own in glob.glob(
+        os.path.join(tempfile.gettempdir(), f"spark_graft_ckr_*_{key}")
+    ):
+        shutil.rmtree(own, ignore_errors=True)
     arrival = os.path.join(tempfile.gettempdir(), f"spark_graft_ckr_a_{key}")
     ckpt = os.path.join(tempfile.gettempdir(), f"spark_graft_ckr_c_{key}")
     acc = os.path.join(tempfile.gettempdir(), f"spark_graft_ckr_s_{key}")

@@ -444,6 +444,45 @@ def test_ingest_contract_fragments_are_symmetric():
     for tpl in (relational17._ROLLREG_SPARK, relational17._ROLLREG_DUCK):
         assert value_level in tpl
 
+    # class A' — TPC-H money floor sites (round-9 probe layer 1 + the
+    # round-10 ADVICE fix): Spark's floor(double) returns LONG and
+    # mints 0/Long.MAX for NaN/Inf BEFORE TRY_CAST can intervene, so
+    # the domain CASE is REQUIRED before the floor, on BOTH sides.
+    # Since round 10 every such site interpolates money_cents_sql /
+    # money_cents from contract.py — no literal copies exist to drift.
+    floor_sites = {
+        "ml_gbdt_boosted_stumps": ("o_totalprice", 100),
+        "ml_learning_curve": ("o_totalprice", 100),
+        "agg_geometric_harmonic_means": ("o_totalprice", 100),
+        "ml_decision_stump": ("o_totalprice", 100),
+        "agg_durbin_watson": ("l_extendedprice", 100),
+        "agg_anova_f": ("c_acctbal", 100),
+        "agg_ks_test": ("l_extendedprice", 1),
+    }
+    for name, (col, scale) in floor_sites.items():
+        assert contract.money_cents_sql(col, scale) in osql[name], name
+    # no plan source carries a literal (un-interpolated) copy of the
+    # TPC-H money-domain CASE — contract.py is the only source
+    import glob as _glob
+    import os as _os
+
+    plans_dir = _os.path.dirname(contract.__file__)
+    for path in _glob.glob(_os.path.join(plans_dir, "*.py")):
+        if _os.path.basename(path) == "contract.py":
+            continue
+        src = open(path, encoding="utf-8").read()
+        for col in ("o_totalprice", "l_extendedprice", "c_acctbal",
+                    "s_acctbal", "p_retailprice"):
+            assert f"CASE WHEN {col} BETWEEN" not in src, (
+                f"literal money-domain CASE in {path} — interpolate "
+                "contract.money_cents_sql/money_bounded_sql instead"
+            )
+    # the DataFrame twins are the same fragment via F.expr
+    from boat_etl_pyspark_spark.plans import relational41, relational43
+
+    assert relational41.money_cents is contract.money_cents
+    assert relational43.money_cents is contract.money_cents
+
     # class B — embedding dims
     assert contract.EMB_DIMS == 64
     emb_queries = ("embed_kmeans_lloyd", "embed_gram_matrix",

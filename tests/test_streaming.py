@@ -127,3 +127,41 @@ def test_stream_tumbling_equals_batch(spark):
         .select(F.unix_micros("w.start").alias("ws"), "value_sum")
     )
     assert sorted(map(tuple, streamed.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_checkpoint_restart_cleanup_spares_live_owners(spark):
+    """The stale-triple reaper must delete ONLY dirs whose embedded
+    owner pid is dead. Round 9 reproduced two concurrent replays on
+    one host deleting each other's arrival dirs mid-replay
+    (FAILED_READ_FILE.FILE_NOT_EXIST); the fix probes the owner with
+    os.kill(pid, 0) before rmtree. This net plants one triple owned
+    by a LIVE foreign process and one owned by a DEAD pid, runs the
+    query, and checks exactly the dead one was reaped."""
+    import subprocess
+    import tempfile
+
+    import __spark_entry__ as m
+
+    live = subprocess.Popen(["sleep", "120"])
+    dead = subprocess.Popen(["true"])
+    dead.wait()
+    tmp = tempfile.gettempdir()
+    live_dir = os.path.join(tmp, f"spark_graft_ckr_a_feedbeef0001_{live.pid}")
+    dead_dir = os.path.join(tmp, f"spark_graft_ckr_a_feedbeef0002_{dead.pid}")
+    os.makedirs(live_dir, exist_ok=True)
+    os.makedirs(dead_dir, exist_ok=True)
+    marker = os.path.join(live_dir, "marker.txt")
+    with open(marker, "w") as fh:
+        fh.write("live owner's data\n")
+    try:
+        df = m.queries()["stream_checkpoint_restart"](spark, SF)
+        assert df.count() > 0
+        assert os.path.exists(marker), "live foreign triple was reaped"
+        assert not os.path.exists(dead_dir), "dead triple survived"
+    finally:
+        live.kill()
+        live.wait()
+        import shutil
+
+        shutil.rmtree(live_dir, ignore_errors=True)
+        shutil.rmtree(dead_dir, ignore_errors=True)
