@@ -1,0 +1,119 @@
+"""Permanent hostile-ingest parity net for the TPC-H relational tables.
+
+The committed form of the round-9 discovery probe (COVERAGE.md
+"Round-9 discovery probe"): every registry query whose oracle consumes
+a TPC-H table is replayed in BOTH engines against the sf0.001 fixture
+with the hostile-row catalog (tests/hostile_tpch.py) appended to every
+relational table at once — NULL/NaN/±Inf/absurd money, out-of-contract
+quantities and rates, duplicate primary keys, orphan and NULL foreign
+keys, unknown enum values, timestamp domain edges.
+
+The consumer list is computed from the live registry, so a NEW
+TPC-H-consuming query is covered automatically the day it lands.
+``LAYER2_WORKLIST`` is the round-10 layer-2 debt: queries the probe
+flags that have not yet received their paired plan+oracle bound. Each
+fix REMOVES its name here (xfail would hide an accidental fix; a
+skip-list line-delete shows in the diff). An empty worklist is the
+round's done-state.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as m
+from boat_etl_pyspark_spark.plans import release_caches
+from tests.conftest import SF_SMOKE
+from tests.hostile_tpch import build_hostile_dir
+from tests.test_oracle_parity import frames_equal
+from tools.hostile_probe import consumers
+
+#: Round-10 layer-2 debt (probe output 2026-08-16, 51 names). Delete a
+#: name when its paired plan+oracle fix lands; never add without a
+#: bisected probe finding.
+LAYER2_WORKLIST = {
+    "agg_acctbal_percentiles",
+    "agg_approx_sketches",
+    "agg_benford_profile",
+    "agg_bh_fdr",
+    "agg_bootstrap_ci_poisson",
+    "agg_correlation_matrix",
+    "agg_effect_size_panel",
+    "agg_equidepth_histogram",
+    "agg_exact_median_distributed",
+    "agg_gini_concentration",
+    "agg_heavy_hitters",
+    "agg_histogram_quantile_merge",
+    "agg_hll_partition_merge",
+    "agg_hodges_lehmann",
+    "agg_jarque_bera",
+    "agg_kruskal_wallis",
+    "agg_levene_variance_test",
+    "agg_linear_regression",
+    "agg_pareto_abc",
+    "agg_price_moments",
+    "agg_qty_price_correlation",
+    "agg_rollup_nation_segment",
+    "agg_tail_cvar",
+    "agg_theil_index",
+    "agg_trimmed_winsorized_mean",
+    "anomaly_mad_outliers",
+    "array_hof_quantity_profile",
+    "graph_connected_components",
+    "io_dynamic_partition_overwrite",
+    "io_schema_evolution",
+    "join_point_in_time",
+    "join_spatial_grid",
+    "layout_zorder_orders",
+    "map_order_attributes",
+    "ml_permutation_importance",
+    "ml_pinball_quantile_eval",
+    "q2_cheapest_supplier_per_part",
+    "q9_product_profit",
+    "scd2_customer_order_history",
+    "string_part_catalog",
+    "ts_extreme_value_gumbel",
+    "ts_hurst_exponent",
+    "validate_drift_psi",
+    "window_analytic_acctbal",
+    "window_bollinger_bands",
+    "window_ewma_spend",
+    "window_ntile_acctbal",
+    "window_percent_rank_cume",
+    "window_rsi_14",
+    "window_running_spend",
+    "window_ulcer_index",
+}
+
+_QUERIES = m.queries()
+_ORACLES = m.oracle_sql()
+_CONSUMERS = consumers(_ORACLES, _QUERIES)
+
+
+@pytest.fixture(scope="module")
+def hostile_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("sf_hostile_tpch"))
+    return build_hostile_dir(SF_SMOKE, d)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [n for n in _CONSUMERS if n not in LAYER2_WORKLIST],
+)
+def test_tpch_consumer_parity_on_hostile_rows(
+    spark, oracle, hostile_dir, name
+):
+    try:
+        spark_pd = _QUERIES[name](spark, hostile_dir).toPandas()
+        con = oracle(hostile_dir)
+        oracle_pd = con.execute(_ORACLES[name]).fetchdf()
+    finally:
+        release_caches(spark)
+    problems = frames_equal(spark_pd, oracle_pd)
+    assert not problems, f"{name}: " + "; ".join(problems)
+
+
+def test_layer2_worklist_names_are_real():
+    """A worklist typo would silently skip a live query."""
+    unknown = LAYER2_WORKLIST - set(_CONSUMERS)
+    assert not unknown, f"not TPC-H consumers: {sorted(unknown)}"

@@ -145,7 +145,19 @@ def _function_local_imports(fn) -> dict:
                     mod = importlib.import_module(alias.name)
                 except Exception:
                     continue
-                out[alias.asname or alias.name.partition(".")[0]] = mod
+                if alias.asname is not None:
+                    # `import x.y as z` binds z to the SUBmodule
+                    out[alias.asname] = mod
+                else:
+                    # plain `import x.y` binds x to the TOP-LEVEL
+                    # package (importing x.y above ran its side
+                    # effects); mapping 'x' to the x.y submodule
+                    # would resolve x.attr against the wrong module
+                    top = alias.name.partition(".")[0]
+                    try:
+                        out[top] = importlib.import_module(top)
+                    except Exception:
+                        continue
     return out
 
 
