@@ -309,12 +309,31 @@ def global_rank(
         )
         .select("__pid", *partition_by, "__minl", "__goff")
     )
+    # null-safe group keys: a NULL group value is still a group (SQL
+    # PARTITION BY semantics) — a plain equi-join would silently drop
+    # every NULL-keyed row from the ranked output (round-10 hostile
+    # probe, agg_exact_median_distributed). EqualNullSafe remains a
+    # valid broadcast-hash-join key, so the plan shape is unchanged.
+    gs = F.broadcast(
+        grp_stats.select(
+            F.col("__pid").alias("__g_pid"),
+            *[F.col(c).alias(f"__g_{c}") for c in partition_by],
+            "__minl",
+            "__goff",
+        )
+    )
+    cond = F.col("__pid") == F.col("__g_pid")
+    for c in partition_by:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"__g_{c}"))
     return (
-        numbered.join(F.broadcast(grp_stats), ["__pid", *partition_by])
+        numbered.join(gs, cond)
         .withColumn(
             "rank", F.col("__lrn") - F.col("__minl") + F.lit(1) + F.col("__goff")
         )
-        .drop("__mid", "__pid", "__lrn", "__minl", "__goff")
+        .drop(
+            "__mid", "__pid", "__lrn", "__minl", "__goff", "__g_pid",
+            *[f"__g_{c}" for c in partition_by],
+        )
     )
 
 

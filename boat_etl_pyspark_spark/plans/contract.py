@@ -112,6 +112,22 @@ def money_cents(col: str, scale: int = 100) -> Column:
     return F.expr(money_cents_sql(col, scale))
 
 
+def money_rounded_sql(col: str, scale: int = 100) -> str:
+    """Round-based twin of ``money_cents_sql`` for the sites that use
+    ROUND instead of floor. ROUND keeps non-finite doubles non-finite
+    in both engines (so TRY_CAST alone already nulls NaN/Inf
+    symmetrically); the domain CASE is still REQUIRED wherever the
+    resulting integer feeds a product or square — a TRY_CAST-castable
+    9.21e18 meets any multiplier and DuckDB throws where Spark wraps."""
+    mul = f" * {scale}" if scale != 1 else ""
+    return f"TRY_CAST(ROUND({money_bounded_sql(col)}{mul}) AS BIGINT)"
+
+
+def money_rounded(col: str, scale: int = 100) -> Column:
+    """DataFrame-API twin of ``money_rounded_sql``."""
+    return F.expr(money_rounded_sql(col, scale))
+
+
 #: l_quantity ingest domain = the data contract's documented rule
 #: (validate_data_contract counts violations of exactly [1, 50]); a
 #: 1e15 "quantity" is corrupt ingest and its cents/squares would
@@ -124,6 +140,40 @@ def qty_bounded_sql(col: str = "l_quantity") -> str:
         f"(CASE WHEN {col} BETWEEN {QTY_DOMAIN_LO} AND {QTY_DOMAIN_HI}"
         f" THEN {col} END)"
     )
+
+
+def qty_scaled_sql(col: str = "l_quantity", scale: int = 100) -> str:
+    """Bounded quantity as an exact scaled integer (centi-units by
+    default). The [1, 50] contract keeps every product with bounded
+    cents inside INT64."""
+    mul = f" * {scale}" if scale != 1 else ""
+    return f"TRY_CAST(ROUND({qty_bounded_sql(col)}{mul}) AS BIGINT)"
+
+
+def qty_scaled(col: str = "l_quantity", scale: int = 100) -> Column:
+    """DataFrame-API twin of ``qty_scaled_sql``."""
+    return F.expr(qty_scaled_sql(col, scale))
+
+
+def revenue_cents_sql(
+    price: str = "l_extendedprice", disc: str = "l_discount"
+) -> str:
+    """The TPC-H compound revenue ingest ``price * (1 - discount)`` as
+    exact bounded cents: both factors are domain-bounded (money
+    |x| <= 1e12, rate [0, 1]) so the product stays <= 1e14 cents —
+    inside every downstream multiplier budget — and a corrupt factor
+    nulls the whole term identically in both engines."""
+    return (
+        f"TRY_CAST(ROUND({money_bounded_sql(price)}"
+        f" * (1 - {rate_bounded_sql(disc)}) * 100) AS BIGINT)"
+    )
+
+
+def revenue_cents(
+    price: str = "l_extendedprice", disc: str = "l_discount"
+) -> Column:
+    """DataFrame-API twin of ``revenue_cents_sql``."""
+    return F.expr(revenue_cents_sql(price, disc))
 
 
 #: l_discount / l_tax ingest domain: rates live in [0, 1] (the data
@@ -184,6 +234,36 @@ def ts_valid(col: str = "ts") -> Column:
 #: numpy bounds for splitter-side (Arrow) filtering, microseconds.
 EV_TIME_LO_US = 946_684_800_000_000  # 2000-01-01T00:00:00Z
 EV_TIME_HI_US = 4_102_444_800_000_000  # 2100-01-01T00:00:00Z
+
+
+# ---------------------------------------------------------------------------
+# Business-date validity window (orders.o_orderdate / lineitem.l_shipdate)
+# ---------------------------------------------------------------------------
+
+#: The TPC-H-ish generators emit dates in [1992, 1999); the pipeline's
+#: documented operational window is [1990-01-01, 2100-01-01). A NULL
+#: or out-of-window date has no position on the business-time axis:
+#: engines disagree on NULL placement in ORDER BY/windows (Spark
+#: NULLS FIRST, DuckDB NULLS LAST), so a NULL date reaching a
+#: time-ordered ROW_NUMBER/frame shifts every downstream rank/frame in
+#: one engine only. REQUIRED at every date-ordered sequence builder;
+#: BETWEEN-shaped, so it prunes parquet row groups at scale.
+TPCH_DATE_LO = "1990-01-01 00:00:00"
+TPCH_DATE_HI = "2100-01-01 00:00:00"
+
+
+def tpch_date_valid_sql(col: str) -> str:
+    """Business-date validity predicate (drops NULL too). Identical
+    text is valid Spark SQL and DuckDB SQL."""
+    return (
+        f"{col} >= TIMESTAMP '{TPCH_DATE_LO}'"
+        f" AND {col} < TIMESTAMP '{TPCH_DATE_HI}'"
+    )
+
+
+def tpch_date_valid(col: str) -> Column:
+    """DataFrame-API twin of ``tpch_date_valid_sql``."""
+    return F.expr(tpch_date_valid_sql(col))
 
 
 # ---------------------------------------------------------------------------

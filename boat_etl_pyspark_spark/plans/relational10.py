@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.numeric import cents
+from .contract import money_rounded, money_rounded_sql
 from ..operators.library import global_rank, interval_overlap_join
 from ..sources.readers import load_table
 from . import track_persist
@@ -75,9 +76,21 @@ def anomaly_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     even-count middles stay integral), ``mad_4x_cents`` is four times
     the MAD (the deviations are already doubled), and the outlier
     rule |x - med| > 5 * MAD becomes 2*dev > 5*mad2 — associative
-    integer math, identical at any parallelism or engine."""
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderstatus", cents(F.col("o_totalprice")).alias("p")
+    integer math, identical at any parallelism or engine.
+
+    Hostile-ingest rules (round-10 layer 2): cents are money-domain
+    bounded (the 2x/5x products overflow INT64 on a castable absurd
+    value — DuckDB throws, Spark wraps) and NULL cents never enter
+    the order statistic (engine NULL-ordering differs; a corrupt
+    price has no rank). Both rules are the same predicate in the
+    oracle below."""
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderstatus",
+            money_rounded("o_totalprice").alias("p"),
+        )
+        .where(F.col("p").isNotNull())
     )
     counts = orders.groupBy("o_orderstatus").agg(F.count("*").alias("__n"))
     ranked = global_rank(orders, ["p"], partition_by=["o_orderstatus"])
@@ -119,10 +132,12 @@ def anomaly_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_MAD_SQL = """
+_MAD_SQL = f"""
 WITH o AS (
-  SELECT o_orderstatus, TRY_CAST(ROUND(o_totalprice * 100) AS BIGINT) AS p
-  FROM orders
+  SELECT o_orderstatus, p FROM (
+    SELECT o_orderstatus, {money_rounded_sql('o_totalprice')} AS p
+    FROM orders
+  ) WHERE p IS NOT NULL
 ), r1 AS (
   SELECT o_orderstatus, p,
          ROW_NUMBER() OVER (PARTITION BY o_orderstatus ORDER BY p) AS rk,

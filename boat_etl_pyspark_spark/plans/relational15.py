@@ -41,25 +41,32 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..sources.readers import load_table
 from . import mlprep
-from .contract import EMB_VALID_DUCK
+from .contract import (
+    EMB_VALID_DUCK,
+    money_rounded_sql,
+    qty_scaled_sql,
+    tpch_date_valid_sql,
+)
 
 # ---------------------------------------------------------------------------
 # Per-group OLS
 # ---------------------------------------------------------------------------
 
-_OLS_SPARK = """
+_OLS_SPARK = f"""
 WITH pts AS (
-  SELECT l_returnflag AS grp,
-         CAST(l_quantity AS BIGINT) AS x,
-         TRY_CAST(round(l_extendedprice * 100) AS BIGINT) AS y
-  FROM {lineitem}
+  SELECT grp, x, y FROM (
+    SELECT l_returnflag AS grp,
+           {qty_scaled_sql('l_quantity', 1)} AS x,
+           {money_rounded_sql('l_extendedprice')} AS y
+    FROM {{lineitem}}
+  ) WHERE x IS NOT NULL AND y IS NOT NULL
 ), sums AS (
   SELECT grp,
          COUNT(*) AS n,
          SUM(x) AS sx,
          CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
-         CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx,
-         CAST(SUM(CAST(x * y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxy,
+         CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS sxx,
+         CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS sxy,
          CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS syy
   FROM pts GROUP BY grp
 ), mom AS (
@@ -84,19 +91,21 @@ SELECT grp,
 FROM mom
 """
 
-_OLS_DUCK = """
+_OLS_DUCK = f"""
 WITH pts AS (
-  SELECT l_returnflag AS grp,
-         CAST(l_quantity AS BIGINT) AS x,
-         TRY_CAST(round(l_extendedprice * 100) AS BIGINT) AS y
-  FROM lineitem
+  SELECT grp, x, y FROM (
+    SELECT l_returnflag AS grp,
+           {qty_scaled_sql('l_quantity', 1)} AS x,
+           {money_rounded_sql('l_extendedprice')} AS y
+    FROM lineitem
+  ) WHERE x IS NOT NULL AND y IS NOT NULL
 ), sums AS (
   SELECT grp,
          COUNT(*) AS n,
          CAST(SUM(x) AS BIGINT) AS sx,
          SUM(CAST(y AS HUGEINT)) AS sy,
-         SUM(CAST(x * x AS HUGEINT)) AS sxx,
-         SUM(CAST(x * y AS HUGEINT)) AS sxy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy,
          SUM(CAST(y AS HUGEINT) * y) AS syy
   FROM pts GROUP BY grp
 ), mom AS (
@@ -136,11 +145,12 @@ def agg_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Benford leading-digit profile
 # ---------------------------------------------------------------------------
 
-_BENFORD_SPARK = """
+_BENFORD_SPARK = f"""
 WITH digits AS (
-  SELECT CAST(substring(CAST(TRY_CAST(round(o_totalprice * 100) AS BIGINT)
-                             AS STRING), 1, 1) AS INT) AS digit
-  FROM {orders}
+  SELECT CAST(substring(CAST(abs(v) AS STRING), 1, 1) AS INT) AS digit
+  FROM (
+    SELECT {money_rounded_sql('o_totalprice')} AS v FROM {{orders}}
+  ) WHERE v IS NOT NULL AND v <> 0
 ), counts AS (
   SELECT digit, COUNT(*) AS n FROM digits GROUP BY digit
 ), tot AS (
@@ -157,11 +167,12 @@ SELECT digit,
 FROM tot
 """
 
-_BENFORD_DUCK = """
+_BENFORD_DUCK = f"""
 WITH digits AS (
-  SELECT CAST(substring(CAST(TRY_CAST(round(o_totalprice * 100) AS BIGINT)
-                             AS VARCHAR), 1, 1) AS INT) AS digit
-  FROM orders
+  SELECT CAST(substring(CAST(abs(v) AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM (
+    SELECT {money_rounded_sql('o_totalprice')} AS v FROM orders
+  ) WHERE v IS NOT NULL AND v <> 0
 ), counts AS (
   SELECT digit, COUNT(*) AS n FROM digits GROUP BY digit
 ), tot AS (
@@ -193,14 +204,14 @@ def agg_benford_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Shift-exact EWMA
 # ---------------------------------------------------------------------------
 
-_EWMA_SPARK = """
+_EWMA_SPARK = f"""
 WITH seq AS (
   SELECT o_custkey,
-         TRY_CAST(round(o_totalprice * 100) AS BIGINT) * 1000 AS m,
+         {money_rounded_sql('o_totalprice')} * 1000 AS m,
          ROW_NUMBER() OVER (PARTITION BY o_custkey
                             ORDER BY o_orderdate, o_orderkey) AS rn,
          COUNT(*) OVER (PARTITION BY o_custkey) AS n
-  FROM {orders}
+  FROM {{orders}} WHERE {tpch_date_valid_sql('o_orderdate')}
 ), terms AS (
   SELECT o_custkey, n,
          CASE WHEN (CASE WHEN rn = 1 THEN n - 1 ELSE n - rn + 1 END) > 62
@@ -217,14 +228,14 @@ FROM terms
 GROUP BY o_custkey
 """
 
-_EWMA_DUCK = """
+_EWMA_DUCK = f"""
 WITH seq AS (
   SELECT o_custkey,
-         TRY_CAST(round(o_totalprice * 100) AS BIGINT) * 1000 AS m,
+         {money_rounded_sql('o_totalprice')} * 1000 AS m,
          ROW_NUMBER() OVER (PARTITION BY o_custkey
                             ORDER BY o_orderdate, o_orderkey) AS rn,
          COUNT(*) OVER (PARTITION BY o_custkey) AS n
-  FROM orders
+  FROM orders WHERE {tpch_date_valid_sql('o_orderdate')}
 ), terms AS (
   SELECT o_custkey, n,
          CASE WHEN (CASE WHEN rn = 1 THEN n - 1 ELSE n - rn + 1 END) > 62

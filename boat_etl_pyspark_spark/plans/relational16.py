@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from ..operators.library import global_rank
 from ..sources.readers import load_table
 from . import track_persist
+from .contract import money_rounded, money_rounded_sql
 
 # ---------------------------------------------------------------------------
 # Chi-square independence
@@ -122,24 +123,29 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     global rank (ties broken by custkey) comes from ``global_rank``
     — ONE range exchange over the per-customer aggregate, never a
     single-partition window — and the i·s_i moment accumulates in
-    DECIMAL(38,0), overflow-proof past 1e9 customers."""
+    DECIMAL(38,0), overflow-proof past 1e9 customers.
+
+    Hostile-ingest rules (round-10 layer 2): per-order cents are
+    money-domain bounded and the rank·s_cents product widens BEFORE
+    multiplying (rank alone reaches 1e9+; a castable absurd spend
+    overflows INT64 where DuckDB throws and Spark wraps). A customer
+    whose every price is corrupt has NULL spend and no position on
+    the Lorenz curve — excluded symmetrically (engine NULL ordering
+    differs)."""
     # persisted: global_rank's auto-sizing counts its input, and an
     # unpersisted aggregate would run twice (count + rank passes)
     spend = track_persist(
         load_table(spark, sf_dir, "orders")
         .groupBy("o_custkey")
-        .agg(
-            F.sum(F.round(F.col("o_totalprice") * 100).try_cast("bigint")).alias(
-                "s_cents"
-            )
-        )
+        .agg(F.sum(money_rounded("o_totalprice")).alias("s_cents"))
+        .where(F.col("s_cents").isNotNull())
     )
     ranked = global_rank(spend, order_by=["s_cents", "o_custkey"])
     return ranked.agg(
         F.count("*").cast("bigint").alias("n_customers"),
         F.sum("s_cents").cast("bigint").alias("total_cents"),
         F.expr(
-            "CAST(floor(CAST(2 * SUM(CAST(rank * s_cents AS DECIMAL(38,0)))"
+            "CAST(floor(CAST(2 * SUM(CAST(rank AS DECIMAL(38,0)) * s_cents)"
             "            - CAST(COUNT(*) + 1 AS DECIMAL(38,0))"
             "              * SUM(CAST(s_cents AS DECIMAL(38,0))) AS DOUBLE)"
             "  / CAST(CAST(COUNT(*) AS DECIMAL(38,0))"
@@ -149,20 +155,20 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_GINI_DUCK = """
+_GINI_DUCK = f"""
 WITH spend AS (
   SELECT o_custkey,
-         CAST(SUM(TRY_CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         CAST(SUM({money_rounded_sql('o_totalprice')}) AS BIGINT)
            AS s_cents
   FROM orders GROUP BY o_custkey
 ), ranked AS (
   SELECT s_cents,
          ROW_NUMBER() OVER (ORDER BY s_cents, o_custkey) AS rank
-  FROM spend
+  FROM spend WHERE s_cents IS NOT NULL
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
        CAST(SUM(s_cents) AS BIGINT) AS total_cents,
-       CAST(floor(CAST(2 * SUM(CAST(rank * s_cents AS HUGEINT))
+       CAST(floor(CAST(2 * SUM(CAST(rank AS HUGEINT) * s_cents)
                        - CAST(COUNT(*) + 1 AS HUGEINT)
                          * SUM(CAST(s_cents AS HUGEINT)) AS DOUBLE)
                   / CAST(CAST(COUNT(*) AS HUGEINT)

@@ -15,6 +15,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.readers import load_table
+from .contract import (
+    money_rounded,
+    money_rounded_sql,
+    qty_scaled,
+    qty_scaled_sql,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -82,12 +88,17 @@ WHERE o_totalprice > (SELECT MAX(o_totalprice) * 0.5 FROM orders)
 # ---------------------------------------------------------------------------
 
 def agg_price_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-unit price moments per status. Ingest is money-domain
+    bounded (contract.money_rounded): an absurd-but-castable value's
+    square overflows INT64 asymmetrically (DuckDB throws, Spark
+    wraps), and the square additionally widens BEFORE the multiply
+    (the welch-t precedent) so it stays exact across the domain."""
     orders = load_table(spark, sf_dir, "orders")
-    v = F.round(F.col("o_totalprice")).try_cast("bigint")  # whole currency units
+    v = money_rounded("o_totalprice", scale=1)  # whole currency units
     base = orders.groupBy("o_orderstatus").agg(
         F.count("*").alias("n"),
         F.sum(v).alias("s1"),
-        F.sum(v * v).alias("s2"),
+        F.sum(v.cast("decimal(38,0)") * v).alias("s2"),
     )
     n, s1, s2 = F.col("n"), F.col("s1").cast("double"), F.col("s2").cast("double")
     var = (s2 - s1 * s1 / n) / (n - 1)
@@ -100,13 +111,16 @@ def agg_price_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_MOMENTS_SQL = """
-WITH b AS (
+_MOMENTS_SQL = f"""
+WITH v AS (
+  SELECT o_orderstatus, {money_rounded_sql('o_totalprice', 1)} AS v
+  FROM orders
+), b AS (
   SELECT o_orderstatus,
          COUNT(*) AS n,
-         SUM(TRY_CAST(ROUND(o_totalprice) AS BIGINT)) AS s1,
-         SUM(TRY_CAST(ROUND(o_totalprice) AS BIGINT) * TRY_CAST(ROUND(o_totalprice) AS BIGINT)) AS s2
-  FROM orders GROUP BY o_orderstatus
+         SUM(v) AS s1,
+         SUM(CAST(v AS HUGEINT) * v) AS s2
+  FROM v GROUP BY o_orderstatus
 )
 SELECT o_orderstatus, n,
        CAST(s1 AS DOUBLE) / n AS mean_price,
@@ -117,16 +131,22 @@ FROM b
 
 
 def agg_qty_price_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of quantity vs price per return flag from
+    exact integer co-moments. Both ingests are contract-bounded
+    (quantity [1,50], money |x|<=1e12) and every product widens
+    BEFORE the multiply — only NULL-safe co-moment rows count, and
+    the welch-style widening keeps p*p exact across the domain."""
     li = load_table(spark, sf_dir, "lineitem")
-    q = F.round(F.col("l_quantity") * 100).try_cast("bigint")
-    p = F.round(F.col("l_extendedprice")).try_cast("bigint")
+    q = qty_scaled("l_quantity")
+    p = money_rounded("l_extendedprice", scale=1)
+    wide = lambda a, b: a.cast("decimal(38,0)") * b  # noqa: E731
     base = li.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
         F.sum(q).alias("sq"),
         F.sum(p).alias("sp"),
-        F.sum(q * q).alias("sqq"),
-        F.sum(p * p).alias("spp"),
-        F.sum(q * p).alias("sqp"),
+        F.sum(wide(q, q)).alias("sqq"),
+        F.sum(wide(p, p)).alias("spp"),
+        F.sum(wide(q, p)).alias("sqp"),
     )
     n = F.col("n").cast("double")
     sq, sp = F.col("sq").cast("double"), F.col("sp").cast("double")
@@ -141,16 +161,21 @@ def agg_qty_price_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.select("l_returnflag", "n", corr.alias("qty_price_corr"))
 
 
-_CORR_SQL = """
-WITH b AS (
+_CORR_SQL = f"""
+WITH v AS (
+  SELECT l_returnflag,
+         {qty_scaled_sql('l_quantity')} AS q,
+         {money_rounded_sql('l_extendedprice', 1)} AS p
+  FROM lineitem
+), b AS (
   SELECT l_returnflag,
          COUNT(*) AS n,
-         SUM(TRY_CAST(ROUND(l_quantity * 100) AS BIGINT)) AS sq,
-         SUM(TRY_CAST(ROUND(l_extendedprice) AS BIGINT)) AS sp,
-         SUM(TRY_CAST(ROUND(l_quantity * 100) AS BIGINT) * TRY_CAST(ROUND(l_quantity * 100) AS BIGINT)) AS sqq,
-         SUM(TRY_CAST(ROUND(l_extendedprice) AS BIGINT) * TRY_CAST(ROUND(l_extendedprice) AS BIGINT)) AS spp,
-         SUM(TRY_CAST(ROUND(l_quantity * 100) AS BIGINT) * TRY_CAST(ROUND(l_extendedprice) AS BIGINT)) AS sqp
-  FROM lineitem GROUP BY l_returnflag
+         SUM(q) AS sq,
+         SUM(p) AS sp,
+         SUM(CAST(q AS HUGEINT) * q) AS sqq,
+         SUM(CAST(p AS HUGEINT) * p) AS spp,
+         SUM(CAST(q AS HUGEINT) * p) AS sqp
+  FROM v GROUP BY l_returnflag
 )
 SELECT l_returnflag, n,
        (CAST(n AS DOUBLE) * sqp - CAST(sq AS DOUBLE) * sp)

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.readers import load_table
+from .contract import money_rounded_sql
 
 # ---------------------------------------------------------------------------
 # User journey paths (top event-type trigrams)
@@ -91,15 +92,17 @@ _PSI_CORE = f"""
 WITH b AS (
   SELECT CASE WHEN o_orderdate < DATE '{_PSI_SPLIT_DATE}' THEN 0 ELSE 1 END
            AS era,
-         LEAST(TRY_CAST(round(o_totalprice * 100) AS BIGINT)
+         LEAST({money_rounded_sql('o_totalprice')}
                * {_PSI_BUCKETS} {{div}} {_PSI_DOMAIN_CENTS},
                {_PSI_BUCKETS - 1}) AS bucket
   FROM {{orders}}
 ), c AS (
+  -- corrupt (domain-bounded-out) money has no bucket: NULL buckets
+  -- are excluded so the histograms count real values only
   SELECT bucket,
          SUM(CASE WHEN era = 0 THEN 1 ELSE 0 END) AS n_ref,
          SUM(CASE WHEN era = 1 THEN 1 ELSE 0 END) AS n_cur
-  FROM b GROUP BY bucket
+  FROM b WHERE bucket IS NOT NULL GROUP BY bucket
 ), ct AS (
   -- totals as windows over the <=10-row bucket relation: a
   -- re-aggregate + cross join would recompute c (and rescan orders)

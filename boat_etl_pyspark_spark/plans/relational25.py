@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from ..operators.library import global_rank
 from ..sources.readers import load_table
 from . import track_persist
+from .contract import revenue_cents, revenue_cents_sql
 
 # ---------------------------------------------------------------------------
 # RFM segmentation
@@ -124,16 +125,20 @@ def agg_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     median — bucket granularity is the declared resolution of the
     cut, exact within a bucket width). One conditional aggregate then
     reports each class's population and exact revenue share. The
-    per-part relation is aggregated once and never globally sorted."""
+    per-part relation is aggregated once and never globally sorted.
+
+    Hostile-ingest rules (round-10 layer 2): revenue uses the bounded
+    compound ingest (contract.revenue_cents — price domain x rate
+    domain keeps cents <= 1e14, so the x1e6 ppm scaling widens to
+    DECIMAL(38,0)/HUGEINT instead of wrapping), and a part with no
+    valid revenue has no Pareto position: NULL rev rows are excluded
+    symmetrically (they would otherwise reach the driver-side bucket
+    walk as a None key)."""
     li = load_table(spark, sf_dir, "lineitem")
     per_part = track_persist(
-        li.groupBy("l_partkey").agg(
-            F.sum(
-                F.round(
-                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
-                ).cast("bigint")
-            ).alias("rev")
-        )
+        li.groupBy("l_partkey")
+        .agg(F.sum(revenue_cents()).alias("rev"))
+        .where(F.col("rev").isNotNull())
     )
     lo, hi, total = per_part.agg(
         F.min("rev"), F.max("rev"), F.sum("rev")
@@ -174,19 +179,21 @@ def agg_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classed.groupBy("abc_class").agg(
         F.count("*").alias("n_parts"),
         F.sum("rev").alias("class_cents"),
-        F.expr(f"CAST(SUM(rev) * 1000000 DIV {total} AS BIGINT)").alias(
-            "revenue_share_ppm"
-        ),
+        F.expr(
+            f"CAST(CAST(SUM(rev) AS DECIMAL(38,0)) * 1000000 DIV {total}"
+            " AS BIGINT)"
+        ).alias("revenue_share_ppm"),
     )
 
 
 def _abc_duck() -> str:
     return f"""
-WITH pp AS (
+WITH pp0 AS (
   SELECT l_partkey,
-         SUM(TRY_CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
-           AS rev
+         SUM({revenue_cents_sql()}) AS rev
   FROM lineitem GROUP BY l_partkey
+), pp AS (
+  SELECT * FROM pp0 WHERE rev IS NOT NULL
 ), bounds AS (
   SELECT MIN(rev) AS lo, MAX(rev) AS hi, SUM(rev) AS total,
          GREATEST((MAX(rev) - MIN(rev)) // {_ABC_BUCKETS} + 1, 1) AS width
@@ -216,7 +223,8 @@ WITH pp AS (
 SELECT abc_class,
        CAST(COUNT(*) AS BIGINT) AS n_parts,
        CAST(SUM(rev) AS BIGINT) AS class_cents,
-       CAST(SUM(rev) * 1000000 // (SELECT total FROM bounds) AS BIGINT)
+       CAST(CAST(SUM(rev) AS HUGEINT) * 1000000
+            // (SELECT total FROM bounds) AS BIGINT)
          AS revenue_share_ppm
 FROM classed
 GROUP BY 1

@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F  # noqa: F401
 
 from ..sources.readers import load_table
-from .contract import money_cents_sql
+from .contract import money_cents_sql, money_rounded_sql
 
 # ---------------------------------------------------------------------------
 # Two-sample Kolmogorov–Smirnov
@@ -178,13 +178,18 @@ _ACF_DUCK = _ACF_CORE.format(
 # Theil T inequality index
 # ---------------------------------------------------------------------------
 
-_THEIL_CORE = """
-WITH spend AS (
+_THEIL_CORE = f"""
+WITH spend0 AS (
   SELECT o_custkey AS ck,
-         SUM(TRY_CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
-  FROM {orders} GROUP BY o_custkey
+         SUM({money_rounded_sql('o_totalprice')}) AS cents
+  FROM {{orders}} GROUP BY o_custkey
+), spend AS (
+  -- Theil T is defined on POSITIVE spend only: ln of a negative
+  -- term throws in DuckDB and mints NaN in Spark, and a NULL
+  -- (all-corrupt) spend has no term — excluded symmetrically
+  SELECT ck, cents FROM spend0 WHERE cents IS NOT NULL AND cents > 0
 ), tot AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(CAST(cents AS {big})) AS s
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(CAST(cents AS {{big}})) AS s
   FROM spend
 ), terms AS (
   SELECT t.n,
@@ -195,7 +200,7 @@ WITH spend AS (
 )
 SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
        CAST(SUM(term) AS BIGINT) AS theil_term_sum_nano,
-       CAST(SUM(term) {idiv} MAX(n) AS BIGINT) AS theil_nano
+       CAST(SUM(term) {{idiv}} MAX(n) AS BIGINT) AS theil_nano
 FROM terms
 """
 

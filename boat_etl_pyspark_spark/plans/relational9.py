@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.numeric import cents
-from .contract import ts_valid, ts_valid_sql
+from .contract import money_rounded, money_rounded_sql, ts_valid, ts_valid_sql
 from ..operators.library import global_rank
 from ..sources.readers import load_table
 from ..streaming.events import (
@@ -222,16 +222,36 @@ def agg_exact_median_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates hold per-group value buffers in memory; the rank route
     streams — the difference between 'exact median of 100 TB' working
     or not. Single pass, no driver-side loop over groups: group counts
-    come from a tiny broadcast aggregate."""
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderstatus", cents(F.col("o_totalprice")).alias("price_cents")
+    come from a tiny broadcast aggregate.
+
+    Hostile-ingest rules (round-10 layer 2): cents are money-domain
+    bounded (|x| <= 1e12 dollars, contract.money_rounded — the 2x
+    doubling of an absurd castable value overflows INT64
+    asymmetrically), and NULL cents never enter the order statistic:
+    Spark ranks NULLS FIRST where DuckDB ranks NULLS LAST, so a NULL
+    reaching ROW_NUMBER shifts the median pick by the NULL count in
+    one engine only. A NULL/corrupt price has no order position — the
+    row is excluded from rank AND count, symmetrically."""
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderstatus",
+            money_rounded("o_totalprice").alias("price_cents"),
+        )
+        .where(F.col("price_cents").isNotNull())
     )
     ranked = global_rank(orders, ["price_cents"], partition_by=["o_orderstatus"])
     counts = orders.groupBy("o_orderstatus").agg(F.count("*").alias("__n"))
     lo = F.expr("(__n + 1) DIV 2")
     hi = F.expr("(__n + 2) DIV 2")
+    # null-safe join key: a NULL status is still a group (the oracle's
+    # PARTITION BY keeps it; a plain equi-join would drop it)
     return (
-        ranked.join(F.broadcast(counts), "o_orderstatus")
+        ranked.join(
+            F.broadcast(counts.withColumnRenamed("o_orderstatus", "__st")),
+            ranked["o_orderstatus"].eqNullSafe(F.col("__st")),
+        )
+        .drop("__st")
         .where((F.col("rank") == lo) | (F.col("rank") == hi))
         .groupBy("o_orderstatus")
         .agg(
@@ -245,14 +265,17 @@ def agg_exact_median_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_MEDIAN_SQL = """
-WITH ranked AS (
+_MEDIAN_SQL = f"""
+WITH vals AS (
   SELECT o_orderstatus,
-         TRY_CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents,
-         ROW_NUMBER() OVER (PARTITION BY o_orderstatus
-                            ORDER BY TRY_CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rank,
-         COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
+         {money_rounded_sql('o_totalprice')} AS price_cents
   FROM orders
+), ranked AS (
+  SELECT o_orderstatus, price_cents,
+         ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                            ORDER BY price_cents) AS rank,
+         COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
+  FROM vals WHERE price_cents IS NOT NULL
 )
 SELECT o_orderstatus,
        CAST(SUM(price_cents * 2 / ((n + 2) // 2 - (n + 1) // 2 + 1)) AS BIGINT)

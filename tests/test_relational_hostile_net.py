@@ -34,13 +34,11 @@ from tools.hostile_probe import consumers
 LAYER2_WORKLIST = {
     "agg_acctbal_percentiles",
     "agg_approx_sketches",
-    "agg_benford_profile",
     "agg_bh_fdr",
     "agg_bootstrap_ci_poisson",
     "agg_correlation_matrix",
     "agg_effect_size_panel",
     "agg_equidepth_histogram",
-    "agg_exact_median_distributed",
     "agg_gini_concentration",
     "agg_heavy_hitters",
     "agg_histogram_quantile_merge",
@@ -49,15 +47,11 @@ LAYER2_WORKLIST = {
     "agg_jarque_bera",
     "agg_kruskal_wallis",
     "agg_levene_variance_test",
-    "agg_linear_regression",
     "agg_pareto_abc",
-    "agg_price_moments",
-    "agg_qty_price_correlation",
     "agg_rollup_nation_segment",
     "agg_tail_cvar",
     "agg_theil_index",
     "agg_trimmed_winsorized_mean",
-    "anomaly_mad_outliers",
     "array_hof_quantity_profile",
     "graph_connected_components",
     "io_dynamic_partition_overwrite",
@@ -77,7 +71,6 @@ LAYER2_WORKLIST = {
     "validate_drift_psi",
     "window_analytic_acctbal",
     "window_bollinger_bands",
-    "window_ewma_spend",
     "window_ntile_acctbal",
     "window_percent_rank_cume",
     "window_rsi_14",
