@@ -183,6 +183,12 @@ def rate_bounded_sql(col: str) -> str:
     return f"(CASE WHEN {col} BETWEEN 0.0 AND 1.0 THEN {col} END)"
 
 
+def rate_scaled_sql(col: str, scale: int = 10000) -> str:
+    """Bounded rate as an exact scaled integer (basis points by
+    default); out-of-domain/non-finite rates behave like NULL."""
+    return f"TRY_CAST(ROUND({rate_bounded_sql(col)} * {scale}) AS BIGINT)"
+
+
 # ---------------------------------------------------------------------------
 # Embedding-vector validity (embeddings.embedding)
 # ---------------------------------------------------------------------------

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F  # noqa: F401
 
 from ..sources.readers import load_table
+from .contract import money_rounded_sql, qty_scaled_sql, rate_scaled_sql
 
 # ---------------------------------------------------------------------------
 # Kruskal-Wallis H (k-sample rank test)
@@ -43,11 +44,15 @@ from ..sources.readers import load_table
 #   H = 12/(N(N+1)) * sum(R_g^2 / n_g) - 3(N+1)
 # and the tie correction divides by 1 - sum(t^3 - t)/(N^3 - N).
 
-_KW_CORE = """
+_KW_CORE = f"""
 WITH base AS (
-  SELECT l_returnflag AS g, TRY_CAST(round(l_quantity) AS BIGINT) AS v,
-         COUNT(*) AS c
-  FROM {lineitem} GROUP BY l_returnflag, TRY_CAST(round(l_quantity) AS BIGINT)
+  -- contract-bounded quantity (round-10 layer 2): a NULL quantity
+  -- has no rank (engine NULL ordering differs in the midrank
+  -- windows) and an out-of-[1,50] one is corrupt ingest
+  SELECT g, v, COUNT(*) AS c FROM (
+    SELECT l_returnflag AS g, {qty_scaled_sql('l_quantity', 1)} AS v
+    FROM {{lineitem}}
+  ) WHERE v IS NOT NULL GROUP BY g, v
 ), w AS (
   SELECT g, v, c,
          SUM(c) OVER (PARTITION BY v) AS ct,
@@ -58,9 +63,9 @@ WITH base AS (
   FROM base
 ), rg AS (
   SELECT g, SUM(c) AS n_g,
-         SUM(CAST(c AS {big}) * (2 * below + ct + 1)) AS r2,
+         SUM(CAST(c AS {{big}}) * (2 * below + ct + 1)) AS r2,
          SUM(CASE WHEN rnv = 1
-                  THEN CAST(ct AS {big}) * ct * ct - ct ELSE 0 END) AS tie
+                  THEN CAST(ct AS {{big}}) * ct * ct - ct ELSE 0 END) AS tie
   FROM w GROUP BY g
 ), wide AS (
   SELECT SUM(n_g) AS n, SUM(tie) AS ties,
@@ -123,22 +128,29 @@ _CM_PAIRS = (
     " ('extendedprice', 'tax'), ('discount', 'tax')) AS p(col_a, col_b)"
 )
 
-_CM_CORE = """
+_CM_CORE = f"""
 WITH v AS (
-  SELECT TRY_CAST(round(l_quantity) AS BIGINT) AS q,
-         TRY_CAST(round(l_extendedprice * 100) AS BIGINT) AS e,
-         TRY_CAST(round(l_discount * 10000) AS BIGINT) AS d,
-         TRY_CAST(round(l_tax * 10000) AS BIGINT) AS t
-  FROM {lineitem}
+  -- contract-bounded ingests (round-10 layer 2): a castable absurd
+  -- cents value's square overflows even INT128 once multiplied by n.
+  -- Complete-case rows only: engines agree SUM skips NULL, but a
+  -- correlation over per-column subsets is not a correlation.
+  SELECT q, e, d, t FROM (
+    SELECT {qty_scaled_sql('l_quantity', 1)} AS q,
+           {money_rounded_sql('l_extendedprice')} AS e,
+           {rate_scaled_sql('l_discount')} AS d,
+           {rate_scaled_sql('l_tax')} AS t
+    FROM {{lineitem}}
+  ) WHERE q IS NOT NULL AND e IS NOT NULL
+        AND d IS NOT NULL AND t IS NOT NULL
 ), s AS (
   SELECT COUNT(*) AS n,
-         SUM(CAST(q AS {big})) AS sq, SUM(CAST(e AS {big})) AS se,
-         SUM(CAST(d AS {big})) AS sd, SUM(CAST(t AS {big})) AS st,
-         SUM(CAST(q AS {big}) * q) AS sqq, SUM(CAST(e AS {big}) * e) AS see,
-         SUM(CAST(d AS {big}) * d) AS sdd, SUM(CAST(t AS {big}) * t) AS stt,
-         SUM(CAST(q AS {big}) * e) AS sqe, SUM(CAST(q AS {big}) * d) AS sqd,
-         SUM(CAST(q AS {big}) * t) AS sqt, SUM(CAST(e AS {big}) * d) AS sed,
-         SUM(CAST(e AS {big}) * t) AS set_, SUM(CAST(d AS {big}) * t) AS sdt
+         SUM(CAST(q AS {{big}})) AS sq, SUM(CAST(e AS {{big}})) AS se,
+         SUM(CAST(d AS {{big}})) AS sd, SUM(CAST(t AS {{big}})) AS st,
+         SUM(CAST(q AS {{big}}) * q) AS sqq, SUM(CAST(e AS {{big}}) * e) AS see,
+         SUM(CAST(d AS {{big}}) * d) AS sdd, SUM(CAST(t AS {{big}}) * t) AS stt,
+         SUM(CAST(q AS {{big}}) * e) AS sqe, SUM(CAST(q AS {{big}}) * d) AS sqd,
+         SUM(CAST(q AS {{big}}) * t) AS sqt, SUM(CAST(e AS {{big}}) * d) AS sed,
+         SUM(CAST(e AS {{big}}) * t) AS set_, SUM(CAST(d AS {{big}}) * t) AS sdt
   FROM v
 ), pairs AS (
   SELECT p.col_a, p.col_b, s.n,
@@ -163,7 +175,7 @@ WITH v AS (
               WHEN p.col_b = 'discount'
                 THEN CAST(s.n * sdd - sd * sd AS DOUBLE)
               ELSE CAST(s.n * stt - st * st AS DOUBLE) END AS var_b
-  FROM s CROSS JOIN {pairs}
+  FROM s CROSS JOIN {{pairs}}
 )
 SELECT col_a, col_b, CAST(n AS BIGINT) AS n_rows,
        CAST(floor(cov_n / sqrt(var_a * var_b) * 1e6) AS BIGINT)
@@ -271,22 +283,26 @@ _SD_DUCK = _SD_CORE.format(
 #   F = (N-k)/(k-1) * sum n_g (Zbar_g - Zbar)^2 / sum (Z - Zbar_g)^2
 # with Z = W / n_g is one closed-form double over the exact sums.
 
-_LEV_CORE = """
+_LEV_CORE = f"""
 WITH x AS (
-  SELECT l_returnflag AS g,
-         TRY_CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
-  FROM {lineitem}
+  -- bounded cents (round-10 layer 2): w^2 on a castable absurd value
+  -- overflows INT128; a NULL (corrupt) price has no deviation
+  SELECT g, cents FROM (
+    SELECT l_returnflag AS g,
+           {money_rounded_sql('l_extendedprice')} AS cents
+    FROM {{lineitem}}
+  ) WHERE cents IS NOT NULL
 ), m AS (
-  SELECT g, COUNT(*) AS n_g, SUM(CAST(cents AS {big})) AS s_g
+  SELECT g, COUNT(*) AS n_g, SUM(CAST(cents AS {{big}})) AS s_g
   FROM x GROUP BY g
 ), dev AS (
   SELECT x.g, m.n_g,
-         abs(CAST(m.n_g AS {big}) * x.cents - m.s_g) AS w
+         abs(CAST(m.n_g AS {{big}}) * x.cents - m.s_g) AS w
   FROM x JOIN m ON x.g = m.g
 ), gz AS (
   SELECT g, MAX(n_g) AS n_g,
-         SUM(CAST(w AS {big})) AS sw,
-         SUM(CAST(w AS {big}) * w) AS sw2
+         SUM(CAST(w AS {{big}})) AS sw,
+         SUM(CAST(w AS {{big}}) * w) AS sw2
   FROM dev GROUP BY g
 ), gd AS (
   SELECT g, n_g,

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.readers import load_table
-from .contract import money_cents, money_cents_sql
+from .contract import money_cents, money_cents_sql, qty_scaled_sql
 
 # ---------------------------------------------------------------------------
 # One-way ANOVA F (acctbal across market segments)
@@ -112,9 +112,15 @@ _ANOVA_DUCK = _ANOVA_CORE.format(customer="customer")
 # Jarque-Bera normality test (lineitem quantity)
 # ---------------------------------------------------------------------------
 
-_JB_CORE = """
+_JB_CORE = f"""
 WITH f AS (
-  SELECT CAST(l_quantity AS BIGINT) AS v FROM {lineitem}
+  -- the documented quantity contract [1, 50] applied as the ingest
+  -- bound (round-10 layer 2): a corrupt 1e15 "quantity" raised to
+  -- the 4th power overflows even DECIMAL(38)/HUGEINT, so the moment
+  -- machinery's exactness guarantee EXISTS only inside the domain
+  SELECT v FROM (
+    SELECT {qty_scaled_sql('l_quantity', 1)} AS v FROM {{lineitem}}
+  ) WHERE v IS NOT NULL
 ), s AS (
   SELECT COUNT(*) AS n, SUM(v) AS s1, SUM(v * v) AS s2,
          SUM(CAST(v AS DECIMAL(38,0)) * v * v) AS s3,

@@ -18,6 +18,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.numeric import cents
+from .contract import (
+    money_bounded_sql,
+    qty_bounded_sql,
+    rate_bounded_sql,
+)
 from ..sources.readers import load_table
 
 
@@ -127,6 +132,19 @@ GROUP BY 1
 # (cost emulated as 80% of retail price x quantity)
 # ---------------------------------------------------------------------------
 
+# q9's compound profit ingest: every factor is contract-bounded
+# (money/rate/qty domains) BEFORE the arithmetic, so a corrupt factor
+# nulls the term identically in both engines — the oracle used a plain
+# CAST that THROWS on NaN in DuckDB while Spark's try_cast nulls
+# (round-10 layer 2). One fragment, interpolated on both sides.
+_Q9_PROFIT = (
+    f"TRY_CAST(ROUND(({money_bounded_sql('l_extendedprice')}"
+    f" * (1.0 - {rate_bounded_sql('l_discount')})"
+    f" - {money_bounded_sql('p_retailprice')} * 0.8"
+    f" * {qty_bounded_sql('l_quantity')}) * 100) AS BIGINT)"
+)
+
+
 def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").where(
@@ -135,10 +153,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
     orders = load_table(spark, sf_dir, "orders")
-    profit = cents(
-        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
-        - F.col("p_retailprice") * F.lit(0.8) * F.col("l_quantity")
-    )
+    profit = F.expr(_Q9_PROFIT)
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
@@ -152,11 +167,10 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q9_SQL = """
+_Q9_SQL = f"""
 SELECT n_name AS nation,
        CAST(year(o_orderdate) AS INT) AS order_year,
-       CAST(SUM(CAST(ROUND((l_extendedprice * (1.0 - l_discount)
-                            - p_retailprice * 0.8 * l_quantity) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS profit
+       CAST(SUM({_Q9_PROFIT}) AS DOUBLE) / 100.0 AS profit
 FROM lineitem
 JOIN part     ON l_partkey = p_partkey
 JOIN supplier ON l_suppkey = s_suppkey

@@ -42,6 +42,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..sources.readers import load_table
+from .contract import money_rounded_sql
 
 # ---------------------------------------------------------------------------
 # PMI collocations
@@ -411,9 +412,13 @@ _BH_ALPHA_MICRO = 100_000  # alpha = 0.1, in micro units
 
 _BH_CORE = f"""
 WITH cents AS (
-  SELECT c.c_nationkey AS nk,
-         TRY_CAST(round(o.o_totalprice * 100) AS BIGINT) AS x
-  FROM {{orders}} o JOIN {{customer}} c ON o.o_custkey = c.c_custkey
+  -- bounded money ingest (round-10 layer 2): x^2 on a castable
+  -- absurd value times n overflows DECIMAL(38); NULL x has no test
+  SELECT nk, x FROM (
+    SELECT c.c_nationkey AS nk,
+           {money_rounded_sql('o.o_totalprice')} AS x
+    FROM {{orders}} o JOIN {{customer}} c ON o.o_custkey = c.c_custkey
+  ) WHERE x IS NOT NULL
 ), per_n AS (
   SELECT nk, COUNT(*) AS n,
          SUM(CAST(x AS DECIMAL(38,0))) AS sx,
@@ -493,22 +498,26 @@ _BH_DUCK = _BH_CORE.format(
 # Pinball quantile loss
 # ---------------------------------------------------------------------------
 
-_PINBALL_CORE = """
+_PINBALL_CORE = f"""
 WITH cents AS (
-  SELECT c_mktsegment AS segment,
-         TRY_CAST(round(c_acctbal * 100) AS BIGINT) AS x
-  FROM {customer}
+  -- bounded balance (round-10 layer 2): the tau-weighted residual on
+  -- a castable absurd value overflows INT64; NULL x has no rank
+  SELECT segment, x FROM (
+    SELECT c_mktsegment AS segment,
+           {money_rounded_sql('c_acctbal')} AS x
+    FROM {{customer}}
+  ) WHERE x IS NOT NULL
 ), ranked AS (
   SELECT segment, x,
          ROW_NUMBER() OVER (PARTITION BY segment ORDER BY x) AS rn,
          COUNT(*) OVER (PARTITION BY segment) AS n
   FROM cents
 ), taus AS (
-  {taus}
+  {{taus}}
 ), qs AS (
   SELECT r.segment, t.tau, r.x AS q, r.n
   FROM ranked r JOIN taus t
-    ON r.rn = (t.tau * r.n + 9) {idiv} 10
+    ON r.rn = (t.tau * r.n + 9) {{idiv}} 10
 )
 SELECT q.segment AS segment,
        CAST(q.tau AS BIGINT) AS tau_deci,
@@ -558,9 +567,13 @@ _HL_CAP = 400
 
 _HL_CORE = f"""
 WITH cents AS (
-  SELECT c_mktsegment AS segment, c_custkey AS ck,
-         TRY_CAST(round(c_acctbal * 100) AS BIGINT) AS x
-  FROM {{customer}}
+  -- bounded balance (round-10 layer 2): a Walsh pair sum of two
+  -- castable absurd values overflows INT64; NULL x has no pair
+  SELECT segment, ck, x FROM (
+    SELECT c_mktsegment AS segment, c_custkey AS ck,
+           {money_rounded_sql('c_acctbal')} AS x
+    FROM {{customer}}
+  ) WHERE x IS NOT NULL
 ), samp AS (
   SELECT segment, x, rn FROM (
     SELECT segment, x,

@@ -34,23 +34,14 @@ from tools.hostile_probe import consumers
 LAYER2_WORKLIST = {
     "agg_acctbal_percentiles",
     "agg_approx_sketches",
-    "agg_bh_fdr",
     "agg_bootstrap_ci_poisson",
-    "agg_correlation_matrix",
     "agg_effect_size_panel",
     "agg_equidepth_histogram",
-    "agg_gini_concentration",
     "agg_heavy_hitters",
     "agg_histogram_quantile_merge",
     "agg_hll_partition_merge",
-    "agg_hodges_lehmann",
-    "agg_jarque_bera",
-    "agg_kruskal_wallis",
-    "agg_levene_variance_test",
-    "agg_pareto_abc",
     "agg_rollup_nation_segment",
     "agg_tail_cvar",
-    "agg_theil_index",
     "agg_trimmed_winsorized_mean",
     "array_hof_quantity_profile",
     "graph_connected_components",
@@ -61,14 +52,11 @@ LAYER2_WORKLIST = {
     "layout_zorder_orders",
     "map_order_attributes",
     "ml_permutation_importance",
-    "ml_pinball_quantile_eval",
     "q2_cheapest_supplier_per_part",
-    "q9_product_profit",
     "scd2_customer_order_history",
     "string_part_catalog",
     "ts_extreme_value_gumbel",
     "ts_hurst_exponent",
-    "validate_drift_psi",
     "window_analytic_acctbal",
     "window_bollinger_bands",
     "window_ntile_acctbal",
