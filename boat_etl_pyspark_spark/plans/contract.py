@@ -93,6 +93,21 @@ def money_bounded_sql(col: str) -> str:
     )
 
 
+def money_domain_sql(col: str) -> str:
+    """Row-level money-domain predicate (drops NULL too — NaN fails
+    the upper compare and ±Inf fail one side in BOTH engines, so the
+    bound subsumes the non-finite net). Use where the query has no
+    use for a row without a usable money value: BETWEEN is
+    scan-pushdown-able, and it keeps NULL/NaN out of order statistics
+    where engine NULL/NaN placement differs."""
+    return f"{col} BETWEEN -1.0e12 AND 1.0e12"
+
+
+def money_domain(col: str) -> Column:
+    """DataFrame-API twin of ``money_domain_sql``."""
+    return F.expr(money_domain_sql(col))
+
+
 def money_cents_sql(col: str, scale: int = 100) -> str:
     """Full floor-based cents ingest for a raw money column, with the
     domain bound applied BEFORE the floor (see ``money_bounded_sql``

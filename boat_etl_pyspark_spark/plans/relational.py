@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from ..functions.numeric import cents, money_avg, money_sum
 from ..sources.readers import load_table
+from . import contract
 
 
 def _fmt_day(col):
@@ -529,7 +530,12 @@ FROM orders
 
 
 def window_ntile_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = load_table(spark, sf_dir, "customer")
+    """Row-level money domain on the ordering column (round-10 layer
+    2): NULL/NaN balances place differently in the two engines'
+    window sort — a corrupt balance has no quartile."""
+    cust = load_table(spark, sf_dir, "customer").where(
+        contract.money_domain("c_acctbal")
+    )
     w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
     return (
         cust.withColumn("quartile", F.ntile(4).over(w).cast("bigint"))
@@ -542,7 +548,7 @@ def window_ntile_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_WINDOW_NTILE_SQL = """
+_WINDOW_NTILE_SQL = f"""
 SELECT c_mktsegment, quartile,
        COUNT(*) AS n_customers,
        MIN(c_acctbal) AS min_bal,
@@ -551,6 +557,7 @@ FROM (
   SELECT c_mktsegment, c_acctbal,
          NTILE(4) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS quartile
   FROM customer
+  WHERE {contract.money_domain_sql('c_acctbal')}
 )
 GROUP BY c_mktsegment, quartile
 """

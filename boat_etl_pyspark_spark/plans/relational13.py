@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from ..functions.numeric import cents
 from ..operators.library import asof_join
 from ..sources.readers import load_table
+from .contract import money_rounded_sql
 
 # ---------------------------------------------------------------------------
 # Point-in-time dimension join
@@ -292,12 +293,19 @@ _HQ_WIDTH = 500_000  # bucket width in cents ($5k)
 
 _HQ_SPARK = f"""
 WITH o AS (
-  SELECT date_trunc('quarter', o_orderdate) AS q,
-         date_trunc('month', o_orderdate) AS m,
-         TRY_CAST(ROUND(o_totalprice * 100) AS BIGINT) AS p
-  FROM {{orders}}
+  -- bounded cents + floor-div bucketing (round-10 layer 2): DIV
+  -- truncates toward zero in Spark where // floors in DuckDB, so a
+  -- NEGATIVE cents value bucketed with integer division diverges;
+  -- floor() over an exact double (|cents| <= 1e14 << 2^53) agrees.
+  SELECT q, m, p FROM (
+    SELECT date_trunc('quarter', o_orderdate) AS q,
+           date_trunc('month', o_orderdate) AS m,
+           {money_rounded_sql('o_totalprice')} AS p
+    FROM {{orders}}
+  ) WHERE p IS NOT NULL
 ), partials AS (
-  SELECT q, m, p DIV {_HQ_WIDTH} AS b, COUNT(*) AS c
+  SELECT q, m, CAST(floor(CAST(p AS DOUBLE) / {_HQ_WIDTH}) AS BIGINT) AS b,
+         COUNT(*) AS c
   FROM o GROUP BY 1, 2, 3
 ), merged AS (
   SELECT q, b, SUM(c) AS c FROM partials GROUP BY 1, 2
@@ -355,12 +363,15 @@ def agg_histogram_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The rn50x helper column is dropped implicitly (not selected).
 _HQ_DUCK = f"""
 WITH o AS (
-  SELECT date_trunc('quarter', o_orderdate) AS q,
-         date_trunc('month', o_orderdate) AS m,
-         TRY_CAST(ROUND(o_totalprice * 100) AS BIGINT) AS p
-  FROM orders
+  SELECT q, m, p FROM (
+    SELECT date_trunc('quarter', o_orderdate) AS q,
+           date_trunc('month', o_orderdate) AS m,
+           {money_rounded_sql('o_totalprice')} AS p
+    FROM orders
+  ) WHERE p IS NOT NULL
 ), partials AS (
-  SELECT q, m, p // {_HQ_WIDTH} AS b, COUNT(*) AS c
+  SELECT q, m, CAST(floor(CAST(p AS DOUBLE) / {_HQ_WIDTH}) AS BIGINT) AS b,
+         COUNT(*) AS c
   FROM o GROUP BY 1, 2, 3
 ), merged AS (
   SELECT q, b, CAST(SUM(c) AS BIGINT) AS c FROM partials GROUP BY 1, 2

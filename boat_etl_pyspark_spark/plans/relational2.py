@@ -16,6 +16,8 @@ from pyspark.sql import functions as F
 
 from ..sources.readers import load_table
 from .contract import (
+    money_domain,
+    money_domain_sql,
     money_rounded,
     money_rounded_sql,
     qty_scaled,
@@ -190,7 +192,15 @@ FROM b
 # ---------------------------------------------------------------------------
 
 def agg_acctbal_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = load_table(spark, sf_dir, "customer")
+    """Exact interpolated balance percentiles per segment. Row-level
+    money domain (round-10 layer 2): a NaN crossing the interpolated
+    median is placed differently by the two engines' quantile
+    machinery, and an out-of-domain balance is corrupt ingest — the
+    BETWEEN filter (pushdown-able) excludes NULL/NaN/Inf/absurd
+    identically on both sides."""
+    cust = load_table(spark, sf_dir, "customer").where(
+        money_domain("c_acctbal")
+    )
     return cust.groupBy("c_mktsegment").agg(
         F.expr("percentile(c_acctbal, 0.5)").alias("p50"),
         F.expr("percentile(c_acctbal, 0.9)").alias("p90"),
@@ -199,13 +209,14 @@ def agg_acctbal_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PCTL_SQL = """
+_PCTL_SQL = f"""
 SELECT c_mktsegment,
        quantile_cont(c_acctbal, 0.5) AS p50,
        quantile_cont(c_acctbal, 0.9) AS p90,
        MIN(c_acctbal) AS min_bal,
        MAX(c_acctbal) AS max_bal
 FROM customer
+WHERE {money_domain_sql('c_acctbal')}
 GROUP BY c_mktsegment
 """
 
@@ -305,9 +316,14 @@ FROM c FULL OUTER JOIN s ON c.nk = s.nk
 # ---------------------------------------------------------------------------
 
 def window_analytic_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level money domain on the ordering column (round-10 layer
+    2): NULL and NaN balances place differently in the two engines'
+    window sort, so a corrupt balance has no rank at all."""
     from pyspark.sql import Window
 
-    cust = load_table(spark, sf_dir, "customer")
+    cust = load_table(spark, sf_dir, "customer").where(
+        money_domain("c_acctbal")
+    )
     w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
     wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     return cust.select(
@@ -321,13 +337,14 @@ def window_analytic_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ANALYTIC_SQL = """
+_ANALYTIC_SQL = f"""
 SELECT c_mktsegment, c_custkey, c_acctbal,
        PERCENT_RANK() OVER w AS pct_rank,
        CUME_DIST() OVER w AS cume,
        FIRST_VALUE(c_custkey) OVER wf AS poorest_custkey,
        LAST_VALUE(c_custkey) OVER wf AS richest_custkey
 FROM customer
+WHERE {money_domain_sql('c_acctbal')}
 WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey),
        wf AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey
               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)

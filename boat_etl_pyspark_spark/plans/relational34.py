@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from ..functions.numeric import cents
 from ..operators.library import global_rank
 from ..sources.readers import load_table
+from .contract import money_rounded, money_rounded_sql
 
 # ---------------------------------------------------------------------------
 # Exact average precision (PR-AUC)
@@ -174,9 +175,18 @@ def agg_trimmed_winsorized_mean(
     values) on each side. The ranked relation is persisted by the
     rank primitive's correctness fence; the two boundary rows and the
     count are broadcast 1-row relations against it. Integer cents
-    throughout; two final micro divisions."""
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", cents(F.col("o_totalprice")).alias("price_cents")
+    throughout; two final micro divisions.
+
+    Hostile-ingest rule (round-10 layer 2): cents are money-domain
+    bounded and NULL (corrupt) prices have no rank — engine NULL
+    placement differs, shifting both clamp boundaries one-sided."""
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            money_rounded("o_totalprice").alias("price_cents"),
+        )
+        .where(F.col("price_cents").isNotNull())
     )
     ranked = global_rank(orders, ["price_cents", "o_orderkey"])
     n_rel = ranked.agg(
@@ -214,13 +224,15 @@ def agg_trimmed_winsorized_mean(
 
 
 _TRIM_SQL = f"""
-WITH ranked AS (
-  SELECT TRY_CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
-         ROW_NUMBER() OVER (ORDER BY TRY_CAST(round(o_totalprice * 100)
-                                          AS BIGINT), o_orderkey) AS rank,
+WITH vals AS (
+  SELECT o_orderkey, {money_rounded_sql('o_totalprice')} AS price_cents
+  FROM orders
+), ranked AS (
+  SELECT price_cents,
+         ROW_NUMBER() OVER (ORDER BY price_cents, o_orderkey) AS rank,
          COUNT(*) OVER () AS n,
          COUNT(*) OVER () * {_TRIM_PCT} // 100 AS k
-  FROM orders
+  FROM vals WHERE price_cents IS NOT NULL
 ), lo AS (
   SELECT price_cents AS lo_clamp_cents FROM ranked WHERE rank = k + 1
 ), hi AS (

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from ..functions.numeric import cents
 from ..operators.library import global_rank, topk_per_group
 from ..sources.readers import load_table
+from .contract import money_rounded, money_rounded_sql
 from . import track_persist
 from .relational7 import trade_edges_cached
 
@@ -84,8 +85,14 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             keep.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         ).distinct()
     )
-    comp = nat.select(F.col("n_nationkey").alias("nation")).withColumn(
-        "comp", F.col("nation")
+    # DISTINCT node extraction (round-10 layer 2): a duplicate
+    # n_nationkey row is one NODE, not two — the oracle's recursive
+    # UNION + GROUP BY dedups, so an undeduped Spark side would emit
+    # one component row per dim ROW on hostile dims
+    comp = (
+        nat.select(F.col("n_nationkey").alias("nation"))
+        .distinct()
+        .withColumn("comp", F.col("nation"))
     )
     for _ in range(_CC_ROUNDS):
         comp = comp.localCheckpoint(eager=False)
@@ -254,11 +261,20 @@ def agg_tail_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
     no per-group single-task window sort (the documented
     window-vs-distributed rule) — and group sizes/totals arrive as a
     5-row broadcast aggregate, so the plan is two scans + one range
-    exchange at any scale."""
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderpriority",
-        cents(F.col("o_totalprice")).alias("price_cents"),
-        "o_orderkey",
+    exchange at any scale.
+
+    Hostile-ingest rules (round-10 layer 2): cents are money-domain
+    bounded and NULL (corrupt) prices have no rank; a NULL priority
+    is still a group (null-safe totals join, like the oracle's
+    PARTITION BY); the ppm share widens before its x1e6 scaling."""
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderpriority",
+            money_rounded("o_totalprice").alias("price_cents"),
+            "o_orderkey",
+        )
+        .where(F.col("price_cents").isNotNull())
     )
     ranked = global_rank(
         orders.withColumn("neg_cents", -F.col("price_cents")),
@@ -269,7 +285,10 @@ def agg_tail_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("__n"),
         F.sum("price_cents").alias("__total"),
     )
-    tail = ranked.join(F.broadcast(totals), "o_orderpriority").where(
+    tail = ranked.join(
+        F.broadcast(totals.withColumnRenamed("o_orderpriority", "__pr")),
+        ranked["o_orderpriority"].eqNullSafe(F.col("__pr")),
+    ).where(
         F.col("rank") <= F.expr(f"greatest(1, __n * {_TAIL_PCT} DIV 100)")
     )
     return (
@@ -279,9 +298,10 @@ def agg_tail_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n_tail"),
             F.min("price_cents").cast("bigint").alias("var_cents"),
             F.expr("SUM(price_cents) DIV COUNT(*)").alias("cvar_cents"),
-            F.expr("SUM(price_cents) * 1000000 DIV MAX(__total)").alias(
-                "tail_share_ppm"
-            ),
+            F.expr(
+                "CAST(CAST(SUM(price_cents) AS DECIMAL(38,0)) * 1000000"
+                " DIV MAX(__total) AS BIGINT)"
+            ).alias("tail_share_ppm"),
         )
         .orderBy("o_orderpriority")
     )
@@ -289,10 +309,12 @@ def agg_tail_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TAIL_DUCK = f"""
 WITH o AS (
-  SELECT o_orderpriority,
-         TRY_CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents,
-         o_orderkey
-  FROM orders
+  SELECT o_orderpriority, price_cents, o_orderkey FROM (
+    SELECT o_orderpriority,
+           {money_rounded_sql('o_totalprice')} AS price_cents,
+           o_orderkey
+    FROM orders
+  ) WHERE price_cents IS NOT NULL
 ), ranked AS (
   SELECT *,
          ROW_NUMBER() OVER (PARTITION BY o_orderpriority
@@ -306,8 +328,8 @@ SELECT o_orderpriority,
        CAST(COUNT(*) AS BIGINT) AS n_tail,
        CAST(MIN(price_cents) AS BIGINT) AS var_cents,
        CAST(SUM(price_cents) // COUNT(*) AS BIGINT) AS cvar_cents,
-       CAST(SUM(price_cents) * 1000000 // MAX(total) AS BIGINT)
-         AS tail_share_ppm
+       CAST(CAST(SUM(price_cents) AS HUGEINT) * 1000000 // MAX(total)
+            AS BIGINT) AS tail_share_ppm
 FROM ranked
 WHERE rk <= greatest(1, n * {_TAIL_PCT} // 100)
 GROUP BY o_orderpriority

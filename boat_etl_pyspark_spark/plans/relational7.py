@@ -28,6 +28,12 @@ from pyspark.sql import functions as F
 from . import track_persist
 from ..functions.numeric import cents
 from ..sources.readers import load_table
+from .contract import (
+    money_domain,
+    money_domain_sql,
+    money_rounded,
+    money_rounded_sql,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -39,8 +45,12 @@ def window_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percent_rank + cume_dist of customer balance within market
     segment. Both are rank arithmetic over one hash-partitioned sort
     (segments are parallel across executors); the order key includes
-    c_custkey so ties can't reorder between engines."""
-    cust = load_table(spark, sf_dir, "customer")
+    c_custkey so ties can't reorder between engines. Row-level money
+    domain (round-10 layer 2): NULL/NaN balances place differently in
+    the two engines' window sort — a corrupt balance has no rank."""
+    cust = load_table(spark, sf_dir, "customer").where(
+        money_domain("c_acctbal")
+    )
     w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
     return cust.select(
         "c_custkey",
@@ -55,13 +65,14 @@ def window_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PERCENT_RANK_SQL = """
+_PERCENT_RANK_SQL = f"""
 SELECT c_custkey,
        c_mktsegment,
        TRY_CAST(ROUND(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
        CAST(FLOOR(percent_rank() OVER w * 1000000 + 0.5) AS BIGINT) AS pr_ppm,
        CAST(FLOOR(cume_dist() OVER w * 1000000 + 0.5) AS BIGINT) AS cd_ppm
 FROM customer
+WHERE {money_domain_sql('c_acctbal')}
 WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
 """
 
@@ -221,9 +232,18 @@ def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     then add broadcast per-partition offsets (the same distributed
     prefix-sum shape as sequence packing). At 100 TB this is the only
     viable exact global-order primitive — rank = partition offset +
-    local row_number, one range exchange total."""
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", cents(F.col("o_totalprice")).alias("price_cents")
+    local row_number, one range exchange total.
+
+    Hostile-ingest rule (round-10 layer 2): cents are money-domain
+    bounded and a NULL (corrupt) price has no rank — engine NULL
+    placement differs in the order, shifting every bucket one-sided."""
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            money_rounded("o_totalprice").alias("price_cents"),
+        )
+        .where(F.col("price_cents").isNotNull())
     )
     n_total = orders.count()  # bounded scalar (single long)
     parts = min(32, max(2, n_total // 1000))
@@ -278,12 +298,16 @@ def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _EQUIDEPTH_SQL = f"""
-WITH ranked AS (
-  SELECT TRY_CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents,
-         ROW_NUMBER() OVER (ORDER BY TRY_CAST(ROUND(o_totalprice * 100) AS BIGINT),
-                            o_orderkey) AS rank
+WITH vals AS (
+  SELECT o_orderkey, {money_rounded_sql('o_totalprice')} AS price_cents
   FROM orders
-), n AS (SELECT COUNT(*) AS n_total FROM orders)
+), kept AS (
+  SELECT * FROM vals WHERE price_cents IS NOT NULL
+), ranked AS (
+  SELECT price_cents,
+         ROW_NUMBER() OVER (ORDER BY price_cents, o_orderkey) AS rank
+  FROM kept
+), n AS (SELECT COUNT(*) AS n_total FROM kept)
 SELECT CAST(((rank - 1) * {_HIST_BUCKETS}) // n_total AS BIGINT) AS bucket,
        COUNT(*) AS n_orders,
        MIN(price_cents) AS lo_cents,

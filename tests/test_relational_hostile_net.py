@@ -32,19 +32,13 @@ from tools.hostile_probe import consumers
 #: name when its paired plan+oracle fix lands; never add without a
 #: bisected probe finding.
 LAYER2_WORKLIST = {
-    "agg_acctbal_percentiles",
     "agg_approx_sketches",
     "agg_bootstrap_ci_poisson",
     "agg_effect_size_panel",
-    "agg_equidepth_histogram",
     "agg_heavy_hitters",
-    "agg_histogram_quantile_merge",
     "agg_hll_partition_merge",
     "agg_rollup_nation_segment",
-    "agg_tail_cvar",
-    "agg_trimmed_winsorized_mean",
     "array_hof_quantity_profile",
-    "graph_connected_components",
     "io_dynamic_partition_overwrite",
     "io_schema_evolution",
     "join_point_in_time",
@@ -57,10 +51,7 @@ LAYER2_WORKLIST = {
     "string_part_catalog",
     "ts_extreme_value_gumbel",
     "ts_hurst_exponent",
-    "window_analytic_acctbal",
     "window_bollinger_bands",
-    "window_ntile_acctbal",
-    "window_percent_rank_cume",
     "window_rsi_14",
     "window_running_spend",
     "window_ulcer_index",
