@@ -378,6 +378,11 @@ GROUP BY o_orderstatus
 
 
 def agg_rollup_nation_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup totals. Bounded cents ingest (round-10 layer 2): on a
+    castable absurd balance the unbounded cents sum exceeds INT64 in
+    the grand-total row, where Spark's SUM(BIGINT) silently wraps but
+    DuckDB's promotes to HUGEINT — the bound keeps the sum exact in
+    both engines."""
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     return (
@@ -385,7 +390,9 @@ def agg_rollup_nation_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rollup("n_name", "c_mktsegment")
         .agg(
             F.count("*").alias("n_customers"),
-            money_sum(F.col("c_acctbal")).alias("acctbal_sum"),
+            (F.sum(contract.money_rounded("c_acctbal")) / 100.0).alias(
+                "acctbal_sum"
+            ),
         )
     )
 
@@ -394,11 +401,11 @@ def agg_rollup_nation_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # semantics: standard SQL (and DuckDB) emit the () grand-total row
 # even over zero input rows, Spark emits nothing; on non-empty input
 # every rollup/cube row aggregates >= 1 row, so the guard is inert.
-_AGG_ROLLUP_SQL = """
+_AGG_ROLLUP_SQL = f"""
 SELECT
   n_name, c_mktsegment,
   COUNT(*) AS n_customers,
-  CAST(SUM(TRY_CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS acctbal_sum
+  CAST(SUM({contract.money_rounded_sql('c_acctbal')}) AS DOUBLE) / 100.0 AS acctbal_sum
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 GROUP BY ROLLUP (n_name, c_mktsegment)
@@ -731,13 +738,18 @@ GROUP BY event_type
 
 def string_part_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
+    # Pinned NULL-concat rule (round-10 layer 2): brand_type NULL-
+    # PROPAGATES (F.concat, like SQL ||) — concat_ws silently skips
+    # NULL parts, minting 'Brand#1' where the oracle's || yields NULL
     return (
         part.select(
             "p_partkey",
             F.upper(F.col("p_brand")).alias("brand_upper"),
             F.substring_index(F.col("p_name"), " ", 1).alias("name_head"),
             F.length(F.col("p_name")).cast("bigint").alias("name_len"),
-            F.concat_ws("|", F.col("p_brand"), F.col("p_type")).alias("brand_type"),
+            F.concat(F.col("p_brand"), F.lit("|"), F.col("p_type")).alias(
+                "brand_type"
+            ),
             F.lpad(F.col("p_size").cast("string"), 3, "0").alias("size_padded"),
         )
     )
@@ -747,7 +759,10 @@ _STRING_PART_SQL = """
 SELECT
   p_partkey,
   UPPER(p_brand) AS brand_upper,
-  split_part(p_name, ' ', 1) AS name_head,
+  -- DuckDB's split_part maps NULL input to '' — NULL-propagate to
+  -- match Spark's substring_index (a NULL name has no head)
+  CASE WHEN p_name IS NULL THEN NULL
+       ELSE split_part(p_name, ' ', 1) END AS name_head,
   LENGTH(p_name) AS name_len,
   p_brand || '|' || p_type AS brand_type,
   LPAD(CAST(p_size AS VARCHAR), 3, '0') AS size_padded

@@ -356,9 +356,15 @@ WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey),
 # ---------------------------------------------------------------------------
 
 def map_order_attributes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build + explode an attribute map. Pinned NULL rule (round-10
+    layer 2): a NULL attribute VALUE is still an attribute — built
+    with ``create_map`` (holds NULL values) rather than str_to_map
+    over a concat, which NULL-propagates and silently drops BOTH map
+    entries for any order with one NULL field."""
     orders = load_table(spark, sf_dir, "orders")
-    m = F.expr(
-        "str_to_map(concat('status=', o_orderstatus, ';prio=', o_orderpriority), ';', '=')"
+    m = F.create_map(
+        F.lit("status"), F.col("o_orderstatus"),
+        F.lit("prio"), F.col("o_orderpriority"),
     )
     return orders.select(
         "o_orderkey", F.explode(m).alias("attr_key", "attr_value")

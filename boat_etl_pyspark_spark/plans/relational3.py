@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from ..functions.numeric import money_sum
 from ..sources.readers import load_table
+from . import contract
 
 
 # ---------------------------------------------------------------------------
@@ -162,7 +163,13 @@ GROUP BY c_mktsegment
 # ---------------------------------------------------------------------------
 
 def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
+    # Row-level money domain (round-10 layer 2): the within-5%
+    # sketch-accuracy claim is only meaningful over valid money — a
+    # two-row hostile group whose "median" interpolates across an
+    # absurd value fails it vacuously. Same predicate in the oracle.
+    orders = load_table(spark, sf_dir, "orders").where(
+        contract.money_domain("o_totalprice")
+    )
     # countDistinct must NOT share a groupBy with the sketch/percentile
     # aggregates: Spark's distinct-rewrite would pre-aggregate by
     # (status, custkey), building one HLL + percentile + KLL buffer per
@@ -176,7 +183,13 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(o_totalprice, 0.5)").alias("exact_p50"),
         F.expr("approx_percentile(o_totalprice, 0.5, 10000)").alias("approx_p50"),
     )
-    per_status = exact_distinct.join(sketches, "o_orderstatus")
+    # null-safe join: a NULL status is still a group in both engines'
+    # GROUP BY — a plain equi-join would drop its row here only
+    # (round-10 layer 2)
+    per_status = exact_distinct.join(
+        sketches.withColumnRenamed("o_orderstatus", "__st"),
+        exact_distinct["o_orderstatus"].eqNullSafe(F.col("__st")),
+    ).drop("__st")
     return per_status.select(
         "o_orderstatus",
         "exact_customers",
@@ -191,12 +204,13 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_APPROX_SQL = """
+_APPROX_SQL = f"""
 SELECT o_orderstatus,
        COUNT(DISTINCT o_custkey) AS exact_customers,
        TRUE AS hll_within_5pct,
        TRUE AS p50_within_5pct
 FROM orders
+WHERE {contract.money_domain_sql('o_totalprice')}
 GROUP BY o_orderstatus
 """
 

@@ -91,9 +91,16 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Two corpus scans, zero corpus shuffles — the 100 TB shape for
     hot-key detection when stats are unavailable. The final filter
     recounts candidates EXACTLY, so the result is identical for any
-    partitioning (pass 1 only ever over-generates candidates)."""
-    fact = load_table(spark, sf_dir, "lineitem").select(
-        F.expr(_HH_KEY).cast("bigint").alias("k")
+    partitioning (pass 1 only ever over-generates candidates).
+
+    Pinned NULL rule (round-10 layer 2): a NULL key is not a key —
+    excluded from candidates AND from n_total on both sides (pandas
+    ``value_counts`` already drops NaN, so an unfiltered oracle would
+    count one more row than the summaries report)."""
+    fact = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.expr(_HH_KEY).cast("bigint").alias("k"))
+        .where(F.col("k").isNotNull())
     )
     summary = track_persist(
         fact.mapInPandas(_mg_summaries, "k bigint, np bigint")
@@ -124,7 +131,7 @@ _HH_SQL = f"""
 WITH f AS (
   SELECT {_HH_KEY} AS k FROM lineitem
 ), c AS (
-  SELECT k, COUNT(*) AS cnt FROM f GROUP BY k
+  SELECT k, COUNT(*) AS cnt FROM f WHERE k IS NOT NULL GROUP BY k
 ), t AS (
   SELECT SUM(cnt) AS n_total FROM c
 )

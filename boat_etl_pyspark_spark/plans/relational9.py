@@ -63,8 +63,15 @@ def agg_hll_partition_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = orders.groupBy(
         F.date_trunc("quarter", "o_orderdate").alias("quarter")
     ).agg(F.countDistinct("o_custkey").alias("exact_customers"))
+    # null-safe join: a NULL order date is a (NULL) quarter group in
+    # both engines' GROUP BY — a plain equi-join would drop its row
+    # here only (round-10 layer 2)
     return (
-        exact.join(merged, "quarter")
+        exact.join(
+            merged.withColumnRenamed("quarter", "__q"),
+            exact["quarter"].eqNullSafe(F.col("__q")),
+        )
+        .drop("__q")
         .select(
             F.date_format("quarter", "yyyy-MM").alias("quarter"),
             "exact_customers",

@@ -32,23 +32,17 @@ from tools.hostile_probe import consumers
 #: name when its paired plan+oracle fix lands; never add without a
 #: bisected probe finding.
 LAYER2_WORKLIST = {
-    "agg_approx_sketches",
     "agg_bootstrap_ci_poisson",
     "agg_effect_size_panel",
-    "agg_heavy_hitters",
-    "agg_hll_partition_merge",
-    "agg_rollup_nation_segment",
     "array_hof_quantity_profile",
     "io_dynamic_partition_overwrite",
     "io_schema_evolution",
     "join_point_in_time",
     "join_spatial_grid",
     "layout_zorder_orders",
-    "map_order_attributes",
     "ml_permutation_importance",
     "q2_cheapest_supplier_per_part",
     "scd2_customer_order_history",
-    "string_part_catalog",
     "ts_extreme_value_gumbel",
     "ts_hurst_exponent",
     "window_bollinger_bands",
