@@ -298,8 +298,15 @@ def layout_zorder_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order key over (customer, order-day): the driver-checked half
     is the exact Morton value; the file-layout half (range-partitioned
     write → non-overlapping per-file z-ranges) is audited by
-    tests/test_io_plans.py."""
-    orders = load_table(spark, sf_dir, "orders")
+    tests/test_io_plans.py.
+
+    Pinned NULL rule (round-10 layer 2): a row with a NULL key
+    dimension has NO z-position — NULL would otherwise propagate into
+    zvalue and sort NULLS FIRST in Spark but NULLS LAST in DuckDB,
+    shifting the whole head of the layout."""
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_custkey").isNotNull() & F.col("o_orderdate").isNotNull()
+    )
     x = F.col("o_custkey").bitwiseAND(F.lit(0xFFFF))
     y = F.datediff(F.col("o_orderdate"), F.to_date(F.lit("1995-01-01"))).bitwiseAND(
         F.lit(0xFFFF)
@@ -322,6 +329,7 @@ SELECT o_orderkey,
        {_z_sql("o_custkey & 65535",
                "date_diff('day', DATE '1995-01-01', o_orderdate) & 65535")} AS zvalue
 FROM orders
+WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
 ORDER BY zvalue, o_orderkey
 LIMIT 100
 """

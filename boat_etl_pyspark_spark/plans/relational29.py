@@ -151,9 +151,12 @@ ORDER BY status
 
 _DPO_ORACLE = """
 WITH base AS (
+  -- IS DISTINCT FROM: a NULL status is a real partition (Spark
+  -- writes it as the Hive default partition and reads NULL back);
+  -- plain <> would silently drop it from the expected state
   SELECT o_orderstatus,
          TRY_CAST(round(o_totalprice * 100) AS BIGINT) AS cents
-  FROM orders WHERE o_orderstatus <> 'O'
+  FROM orders WHERE o_orderstatus IS DISTINCT FROM 'O'
 ), regen AS (
   SELECT o_orderstatus,
          TRY_CAST(round(o_totalprice * 100) AS BIGINT) * 2 AS cents

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from ..functions.numeric import cents
 from ..sources.readers import load_table
+from .contract import qty_scaled, qty_scaled_sql
 
 # ---------------------------------------------------------------------------
 # LATERAL correlated subquery: top-2 orders per customer
@@ -117,10 +118,18 @@ def array_hof_quantity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     BEFORE collection so the lambda-fold sum is associative-exact at
     any parallelism; the array is sorted so the column is deterministic
     too. All lambdas run as JVM codegen (no Python) — the point of
-    HOFs over a UDF."""
-    li = load_table(spark, sf_dir, "lineitem")
+    HOFs over a UDF.
+
+    Pinned NULL/contract rule (round-10 layer 2): quantities are
+    contract-bounded ([1, 50]) and a NULL/corrupt quantity is not an
+    item — Spark's collect_list silently drops NULLs while the
+    oracle's COUNT(*)/BOOL_OR count the row, so the exclusion happens
+    explicitly BEFORE grouping, identically on both sides."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", qty_scaled("l_quantity").alias("qc")
+    ).where(F.col("qc").isNotNull())
     arr = li.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_list(cents(F.col("l_quantity")))).alias("q")
+        F.sort_array(F.collect_list("qc")).alias("q")
     )
     return arr.select(
         "l_orderkey",
@@ -135,7 +144,7 @@ def array_hof_quantity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ARRAY_HOF_SQL = """
+_ARRAY_HOF_SQL = f"""
 SELECT l_orderkey,
        COUNT(*) AS n_items,
        CAST(SUM(qc) AS BIGINT) AS qty_cents,
@@ -144,9 +153,10 @@ SELECT l_orderkey,
        MAX(qc) AS q_max_cents,
        BOOL_OR(qc % 100 <> 0) AS has_fractional
 FROM (
-  SELECT l_orderkey, TRY_CAST(ROUND(l_quantity * 100) AS BIGINT) AS qc
+  SELECT l_orderkey, {qty_scaled_sql('l_quantity')} AS qc
   FROM lineitem
 )
+WHERE qc IS NOT NULL
 GROUP BY l_orderkey
 """
 

@@ -27,7 +27,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.numeric import cents
-from .contract import money_rounded, money_rounded_sql, ts_valid, ts_valid_sql
+from .contract import (
+    money_rounded,
+    money_rounded_sql,
+    tpch_date_valid,
+    tpch_date_valid_sql,
+    ts_valid,
+    ts_valid_sql,
+)
 from ..operators.library import global_rank
 from ..sources.readers import load_table
 from ..streaming.events import (
@@ -107,8 +114,16 @@ def io_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket. Parquet stores schema per file, so evolution is free at
     write time and one footer-merge at planning time — no rewrite of
     historical data (the property that matters when 'historical' is
-    90 of the 100 TB)."""
-    orders = load_table(spark, sf_dir, "orders")
+    90 of the 100 TB).
+
+    Pinned rules (round-10 layer 2): a row with no valid batch date
+    belongs to no batch (business-date validity window, both sides),
+    and NULL priority coalesces to 'LEGACY' wherever it occurs —
+    after mergeSchema the legacy-NULL and new-NULL are one physical
+    column, so the oracle applies the same coalesce."""
+    orders = load_table(spark, sf_dir, "orders").where(
+        tpch_date_valid("o_orderdate")
+    )
     base = _tmp("schema_evo", sf_dir)
     old = orders.where(F.col("o_orderdate") < _EVO_CUTOFF).select(
         "o_orderkey", "o_totalprice"
@@ -129,11 +144,12 @@ def io_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SCHEMA_EVO_SQL = f"""
 SELECT CASE WHEN o_orderdate < DATE '{_EVO_CUTOFF}' THEN 'LEGACY'
-            ELSE o_orderpriority END AS priority,
+            ELSE COALESCE(o_orderpriority, 'LEGACY') END AS priority,
        COUNT(*) AS n_orders,
        CAST(SUM(TRY_CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
          AS revenue_cents
 FROM orders
+WHERE {tpch_date_valid_sql('o_orderdate')}
 GROUP BY 1
 """
 

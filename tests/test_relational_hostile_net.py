@@ -34,12 +34,8 @@ from tools.hostile_probe import consumers
 LAYER2_WORKLIST = {
     "agg_bootstrap_ci_poisson",
     "agg_effect_size_panel",
-    "array_hof_quantity_profile",
-    "io_dynamic_partition_overwrite",
-    "io_schema_evolution",
     "join_point_in_time",
     "join_spatial_grid",
-    "layout_zorder_orders",
     "ml_permutation_importance",
     "q2_cheapest_supplier_per_part",
     "scd2_customer_order_history",
