@@ -484,7 +484,14 @@ WHERE rk <= 3
 
 
 def window_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
+    """Per-customer running spend. Bounded cents + business-date
+    validity (round-10 layer 2): a NULL order date has no position in
+    the customer's timeline (engine NULL ordering differs), and
+    unbounded cents let a castable absurd value wrap Spark's running
+    SUM where DuckDB widens."""
+    orders = load_table(spark, sf_dir, "orders").where(
+        contract.tpch_date_valid("o_orderdate")
+    )
     w = (
         Window.partitionBy("o_custkey")
         .orderBy("o_orderdate", "o_orderkey")
@@ -494,19 +501,22 @@ def window_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         _fmt_day("o_orderdate").alias("o_orderdate"),
-        (F.sum(cents(F.col("o_totalprice"))).over(w) / 100.0).alias("running_spend"),
+        (
+            F.sum(contract.money_rounded("o_totalprice")).over(w) / 100.0
+        ).alias("running_spend"),
     )
 
 
-_WINDOW_RUNNING_SQL = """
+_WINDOW_RUNNING_SQL = f"""
 SELECT
   o_custkey, o_orderkey,
   strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
-  CAST(SUM(TRY_CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
+  CAST(SUM({contract.money_rounded_sql('o_totalprice')}) OVER (
     PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
   ) AS DOUBLE) / 100.0 AS running_spend
 FROM orders
+WHERE {contract.tpch_date_valid_sql('o_orderdate')}
 """
 
 

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F  # noqa: F401
 
 from ..sources.readers import load_table
+from .contract import money_rounded_sql
 
 # ---------------------------------------------------------------------------
 # Poisson bootstrap CI
@@ -86,10 +87,16 @@ def _boot_sql(orders: str, key_j: str, hex2int: str, big: str, div: str) -> str:
     bvals = ", ".join(f"({b})" for b in range(_BOOT_B))
     mjoin = ",\n         ".join(mcols)
     return f"""
-WITH r AS (
+WITH r0 AS (
+  -- bounded cents (round-10 layer 2): an absurd castable spend pushes
+  -- the resample sums past 2^53, where the DECIMAL->DOUBLE and
+  -- HUGEINT->DOUBLE conversions round a 1-ulp apart and the CI floor
+  -- flips; a customer with no valid spend has no resample weight
   SELECT o_custkey,
-         SUM(TRY_CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+         SUM({money_rounded_sql('o_totalprice')}) AS cents
   FROM {orders} GROUP BY o_custkey
+), r AS (
+  SELECT * FROM r0 WHERE cents IS NOT NULL
 ), h AS (
   SELECT cents,
          {hcols}

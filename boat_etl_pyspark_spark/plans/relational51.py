@@ -39,6 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..sources.readers import load_table
+from .contract import money_rounded_sql
 from .textdedup import _TOKEN_RE
 
 # ---------------------------------------------------------------------------
@@ -215,14 +216,21 @@ _KEYS_DUCK = _KEYS_CORE.format(
 
 _PERMIMP_CORE = """
 WITH base AS (
-  SELECT o_orderkey AS ok,
-         TRY_CAST(round(o_totalprice * 100) AS BIGINT) AS x,
-         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
-  FROM {orders}
+  -- bounded cents + NOT NULL (round-10 layer 2): a NULL feature has
+  -- no rank (engine NULL ordering differs) and the hash-permutation
+  -- tiebreak includes x so a DUPLICATE orderkey (same md5, same key)
+  -- still pairs deterministically in both engines
+  SELECT ok, x, y FROM (
+    SELECT o_orderkey AS ok,
+           """ + money_rounded_sql("o_totalprice") + """ AS x,
+           CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+    FROM {orders}
+  ) WHERE x IS NOT NULL
 ), ranked AS (
   SELECT ok, x, y,
-         ROW_NUMBER() OVER (ORDER BY x, ok) AS rx,
-         ROW_NUMBER() OVER (ORDER BY md5(CAST(ok AS {str})), ok) AS rh,
+         ROW_NUMBER() OVER (ORDER BY x, ok, y) AS rx,
+         ROW_NUMBER() OVER (ORDER BY md5(CAST(ok AS {str})), ok, x, y)
+           AS rh,
          COUNT(*) OVER () AS n
   FROM base
 ), th AS (
@@ -278,10 +286,16 @@ _HIGH_VALUE_CENTS = 15_000_000  # $150k
 
 _EFFECT_CORE = f"""
 WITH cents AS (
-  SELECT TRY_CAST(round(o_totalprice * 100) AS BIGINT) AS x,
-         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g,
-         o_orderstatus AS st, o_orderpriority AS pri
-  FROM {{orders}}
+  -- bounded cents + NOT NULL (round-10 layer 2): an absurd castable
+  -- value drives the pooled variance negative through float
+  -- cancellation (sqrt -> NaN in one engine only), and a row with no
+  -- valid money has no effect-size contribution in any panel cell
+  SELECT x, g, st, pri FROM (
+    SELECT {money_rounded_sql('o_totalprice')} AS x,
+           CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g,
+           o_orderstatus AS st, o_orderpriority AS pri
+    FROM {{orders}}
+  ) WHERE x IS NOT NULL
 ), two AS (
   SELECT SUM(g) AS n1, SUM(1 - g) AS n2,
          SUM(CASE WHEN g = 1 THEN CAST(x AS DECIMAL(38,0)) ELSE 0 END)

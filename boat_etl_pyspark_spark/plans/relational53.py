@@ -37,6 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..sources.readers import load_table
+from .contract import money_rounded_sql, tpch_date_valid_sql
 
 # ---------------------------------------------------------------------------
 # Bollinger bands
@@ -46,9 +47,14 @@ _BOLL_WIN = 7  # trailing days, ROWS frame
 
 _BOLL_CORE = f"""
 WITH daily AS (
+  -- bounded cents + business-date validity (round-10 layer 2): a
+  -- NULL date has no position on the day axis (engine NULL ordering
+  -- differs, shifting every ROWS frame), and unbounded cents let a
+  -- castable absurd value wrap Spark's SUM where DuckDB widens
   SELECT CAST(o_orderdate AS DATE) AS d,
-         SUM(TRY_CAST(round(o_totalprice * 100) AS BIGINT)) AS x
-  FROM {{orders}} GROUP BY CAST(o_orderdate AS DATE)
+         SUM({money_rounded_sql('o_totalprice')}) AS x
+  FROM {{orders}} WHERE {tpch_date_valid_sql('o_orderdate')}
+  GROUP BY CAST(o_orderdate AS DATE)
 ), w AS (
   SELECT d, x,
          COUNT(*) OVER win AS n,

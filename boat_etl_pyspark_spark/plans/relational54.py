@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..sources.readers import load_table
+from .contract import money_rounded_sql, tpch_date_valid_sql
 
 # ---------------------------------------------------------------------------
 # Markov entropy rate
@@ -99,9 +100,12 @@ _GUMBEL_T = 52
 
 _GUMBEL_CORE = f"""
 WITH daily AS (
+  -- bounded cents + business-date validity (round-10 layer 2, same
+  -- rationale as window_bollinger_bands)
   SELECT CAST(o_orderdate AS DATE) AS d,
-         SUM(TRY_CAST(round(o_totalprice * 100) AS BIGINT)) AS x
-  FROM {{orders}} GROUP BY CAST(o_orderdate AS DATE)
+         SUM({money_rounded_sql('o_totalprice')}) AS x
+  FROM {{orders}} WHERE {tpch_date_valid_sql('o_orderdate')}
+  GROUP BY CAST(o_orderdate AS DATE)
 ), idx AS (
   SELECT x, (ROW_NUMBER() OVER (ORDER BY d) - 1) {{idiv}} 7 AS wk
   FROM daily

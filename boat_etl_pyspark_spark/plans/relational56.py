@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..sources.readers import load_table
+from .contract import money_rounded_sql, tpch_date_valid_sql
 
 # ---------------------------------------------------------------------------
 # RSI
@@ -32,9 +33,12 @@ _RSI_W = 14
 
 _RSI_CORE = f"""
 WITH daily AS (
+  -- bounded cents + business-date validity (round-10 layer 2, same
+  -- rationale as window_bollinger_bands)
   SELECT CAST(o_orderdate AS DATE) AS d,
-         SUM(TRY_CAST(round(o_totalprice * 100) AS BIGINT)) AS x
-  FROM {{orders}} GROUP BY CAST(o_orderdate AS DATE)
+         SUM({money_rounded_sql('o_totalprice')}) AS x
+  FROM {{orders}} WHERE {tpch_date_valid_sql('o_orderdate')}
+  GROUP BY CAST(o_orderdate AS DATE)
 ), diffs AS (
   SELECT d, x, x - LAG(x) OVER (ORDER BY d) AS dx
   FROM daily

@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..sources.readers import load_table
+from .contract import money_rounded_sql, tpch_date_valid_sql
 
 # ---------------------------------------------------------------------------
 # Hurst exponent (rescaled range)
@@ -35,8 +36,12 @@ _HURST_MS = (8, 16, 32, 64)
 
 _HURST_CORE = """
 WITH daily AS (
+  -- business-date validity (round-10 layer 2): a NULL/out-of-window
+  -- date has no position on the day axis (engine NULL ordering
+  -- differs in the ROW_NUMBER walk, re-blocking the whole series)
   SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS x
-  FROM {orders} GROUP BY CAST(o_orderdate AS DATE)
+  FROM {orders} WHERE """ + tpch_date_valid_sql("o_orderdate") + """
+  GROUP BY CAST(o_orderdate AS DATE)
 ), idx AS (
   SELECT x, ROW_NUMBER() OVER (ORDER BY d) AS rn FROM daily
 ), expanded AS (
@@ -194,9 +199,12 @@ _DRIFTAUC_DUCK = _DRIFTAUC_CORE.format(
 
 _ULCER_CORE = """
 WITH daily AS (
+  -- bounded cents + business-date validity (round-10 layer 2, same
+  -- rationale as window_bollinger_bands)
   SELECT CAST(o_orderdate AS DATE) AS d,
-         SUM(TRY_CAST(round(o_totalprice * 100) AS BIGINT)) AS x
-  FROM {orders} GROUP BY CAST(o_orderdate AS DATE)
+         SUM(""" + money_rounded_sql("o_totalprice") + """) AS x
+  FROM {orders} WHERE """ + tpch_date_valid_sql("o_orderdate") + """
+  GROUP BY CAST(o_orderdate AS DATE)
 ), peaks AS (
   SELECT d, x, MAX(x) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS pk
   FROM daily

@@ -33,6 +33,8 @@ from .contract import (
     money_domain_sql,
     money_rounded,
     money_rounded_sql,
+    tpch_date_valid,
+    tpch_date_valid_sql,
 )
 
 
@@ -131,8 +133,16 @@ def scd2_customer_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     change event to the customer's cumulative spend; lead() closes the
     validity interval, the open row gets the sentinel end date. This is
     the standard merge-free SCD2 build — one window per customer
-    partition, no self-join."""
-    orders = load_table(spark, sf_dir, "orders")
+    partition, no self-join.
+
+    Hostile-ingest rules (round-10 layer 2): a change event needs a
+    valid business date (NULL dates order differently per engine,
+    re-linking every validity interval) and cents are money-domain
+    bounded (a castable absurd value wraps Spark's running SUM where
+    DuckDB widens)."""
+    orders = load_table(spark, sf_dir, "orders").where(
+        tpch_date_valid("o_orderdate")
+    )
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     return orders.select(
         F.col("o_custkey").alias("custkey"),
@@ -141,13 +151,13 @@ def scd2_customer_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w)
         .alias("valid_to"),
         F.row_number().over(w).alias("n_orders_to_date"),
-        F.sum(cents(F.col("o_totalprice")))
+        F.sum(money_rounded("o_totalprice"))
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
         .alias("cum_spend_cents"),
     )
 
 
-_SCD2_SQL = """
+_SCD2_SQL = f"""
 SELECT o_custkey AS custkey,
        strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
        COALESCE(
@@ -157,11 +167,12 @@ SELECT o_custkey AS custkey,
        CAST(ROW_NUMBER()
          OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
          AS INTEGER) AS n_orders_to_date,
-       CAST(SUM(TRY_CAST(ROUND(o_totalprice * 100) AS BIGINT))
+       CAST(SUM({money_rounded_sql('o_totalprice')})
          OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          AS BIGINT) AS cum_spend_cents
 FROM orders
+WHERE {tpch_date_valid_sql('o_orderdate')}
 """
 
 

@@ -32,19 +32,9 @@ from tools.hostile_probe import consumers
 #: name when its paired plan+oracle fix lands; never add without a
 #: bisected probe finding.
 LAYER2_WORKLIST = {
-    "agg_bootstrap_ci_poisson",
-    "agg_effect_size_panel",
     "join_point_in_time",
     "join_spatial_grid",
-    "ml_permutation_importance",
     "q2_cheapest_supplier_per_part",
-    "scd2_customer_order_history",
-    "ts_extreme_value_gumbel",
-    "ts_hurst_exponent",
-    "window_bollinger_bands",
-    "window_rsi_14",
-    "window_running_spend",
-    "window_ulcer_index",
 }
 
 _QUERIES = m.queries()
