@@ -68,13 +68,19 @@ def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-derived coordinates. Suppliers (the small side) explode to
     their 9 neighbor cells; the join is equi on cell id and stays
     hash-partitioned — probe volume is 9 rows per supplier, never
-    |suppliers| × |customers|."""
+    |suppliers| × |customers|.
+
+    Pinned duplicate-key rule (round-10 layer 2): a duplicate entity
+    key is ONE point — coordinates are key-derived, so the inputs
+    dedup on key; without the rule the multi-cell candidate dedup
+    inside grid_join collapses duplicate ROWS in one engine while the
+    oracle's row-wise join multiplies them."""
     cust = load_table(spark, sf_dir, "customer")
     supp = load_table(spark, sf_dir, "supplier")
     cx, cy = _xy("c_custkey")
     sx, sy = _xy("s_suppkey")
-    c = cust.select("c_custkey", cx.alias("cx"), cy.alias("cy"))
-    s = supp.select("s_suppkey", sx.alias("sx"), sy.alias("sy"))
+    c = cust.select("c_custkey", cx.alias("cx"), cy.alias("cy")).distinct()
+    s = supp.select("s_suppkey", sx.alias("sx"), sy.alias("sy")).distinct()
     return grid_join(
         c, s, ("cx", "cy"), ("sx", "sy"), radius=_RADIUS
     ).select(
@@ -89,14 +95,14 @@ def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SPATIAL_SQL = f"""
 WITH c AS (
-  SELECT c_custkey,
+  SELECT DISTINCT c_custkey,
          CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 6) AS BIGINT)
            % {_GRID} AS cx,
          CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 7, 6) AS BIGINT)
            % {_GRID} AS cy
   FROM customer
 ), s AS (
-  SELECT s_suppkey,
+  SELECT DISTINCT s_suppkey,
          CAST('0x' || substr(md5(CAST(s_suppkey AS VARCHAR)), 1, 6) AS BIGINT)
            % {_GRID} AS sx,
          CAST('0x' || substr(md5(CAST(s_suppkey AS VARCHAR)), 7, 6) AS BIGINT)

@@ -28,7 +28,12 @@ from pyspark.sql import functions as F
 from ..functions.numeric import cents
 from ..operators.library import asof_join
 from ..sources.readers import load_table
-from .contract import money_rounded_sql
+from .contract import (
+    money_rounded,
+    money_rounded_sql,
+    tpch_date_valid,
+    tpch_date_valid_sql,
+)
 
 # ---------------------------------------------------------------------------
 # Point-in-time dimension join
@@ -45,12 +50,24 @@ def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     order day + 1), so an order never sees state created by itself —
     the leakage rule every feature-store PIT join enforces. First
     orders match nothing and land in tier 0. One union-window pass
-    (library asof_join); the oracle is DuckDB's native ASOF JOIN."""
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        "o_custkey",
-        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("ts_us"),
-        cents(F.col("o_totalprice")).alias("price_cents"),
+    (library asof_join); the oracle is DuckDB's native ASOF JOIN.
+
+    Hostile-ingest rules (round-10 layer 2): an order with no valid
+    business date has no point-in-time position (the as-of union
+    window orders NULLs differently per engine), and cents are
+    money-domain bounded (Spark's revenue SUM wraps where DuckDB
+    widens)."""
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(tpch_date_valid("o_orderdate"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(
+                "ts_us"
+            ),
+            money_rounded("o_totalprice").alias("price_cents"),
+        )
     )
     per_day = (
         orders.groupBy("o_custkey", "ts_us")
@@ -94,8 +111,8 @@ _PIT_SQL = f"""
 WITH o AS (
   SELECT o_orderkey, o_custkey,
          epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS ts_us,
-         TRY_CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
-  FROM orders
+         {money_rounded_sql('o_totalprice')} AS price_cents
+  FROM orders WHERE {tpch_date_valid_sql('o_orderdate')}
 ), per_day AS (
   SELECT o_custkey, ts_us, COUNT(*) AS n_day
   FROM o GROUP BY 1, 2

@@ -29,7 +29,13 @@ from . import contract
 # ---------------------------------------------------------------------------
 
 def q2_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    # Pinned NULL-key rule (round-10 layer 2): an offer with no part
+    # key belongs to no part — Spark's window keeps a NULL partition
+    # where the oracle's correlated `i.l_partkey = o.l_partkey`
+    # never matches it, so the exclusion is explicit on both sides.
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_partkey").isNotNull()
+    )
     sup = load_table(spark, sf_dir, "supplier")
     # per (part, supplier): min observed unit price (price/qty is noisy;
     # use extendedprice directly as the offer price)
@@ -51,7 +57,8 @@ def q2_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame
 _Q2_SQL = """
 WITH offers AS (
   SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS best_price
-  FROM lineitem GROUP BY l_partkey, l_suppkey
+  FROM lineitem WHERE l_partkey IS NOT NULL
+  GROUP BY l_partkey, l_suppkey
 )
 SELECT o.l_partkey, o.l_suppkey, s_name, o.best_price
 FROM offers o

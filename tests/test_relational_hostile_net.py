@@ -31,11 +31,9 @@ from tools.hostile_probe import consumers
 #: Round-10 layer-2 debt (probe output 2026-08-16, 51 names). Delete a
 #: name when its paired plan+oracle fix lands; never add without a
 #: bisected probe finding.
-LAYER2_WORKLIST = {
-    "join_point_in_time",
-    "join_spatial_grid",
-    "q2_cheapest_supplier_per_part",
-}
+LAYER2_WORKLIST: set[str] = set()  # drained 2026-08-16 (round 10):
+# all 51 probe findings received their paired plan+oracle bound; the
+# net below now replays EVERY TPC-H consumer on the hostile fixture.
 
 _QUERIES = m.queries()
 _ORACLES = m.oracle_sql()
