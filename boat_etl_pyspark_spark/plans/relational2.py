@@ -135,20 +135,23 @@ FROM b
 def agg_qty_price_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson correlation of quantity vs price per return flag from
     exact integer co-moments. Both ingests are contract-bounded
-    (quantity [1,50], money |x|<=1e12) and every product widens
-    BEFORE the multiply — only NULL-safe co-moment rows count, and
-    the welch-style widening keeps p*p exact across the domain."""
+    (quantity [1,50] -> q <= 5000 centi-units; money |x| <= 1e12 ->
+    p <= 1e12 whole units), which is what makes the FAST accumulation
+    shape sound: q*q (<= 2.5e7) and q*p (<= 5e15) stay exact INT64
+    products — only the 128-bit SUM accumulators and the p*p product
+    (1e24 > INT64) widen to DECIMAL(38,0)/HUGEINT. A decimal multiply
+    per row on every co-moment measured ~20x slower than this
+    widen-at-the-boundary shape (round-10 bench flag)."""
     li = load_table(spark, sf_dir, "lineitem")
     q = qty_scaled("l_quantity")
     p = money_rounded("l_extendedprice", scale=1)
-    wide = lambda a, b: a.cast("decimal(38,0)") * b  # noqa: E731
     base = li.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
         F.sum(q).alias("sq"),
         F.sum(p).alias("sp"),
-        F.sum(wide(q, q)).alias("sqq"),
-        F.sum(wide(p, p)).alias("spp"),
-        F.sum(wide(q, p)).alias("sqp"),
+        F.sum((q * q).cast("decimal(38,0)")).alias("sqq"),
+        F.sum(p.cast("decimal(38,0)") * p).alias("spp"),
+        F.sum((q * p).cast("decimal(38,0)")).alias("sqp"),
     )
     n = F.col("n").cast("double")
     sq, sp = F.col("sq").cast("double"), F.col("sp").cast("double")
@@ -174,9 +177,9 @@ WITH v AS (
          COUNT(*) AS n,
          SUM(q) AS sq,
          SUM(p) AS sp,
-         SUM(CAST(q AS HUGEINT) * q) AS sqq,
+         SUM(CAST(q * q AS HUGEINT)) AS sqq,
          SUM(CAST(p AS HUGEINT) * p) AS spp,
-         SUM(CAST(q AS HUGEINT) * p) AS sqp
+         SUM(CAST(q * p AS HUGEINT)) AS sqp
   FROM v GROUP BY l_returnflag
 )
 SELECT l_returnflag, n,

@@ -143,14 +143,19 @@ WITH v AS (
   ) WHERE q IS NOT NULL AND e IS NOT NULL
         AND d IS NOT NULL AND t IS NOT NULL
 ), s AS (
+  -- product widths are DOMAIN-justified (round-10 bench flag): with
+  -- q <= 50, e <= 1e14, d,t <= 1e4 every cross-product except e*e
+  -- stays exact INT64 (max e*d = 1e18 < 2^63), so only the SUM
+  -- accumulators widen — a per-row 128-bit multiply on all nine
+  -- co-moments measured ~2x the whole query
   SELECT COUNT(*) AS n,
          SUM(CAST(q AS {{big}})) AS sq, SUM(CAST(e AS {{big}})) AS se,
          SUM(CAST(d AS {{big}})) AS sd, SUM(CAST(t AS {{big}})) AS st,
-         SUM(CAST(q AS {{big}}) * q) AS sqq, SUM(CAST(e AS {{big}}) * e) AS see,
-         SUM(CAST(d AS {{big}}) * d) AS sdd, SUM(CAST(t AS {{big}}) * t) AS stt,
-         SUM(CAST(q AS {{big}}) * e) AS sqe, SUM(CAST(q AS {{big}}) * d) AS sqd,
-         SUM(CAST(q AS {{big}}) * t) AS sqt, SUM(CAST(e AS {{big}}) * d) AS sed,
-         SUM(CAST(e AS {{big}}) * t) AS set_, SUM(CAST(d AS {{big}}) * t) AS sdt
+         SUM(CAST(q * q AS {{big}})) AS sqq, SUM(CAST(e AS {{big}}) * e) AS see,
+         SUM(CAST(d * d AS {{big}})) AS sdd, SUM(CAST(t * t AS {{big}})) AS stt,
+         SUM(CAST(q * e AS {{big}})) AS sqe, SUM(CAST(q * d AS {{big}})) AS sqd,
+         SUM(CAST(q * t AS {{big}})) AS sqt, SUM(CAST(e * d AS {{big}})) AS sed,
+         SUM(CAST(e * t AS {{big}})) AS set_, SUM(CAST(d * t AS {{big}})) AS sdt
   FROM v
 ), pairs AS (
   SELECT p.col_a, p.col_b, s.n,
