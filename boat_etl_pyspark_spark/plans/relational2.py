@@ -143,9 +143,16 @@ def agg_qty_price_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     per row on every co-moment measured ~20x slower than this
     widen-at-the-boundary shape (round-10 bench flag)."""
     li = load_table(spark, sf_dir, "lineitem")
-    q = qty_scaled("l_quantity")
-    p = money_rounded("l_extendedprice", scale=1)
-    base = li.groupBy("l_returnflag").agg(
+    # project the bounded ingests ONCE per row: aggregate arguments
+    # are evaluated per aggregate function, so an unprojected form
+    # runs each TRY_CAST/CASE ingest four times per row
+    proj = li.select(
+        "l_returnflag",
+        qty_scaled("l_quantity").alias("q"),
+        money_rounded("l_extendedprice", scale=1).alias("p"),
+    )
+    q, p = F.col("q"), F.col("p")
+    base = proj.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
         F.sum(q).alias("sq"),
         F.sum(p).alias("sp"),
