@@ -36,6 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..sources.readers import load_table
+from .contract import money_rounded_sql
 
 # ---------------------------------------------------------------------------
 # Qini uplift curve
@@ -300,15 +301,22 @@ _TAU_CAP = 1000
 
 _TAU_CORE = f"""
 WITH per_c AS (
+  -- bounded cents (round-10 layer 2, caught by the sf0.01 hostile
+  -- sweep): an absurd castable spend makes the concordance product
+  -- (x-diff * y-diff) exceed INT64, where Spark wraps (flipping the
+  -- pair's sign) while DuckDB's HUGEINT sum stays exact; a customer
+  -- with no valid spend is not a sample point, and neither is a NULL
+  -- customer key — md5(NULL) is NULL, which sorts FIRST in Spark and
+  -- LAST in DuckDB, flipping its sample membership once the cap binds
   SELECT o_custkey AS ck, COUNT(*) AS x,
-         SUM(TRY_CAST(round(o_totalprice * 100) AS BIGINT)) AS y
-  FROM {{orders}} GROUP BY o_custkey
+         SUM({money_rounded_sql('o_totalprice')}) AS y
+  FROM {{orders}} WHERE o_custkey IS NOT NULL GROUP BY o_custkey
 ), samp AS (
   SELECT x, y, rn FROM (
     SELECT x, y,
            ROW_NUMBER() OVER (ORDER BY md5(CAST(ck AS {{str}})), ck)
              AS rn
-    FROM per_c
+    FROM per_c WHERE y IS NOT NULL
   ) WHERE rn <= {_TAU_CAP}
 ), pairs AS (
   SELECT CASE WHEN (a.x - b.x) * (a.y - b.y) > 0 THEN 1 ELSE 0 END AS conc,

@@ -315,8 +315,12 @@ _LB_DUCK = _LB_CORE.format(
 
 _FCERR_CORE = """
 WITH daily AS (
+  -- business-date validity (round-10 layer 2, caught by the sf0.01
+  -- hostile sweep): a NULL/out-of-window day shifts the indexed
+  -- series in one engine only (same class as ts_hurst_exponent)
   SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS y
-  FROM {orders} GROUP BY CAST(o_orderdate AS DATE)
+  FROM {orders} WHERE """ + tpch_date_valid_sql("o_orderdate") + """
+  GROUP BY CAST(o_orderdate AS DATE)
 ), idx AS (
   SELECT y, ROW_NUMBER() OVER (ORDER BY d) AS i FROM daily
 ), preds AS (

@@ -23,7 +23,7 @@ import pytest
 
 import __spark_entry__ as m
 from boat_etl_pyspark_spark.plans import release_caches
-from tests.conftest import SF_SMOKE
+from tests.conftest import SF_CORRECTNESS
 from tests.hostile_tpch import build_hostile_dir
 from tests.test_oracle_parity import frames_equal
 from tools.hostile_probe import consumers
@@ -42,8 +42,12 @@ _CONSUMERS = consumers(_ORACLES, _QUERIES)
 
 @pytest.fixture(scope="module")
 def hostile_dir(tmp_path_factory):
+    # SPARK_GRAFT_TEST_SF scales this net exactly like the oracle
+    # parity gate — the sf0.01 sweep caught two divergences the
+    # sf0.001 fixture could not reach (a sample cap that never bound,
+    # and day-series frames the hostile rows happened not to shift)
     d = str(tmp_path_factory.mktemp("sf_hostile_tpch"))
-    return build_hostile_dir(SF_SMOKE, d)
+    return build_hostile_dir(SF_CORRECTNESS, d)
 
 
 @pytest.mark.parametrize(
