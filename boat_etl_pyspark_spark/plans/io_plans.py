@@ -62,8 +62,10 @@ def _tmp(kind: str, sf_dir: str) -> str:
     prev = _TMP_PREV.pop(slot, None)
     if prev is not None:
         shutil.rmtree(prev, ignore_errors=True)
+    from ..streaming.events import scratch_dir
+
     path = os.path.join(
-        tempfile.gettempdir(),
+        scratch_dir(),
         f"spark_graft_io_{slot}_{os.getpid()}_{next(_TMP_SEQ)}",
     )
     _TMP_PREV[slot] = path

@@ -428,19 +428,69 @@ def embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     intermediates are exact BIGINTs; only the final Rayleigh quotient
     divides.
 
-    The 136-row gram result is persisted (via ``track_persist``, so
-    ``release_caches`` reclaims it): Spark does not common-subexpression
-    the DAG, and the matrix relation is referenced ~10 times across the
-    iterations — without the persist each reference would re-run the
-    corpus matmul (measured: 46 Python stages; with it: 1)."""
-    from . import track_persist
+    The gram relation is bounded by the embedding dimension — 136
+    rows at ANY corpus size, a model constant like the nation count —
+    so it is pulled once as a bounded summary and the three power
+    iterations run driver-side (guide §1.2: the unrolled-CTE form
+    referenced the 136-row view ~10 times and scheduled ~38 tiny
+    stage-jobs; only the corpus-sized X^T X pass needs the cluster).
+    Arithmetic replicates the SQL exactly: integer sums are exact,
+    the per-iteration renormalization and the Rayleigh quotient use
+    the same float64 operation order, and the BIGINT cast applies
+    Java double→long semantics (NaN→0, ±Inf→Long.MIN/MAX) so even
+    the degenerate all-zero-gram edge matches the Spark SQL form the
+    oracle mirrors."""
+    import math
 
-    track_persist(
-        mlprep.embed_gram_matrix(spark, sf_dir).coalesce(1)
-    ).createOrReplaceTempView("r15_pca_gram")
-    return spark.sql(
-        _PCA_ITER_SPARK.format(gram="r15_pca_gram", iters=_PCA_ITERS)
-    )
+    def _div(a: float, b: float) -> float:
+        # IEEE semantics like the SQL double divide (python raises on
+        # /0.0): 0/0 -> NaN, x/0 -> ±Inf — reachable only on an
+        # all-zero gram (empty/degenerate corpus)
+        if b == 0.0:
+            return float("nan") if a == 0.0 else math.copysign(
+                float("inf"), a
+            )
+        return a / b
+
+    def _as_long(f: float) -> int:
+        if math.isnan(f):
+            return 0
+        if f >= float(2**63 - 1):
+            return 2**63 - 1
+        if f <= float(-(2**63)):
+            return -(2**63)
+        return int(math.floor(f))
+
+    # bounded collect: d(d+1)/2 = 136 rows at any scale
+    tri = mlprep.embed_gram_matrix(spark, sf_dir).collect()
+    schema = "dim bigint, v_scaled bigint, rayleigh_micro bigint"
+    if not tri:
+        return spark.createDataFrame([], schema)
+    m: dict = {}
+    for r in tri:
+        m[(r["i"], r["j"])] = r["gram"]
+        if r["i"] != r["j"]:
+            m[(r["j"], r["i"])] = r["gram"]
+    v = {r["i"]: 1000 for r in tri}
+    for _ in range(3):
+        gv: dict = {}
+        for (i, j), g in m.items():
+            if j in v:
+                gv[i] = gv.get(i, 0) + g * v[j]
+        maxabs = max(abs(x) for x in gv.values())
+        v = {
+            i: _as_long(_div(float(x) * 1000.0, float(maxabs)))
+            for i, x in gv.items()
+        }
+    gv = {}
+    for (i, j), g in m.items():
+        if j in v:
+            gv[i] = gv.get(i, 0) + g * v[j]
+    vgv = sum(gv[i] * v[i] for i in gv if i in v)
+    vv = sum(x * x for x in v.values())
+    ray = _as_long(_div(float(vgv), float(vv)) * 1e6)
+    rows = [(d_, v[d_], ray) for d_ in sorted(v)]
+    return spark.createDataFrame(rows, schema)
 
 
 QUERIES = {

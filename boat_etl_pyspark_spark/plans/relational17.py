@@ -28,9 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.library import topk_per_group
 from ..sources.readers import load_table
-from . import track_persist
 from .relational7 import trade_edges_cached
 
 # ---------------------------------------------------------------------------
@@ -44,61 +42,56 @@ _BFS_ITERS = 4
 
 def graph_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hop distance from nation 0 over each nation's top-3 trade
-    routes (by weight desc, dst asc — deterministic sparsifier via
-    the ``topk_per_group`` operator). Four unrolled iterations of
-    dist' = min(dist, min over in-edges of dist[src] + 1); the
-    distance relation is node-sized and broadcast into the edge join
-    each round."""
-    edges = track_persist(
-        topk_per_group(
-            trade_edges_cached(spark, sf_dir),
-            ["src"],
-            [F.desc("w"), F.asc("dst")],
-            _BFS_TOPK,
-        ).select("src", "dst")
-    )
-    nodes = track_persist(
-        edges.select(F.col("src").alias("nation"))
-        .union(edges.select(F.col("dst")))
-        .distinct()
-    )
-    dist = nodes.withColumn(
-        "hops",
-        F.when(F.col("nation") == _BFS_SEED, F.lit(0).cast("int")).otherwise(
-            F.lit(None).cast("int")
-        ),
-    )
+    routes (by weight desc, dst asc — the deterministic ROW_NUMBER
+    sparsifier). Four iterations of dist' = min(dist, min over
+    in-edges of dist[src] + 1). The DATA-sized stage (the
+    lineitem⋈orders edge aggregation) stays distributed and
+    session-cached; the graph it yields is bounded by 25² nation
+    pairs at ANY fact volume, so the four relaxation rounds run
+    driver-side over that bounded summary (guide §1.2: the unrolled
+    broadcast-join + lazy-localCheckpoint form scheduled ~27 tiny
+    stage-jobs over ≤75 edges). The data-scale iterative shape lives
+    where the graph is data-sized: ``graph_kcore_peeling`` /
+    ``dedup_clusters``. Replication notes: the ROW_NUMBER order is
+    (w DESC, dst ASC NULLS FIRST); a NULL src edge equi-joins no
+    frontier row; a NULL dst node can never be re-attached by the
+    left equi-join, so its distance stays NULL."""
+    # bounded collect: ≤ nations² = 625 rows at any scale factor
+    e_rows = trade_edges_cached(spark, sf_dir).collect()
+    by_src: dict = {}
+    for r in e_rows:
+        by_src.setdefault(r["src"], []).append((r["dst"], r["w"]))
+    edges = []
+    for s, nbrs in by_src.items():
+        nbrs.sort(
+            key=lambda dw: (-dw[1], dw[0] is not None,
+                            0 if dw[0] is None else dw[0])
+        )
+        edges.extend((s, d) for d, _w in nbrs[:_BFS_TOPK])
+    nodes = {s for s, _ in edges} | {d for _, d in edges}
+    dist = {n: 0 if n == _BFS_SEED else None for n in nodes}
     for _ in range(_BFS_ITERS):
-        # dist is referenced TWICE per round (frontier build + merge
-        # base); left alone, the duplicated subtree doubles every
-        # iteration (2^k copies of the early stages — measured 5s on
-        # a 75-edge graph). A lazy localCheckpoint cuts the lineage
-        # each round, keeping the plan linear in rounds (measured
-        # 1.1s; a persist chain is worse, 5.7s, because every cached
-        # level still replans through InMemoryRelation). The
-        # checkpointed relation is node-sized and freed with the RDD
-        # reference.
-        dist = dist.localCheckpoint(eager=False)
-        frontier = (
-            edges.join(
-                F.broadcast(dist.where(F.col("hops").isNotNull())),
-                edges.src == F.col("nation"),
-            )
-            .groupBy(F.col("dst").alias("nation"))
-            .agg((F.min("hops") + 1).alias("new_hops"))
-        )
-        dist = (
-            dist.join(F.broadcast(frontier), "nation", "left")
-            .withColumn("hops", F.least("hops", "new_hops"))
-            .withColumn(
-                "hops", F.coalesce("hops", "new_hops").cast("int")
-            )
-            .drop("new_hops")
-        )
-    return dist.select(
-        F.col("nation").cast("int").alias("nation"),
-        F.col("hops").cast("int").alias("hops"),
-    )
+        frontier: dict = {}
+        for s, d in edges:
+            if s is not None and dist[s] is not None:
+                nh = dist[s] + 1
+                if d not in frontier or nh < frontier[d]:
+                    frontier[d] = nh
+        new_dist = {}
+        for n in nodes:
+            cur = dist[n]
+            nh = frontier.get(n) if n is not None else None
+            if cur is None or (nh is not None and nh < cur):
+                new_dist[n] = nh if cur is None else min(cur, nh)
+            else:
+                new_dist[n] = cur
+        dist = new_dist
+    rows = [
+        (n, dist[n])
+        for n in sorted(nodes, key=lambda x: (x is not None,
+                                              -1 if x is None else x))
+    ]
+    return spark.createDataFrame(rows, "nation int, hops int")
 
 
 def _bfs_duck() -> str:

@@ -29,10 +29,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.numeric import cents
-from ..operators.library import global_rank, topk_per_group
+from ..operators.library import global_rank
 from ..sources.readers import load_table
 from .contract import money_rounded, money_rounded_sql
-from . import track_persist
 from .relational7 import trade_edges_cached
 
 # ---------------------------------------------------------------------------
@@ -53,68 +52,72 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     (each nation's top-{_CC_TOPK} intra-region routes by weight,
     symmetrized, self-loops dropped): which nations form one trading
     bloc. Hash-min label propagation — comp' = min(comp, min over
-    neighbours' comp) — with the node-sized label relation broadcast
-    into each round's edge join and a lazy ``localCheckpoint`` per
-    round cutting the 2^k lineage growth (the BFS/PageRank idiom,
-    measured there). At real graph scale the same loop shuffles edges
-    on dst and rounds scale with component diameter, not edge count;
-    big-graph CC swaps the unroll for large-star/small-star rounds on
-    the identical join+min skeleton."""
-    nat = load_table(spark, sf_dir, "nation").select(
+    neighbours' comp). The DATA-sized stage (the lineitem⋈orders edge
+    aggregation) stays distributed and session-cached; the graph it
+    yields is bounded by 25² nation pairs at ANY fact volume, so the
+    six propagation rounds run driver-side over that bounded summary
+    (guide §1.2: the unrolled broadcast-join form scheduled ~33 tiny
+    stage-jobs over ≤50 edges). The data-scale iterative shape lives
+    where the graph is data-sized: ``graph_kcore_peeling`` and
+    ``dedup_clusters`` keep the distributed join+min skeleton.
+
+    DISTINCT node extraction (round-10 layer 2): a duplicate
+    n_nationkey row is one NODE, not two — the oracle's recursive
+    UNION + GROUP BY dedups, so an undeduped side would emit one
+    component row per dim ROW on hostile dims."""
+    # bounded collects: ≤ nations² edges, ≤ nations dim rows
+    e_rows = trade_edges_cached(spark, sf_dir).collect()
+    nat_rows = load_table(spark, sf_dir, "nation").select(
         "n_nationkey", "n_regionkey"
-    )
-    a = nat.select(
-        F.col("n_nationkey").alias("src"), F.col("n_regionkey").alias("rsrc")
-    )
-    b = nat.select(
-        F.col("n_nationkey").alias("dst"), F.col("n_regionkey").alias("rdst")
-    )
-    samereg = (
-        trade_edges_cached(spark, sf_dir)
-        .where(F.col("src") != F.col("dst"))
-        .join(F.broadcast(a), "src")
-        .join(F.broadcast(b), "dst")
-        .where(F.col("rsrc") == F.col("rdst"))
-        .select("src", "dst", "w")
-    )
-    keep = topk_per_group(
-        samereg, ["src"], [F.desc("w"), F.asc("dst")], _CC_TOPK
-    ).select("src", "dst")
-    und = track_persist(
-        keep.union(
-            keep.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        ).distinct()
-    )
-    # DISTINCT node extraction (round-10 layer 2): a duplicate
-    # n_nationkey row is one NODE, not two — the oracle's recursive
-    # UNION + GROUP BY dedups, so an undeduped Spark side would emit
-    # one component row per dim ROW on hostile dims
-    comp = (
-        nat.select(F.col("n_nationkey").alias("nation"))
-        .distinct()
-        .withColumn("comp", F.col("nation"))
-    )
+    ).collect()
+    # regions is a MULTImap: a (hostile) duplicate n_nationkey row
+    # fans the equi-join out per matching dim row, exactly like the
+    # oracle's JOIN nation a / JOIN nation b — the fanout feeds the
+    # ROW_NUMBER sparsifier, so it must be replicated, not deduped
+    regions: dict = {}
+    for r in nat_rows:
+        regions.setdefault(r["n_nationkey"], []).append(r["n_regionkey"])
+    samereg = [
+        (r["src"], r["dst"], r["w"])
+        for r in e_rows
+        # a NULL endpoint equi-joins nothing (SQL NULL never matches)
+        if r["src"] is not None and r["dst"] is not None
+        and r["src"] != r["dst"]
+        for ra in regions.get(r["src"], ())
+        for rb in regions.get(r["dst"], ())
+        if ra is not None and ra == rb
+    ]
+    by_src: dict = {}
+    for s, d, w in samereg:
+        by_src.setdefault(s, []).append((d, w))
+    und = set()
+    for s, nbrs in by_src.items():
+        nbrs.sort(key=lambda dw: (-dw[1], dw[0]))
+        for d, _w in nbrs[:_CC_TOPK]:
+            und.add((s, d))
+            und.add((d, s))
+    # a NULL nation key is a node that joins nothing: label stays NULL
+    comp = {n: n for n in regions}
     for _ in range(_CC_ROUNDS):
-        comp = comp.localCheckpoint(eager=False)
-        prop = (
-            und.join(F.broadcast(comp), und.src == comp.nation)
-            .groupBy(F.col("dst").alias("nation"))
-            .agg(F.min("comp").alias("nc"))
-        )
-        comp = (
-            comp.join(F.broadcast(prop), "nation", "left")
-            .withColumn("comp", F.least("comp", "nc"))
-            .drop("nc")
-        )
-    sizes = comp.groupBy("comp").agg(F.count("*").alias("comp_size"))
-    return (
-        comp.join(F.broadcast(sizes), "comp")
-        .select(
-            F.col("nation").cast("int").alias("nation"),
-            F.col("comp").cast("int").alias("comp"),
-            F.col("comp_size").cast("bigint").alias("comp_size"),
-        )
-        .orderBy("nation")
+        prop: dict = {}
+        for s, d in und:
+            c = comp[s]
+            if d not in prop or c < prop[d]:
+                prop[d] = c
+        comp = {
+            n: (min(c, prop[n]) if n in prop and c is not None else
+                prop.get(n, c) if c is None else c)
+            for n, c in comp.items()
+        }
+    sizes: dict = {}
+    for c in comp.values():
+        sizes[c] = sizes.get(c, 0) + 1
+    rows = [
+        (n, comp[n], sizes[comp[n]])
+        for n in sorted(comp, key=lambda x: (x is not None, x))
+    ]
+    return spark.createDataFrame(
+        rows, "nation int, comp int, comp_size bigint"
     )
 
 

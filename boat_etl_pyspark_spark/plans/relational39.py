@@ -44,29 +44,54 @@ def validate_referential_integrity(
     with its child cardinality, orphan count and orphan ppm. Orphans
     come from a LEFT ANTI join of child keys against the
     deduplicated parent key set — Catalyst picks broadcast for the
-    small parents (nation/region) and a shuffled hash anti-join for
-    the big ones, which is exactly the right split at 100 TB; only
-    key columns are scanned (column pruning leaves the wide payload
-    on disk). A healthy pipeline reports all zeros — the query is
-    the gate that PROVES it, and its ppm column is the drift alarm
-    when a late-arriving dimension breaks it.""".format(n=len(_RI_FKS))
-    out = None
+    small parents (nation/region) and a shuffled hash join for the
+    big ones, which is exactly the right split at 100 TB; only key
+    columns are scanned (column pruning leaves the wide payload on
+    disk). Each child table is scanned ONCE: all of its FK columns
+    ride one pass through left joins against the deduplicated parent
+    key sets, one wide aggregate counts rows + per-FK unmatched keys
+    (a NULL FK matches nothing, so it counts as an orphan — the
+    anti-join/NOT EXISTS rule), and ``stack`` unpivots the single
+    wide row into one row per FK (guide §2.4: the per-FK
+    count+anti-join form scanned lineitem six times and scheduled
+    ~46 stage-jobs; this shape scans it once, ~1/3 the jobs). A
+    healthy pipeline reports all zeros — the query is the gate that
+    PROVES it, and its ppm column is the drift alarm when a
+    late-arriving dimension breaks it.""".format(n=len(_RI_FKS))
+    by_child: dict = {}
     for child, ck, parent, pk in _RI_FKS:
-        c = load_table(spark, sf_dir, child).select(F.col(ck).alias("k"))
-        p = (
-            load_table(spark, sf_dir, parent)
-            .select(F.col(pk).alias("k"))
-            .distinct()
+        by_child.setdefault(child, []).append((ck, parent, pk))
+    parts = []
+    for child, fks in by_child.items():
+        j = load_table(spark, sf_dir, child).select(
+            *[F.col(ck) for ck, _, _ in fks]
         )
-        row = (
-            c.agg(F.count("*").alias("n_child"))
-            .crossJoin(
-                c.join(p, "k", "left_anti").agg(
-                    F.count("*").alias("n_orphans")
+        aggs = [F.count(F.lit(1)).alias("n_child")]
+        stack_args = []
+        for i, (ck, parent, pk) in enumerate(fks):
+            p = (
+                load_table(spark, sf_dir, parent)
+                .select(F.col(pk).alias(f"__pk{i}"))
+                .distinct()
+            )
+            j = j.join(p, F.col(ck) == F.col(f"__pk{i}"), "left")
+            aggs.append(
+                F.count(F.when(F.col(f"__pk{i}").isNull(), 1)).alias(
+                    f"n_orph{i}"
                 )
             )
-            .select(
-                F.lit(f"{child}.{ck}->{parent}.{pk}").alias("fk"),
+            stack_args.append(
+                f"'{child}.{ck}->{parent}.{pk}', n_orph{i}"
+            )
+        wide = j.agg(*aggs)
+        parts.append(
+            wide.select(
+                F.expr(
+                    f"stack({len(fks)}, {', '.join(stack_args)}) AS (fk, n_orphans)"
+                ),
+                "n_child",
+            ).select(
+                "fk",
                 F.col("n_child").cast("bigint").alias("n_child"),
                 F.col("n_orphans").cast("bigint").alias("n_orphans"),
                 F.expr("n_orphans * 1000000 DIV n_child").alias(
@@ -74,7 +99,9 @@ def validate_referential_integrity(
                 ),
             )
         )
-        out = row if out is None else out.union(row)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
     return out.orderBy("fk")
 
 

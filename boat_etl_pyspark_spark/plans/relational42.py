@@ -60,6 +60,27 @@ LIMIT {_COPURCHASE_TOPK}
 """
 
 
+# Same scoring as _COP_CORE's tail, but consuming the session-cached
+# counted pair list instead of re-running the order self-join.
+_COP_SCORE = f"""
+WITH deg AS (
+  SELECT p, COUNT(*) AS n FROM {{li}} GROUP BY p
+), scored AS (
+  SELECT pa, pb, co,
+         co * 1000000 {{idiv}} (da.n + db.n - co) AS jaccard_micro
+  FROM {{pairs}} pairs
+  JOIN deg da ON da.p = pairs.pa
+  JOIN deg db ON db.p = pairs.pb
+)
+SELECT CAST(pa AS BIGINT) AS part_a, CAST(pb AS BIGINT) AS part_b,
+       CAST(co AS BIGINT) AS n_coorders,
+       CAST(jaccard_micro AS BIGINT) AS jaccard_micro
+FROM scored
+ORDER BY n_coorders DESC, jaccard_micro DESC, part_a, part_b
+LIMIT {_COPURCHASE_TOPK}
+"""
+
+
 def copurchase_incidence(spark: SparkSession, sf_dir: str):
     """Session-cached DISTINCT (order o, part p) incidence relation —
     shared by the three co-purchase graph operators (similarity,
@@ -80,10 +101,14 @@ def copurchase_incidence(spark: SparkSession, sf_dir: str):
 
 
 def copurchase_pairs(spark: SparkSession, sf_dir: str):
-    """Session-cached undirected co-purchase edge list (pa < pb) from
-    the basket-bounded order self-join — the expensive shared stage
-    of the graph family (one build per session, consumers:
-    similarity, assortativity, k-core rounds x2)."""
+    """Session-cached undirected co-purchase edge list (pa < pb, with
+    the co-order count ``co``) from the basket-bounded order
+    self-join — the expensive shared stage of the graph family (one
+    build per session; consumers: similarity, assortativity, k-core
+    rounds x2). Carrying ``co`` costs one int64 per edge and lets
+    the similarity query reuse this build instead of re-running the
+    self-join per invocation (guide §2.4: the single most expensive
+    recomputation in the graph family)."""
     from .textdedup import _cached
 
     def build():
@@ -92,7 +117,7 @@ def copurchase_pairs(spark: SparkSession, sf_dir: str):
         )
         return spark.sql(
             """
-            SELECT a.p AS pa, b.p AS pb
+            SELECT a.p AS pa, b.p AS pb, COUNT(*) AS co
             FROM __cop_pairs_li a JOIN __cop_pairs_li b
               ON a.o = b.o AND a.p < b.p
             GROUP BY a.p, b.p
@@ -117,13 +142,21 @@ def graph_copurchase_similarity(
     TakeOrderedAndProject with a full deterministic tie-break. At
     100 TB this is the co-occurrence shape recommendation pipelines
     run nightly; a pathological mega-basket would need a per-order
-    pair cap, noted here as the production guard. The incidence
-    relation is session-cached (`copurchase_incidence`) and shared
-    with the assortativity and k-core operators."""
+    pair cap, noted here as the production guard. Both shared stages
+    are session-cached: the incidence relation
+    (`copurchase_incidence`, feeding the degree counts) and the
+    counted pair list (`copurchase_pairs` — the same self-join this
+    query used to re-run per invocation, now carrying ``co``)."""
     copurchase_incidence(spark, sf_dir).createOrReplaceTempView(
         "r42_cop_li"
     )
-    return spark.sql(_COP_CORE.format(li="r42_cop_li", idiv="DIV"))
+    copurchase_pairs(spark, sf_dir).createOrReplaceTempView(
+        "r42_cop_pairs"
+    )
+    return spark.sql(
+        _COP_SCORE.format(li="r42_cop_li", pairs="r42_cop_pairs",
+                          idiv="DIV")
+    )
 
 
 _COP_DUCK = (

@@ -128,9 +128,19 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     transitions. Integer mass (1e12 scale) with exact per-edge floor
     divides: no floats anywhere, any engine/partitioning agrees to
     the last unit. delta_l1_e12 reports |pi_8 - pi_7|_1 so
-    convergence is checked, not assumed."""
-    from . import track_persist
+    convergence is checked, not assumed.
 
+    The DATA-sized stage — the per-user lag window over events — is
+    distributed; the transition matrix it produces is bounded by the
+    event-type alphabet squared (a generator/domain constant, ≤25
+    rows at any event volume), so it is pulled once as a bounded
+    summary and the eight fixpoint steps run driver-side (guide
+    §1.2: the unrolled-CTE form scheduled ~16 exchange stages over
+    those 25 rows — scheduling overhead was ~1.7s of a 2.2s query).
+    The integer arithmetic below replicates the SQL exactly (all
+    operands non-negative, so python // == Spark DIV == DuckDB //);
+    the oracle still runs the unrolled-CTE form, so parity PROVES
+    the replication."""
     # NULL ts/user_id hit opposite window NULL-ordering defaults and a
     # NULL event_type would mint a phantom chain state — dropped
     # symmetrically with the oracle.
@@ -149,8 +159,27 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tot", F.sum("c").over(Window.partitionBy("prev"))
         )
     )
-    track_persist(trans).createOrReplaceTempView("r44_pi_trans")
-    return spark.sql("WITH " + _pi_iter_sql("r44_pi_trans", "DIV"))
+    # bounded collect: ≤ |event-type alphabet|² transition rows
+    t_rows = trans.collect()
+    states = sorted({r["prev"] for r in t_rows})
+    schema = "event_type string, pi_ppb bigint, delta_l1_e12 bigint"
+    if not states:
+        return spark.createDataFrame([], schema)
+    v = {s: _PI_SCALE // len(states) for s in states}
+    prev_v: dict = {}
+    for _ in range(_PI_ITERS):
+        prev_v = v
+        nxt: dict = {}
+        for r in t_rows:
+            if r["prev"] in v:
+                nxt[r["next"]] = (
+                    nxt.get(r["next"], 0) + v[r["prev"]] * r["c"] // r["tot"]
+                )
+        v = nxt
+    common = set(v) & set(prev_v)
+    d = sum(abs(v[s] - prev_v[s]) for s in common) if common else None
+    rows = [(s, v[s] // 1000, d) for s in sorted(v)]
+    return spark.createDataFrame(rows, schema).orderBy("event_type")
 
 
 _PI_DUCK = (

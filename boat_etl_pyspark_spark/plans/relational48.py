@@ -47,14 +47,19 @@ def graph_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     list, work = one edge join per round. The edge list is the
     session-shared `copurchase_pairs` cache (one build serves
     similarity, assortativity and the six rounds here)."""
-    from . import track_persist
     from .relational42 import copurchase_pairs
 
     pairs = copurchase_pairs(spark, sf_dir)
     deg = pairs.selectExpr("pa AS node").unionAll(
         pairs.selectExpr("pb AS node")
     )
-    kdf = (
+    # k is ONE bounded scalar (integer-derived, identical in both
+    # engines). Pull it once: as a one-row relation it cost a
+    # broadcast-exchange job in EVERY round plus the final crossJoin
+    # (each round is its own query execution, so the exchange is
+    # rebuilt, never reused) — 7 of the ~20 tiny jobs this loop
+    # schedules, all for the same constant.
+    kv = (
         deg.groupBy("node")
         .count()
         .agg(
@@ -62,15 +67,20 @@ def graph_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("count").alias("twom"),
         )
         .select(F.expr("(twom DIV n) * 8 DIV 10").alias("kv"))
+        .first()[0]
     )
-    kdf = track_persist(kdf)
+    # empty graph: the old one-row kdf relation held NULL here, so
+    # every round filtered to zero survivors and k reported NULL —
+    # F.lit(None) reproduces both (NULL comparison is never true)
     surv = deg.select("node").distinct().localCheckpoint(eager=False)
     out = None
     for r in range(1, _KCORE_ROUNDS + 1):
         # surv is node-sized; without stats on a checkpointed
         # relation Spark would sort-merge both endpoint joins every
         # round — broadcast it explicitly (measured 8s -> ~2s for
-        # the six rounds at sf0.1).
+        # the six rounds at sf0.1). The pa/pb renames canonicalize to
+        # the same exchange, so the second join is a ReusedExchange —
+        # one broadcast job per round, not two.
         e = (
             pairs.join(F.broadcast(surv.withColumnRenamed("node", "pa")), "pa")
             .join(F.broadcast(surv.withColumnRenamed("node", "pb")), "pb")
@@ -90,8 +100,7 @@ def graph_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
         surv = (
             ends.groupBy("node")
             .count()
-            .crossJoin(F.broadcast(kdf))
-            .where(F.col("count") >= F.col("kv"))
+            .where(F.col("count") >= F.lit(kv))
             .select("node")
             .localCheckpoint(eager=False)
         )
@@ -100,8 +109,8 @@ def graph_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_core").cast("bigint"),
         )
         out = row if out is None else out.unionAll(row)
-    return out.crossJoin(F.broadcast(kdf)).select(
-        "round", F.col("kv").cast("bigint").alias("k"), "n_core"
+    return out.select(
+        "round", F.lit(kv).cast("bigint").alias("k"), "n_core"
     ).orderBy("round")
 
 

@@ -16,6 +16,7 @@ from .contract import ts_valid, ts_valid_sql
 from ..streaming.events import (
     read_events_stream,
     run_stream_to_memory,
+    scratch_dir,
     stream_dir_multi,
 )
 
@@ -368,11 +369,13 @@ def stream_foreachbatch_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     session = ev.sparkSession
     acc = os.path.join(
-        tempfile.gettempdir(),
+        scratch_dir(),
         f"spark_graft_febatch_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
         f"_{os.getpid()}",
     )
     shutil.rmtree(acc, ignore_errors=True)
+    ckpt = acc + "_ck"
+    shutil.rmtree(ckpt, ignore_errors=True)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         (
@@ -388,12 +391,18 @@ def stream_foreachbatch_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(acc)
         )
 
-    q = ev.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q = (
+        ev.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
     try:
         q.awaitTermination(300)
     finally:
         if q.isActive:
             q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
     # Cold-start/empty stream: zero micro-batches fired, so the
     # accumulator dir was never created — the merged table is empty.
     acc_schema = "event_type string, n_events bigint, value_cents bigint, batch_id int"
@@ -454,7 +463,7 @@ def stream_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
     # arrival dir mid-replay (reproduced round 9: pytest + a driver
     # replay on one host corrupt each other; VERDICT r09 item 1).
     for stale in glob.glob(
-        os.path.join(tempfile.gettempdir(), "spark_graft_ckr_*")
+        os.path.join(scratch_dir(), "spark_graft_ckr_*")
     ):
         tail = stale.rsplit("_", 1)[-1]
         if not tail.isdigit():
@@ -470,12 +479,12 @@ def stream_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
             pass  # alive under another uid — leave it
     # the OWN key's triple is always rebuilt from scratch
     for own in glob.glob(
-        os.path.join(tempfile.gettempdir(), f"spark_graft_ckr_*_{key}")
+        os.path.join(scratch_dir(), f"spark_graft_ckr_*_{key}")
     ):
         shutil.rmtree(own, ignore_errors=True)
-    arrival = os.path.join(tempfile.gettempdir(), f"spark_graft_ckr_a_{key}")
-    ckpt = os.path.join(tempfile.gettempdir(), f"spark_graft_ckr_c_{key}")
-    acc = os.path.join(tempfile.gettempdir(), f"spark_graft_ckr_s_{key}")
+    arrival = os.path.join(scratch_dir(), f"spark_graft_ckr_a_{key}")
+    ckpt = os.path.join(scratch_dir(), f"spark_graft_ckr_c_{key}")
+    acc = os.path.join(scratch_dir(), f"spark_graft_ckr_s_{key}")
     os.makedirs(arrival)
 
     def run_once() -> None:

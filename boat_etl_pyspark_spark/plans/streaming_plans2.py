@@ -44,7 +44,7 @@ from pyspark.sql import functions as F
 from ..functions.numeric import cents
 from .contract import EV_TIME_HI_US, EV_TIME_LO_US, ts_valid, ts_valid_sql
 from ..sources.readers import load_table
-from ..streaming.events import read_events_stream, run_stream_to_memory
+from ..streaming.events import read_events_stream, run_stream_to_memory, scratch_dir
 
 _WIN_US = 21_600_000_000  # 6h tumbling
 _DELAY_US = 3_600_000_000  # 1h watermark
@@ -70,7 +70,7 @@ def _late_split_dir(sf_dir: str) -> str:
     src = os.path.join(sf_dir, "events.parquet")
     src_mtime = os.stat(src).st_mtime_ns
     key = hashlib.md5(f"{sf_dir}:late4v2:{src_mtime}".encode()).hexdigest()[:12]
-    d = os.path.join(tempfile.gettempdir(), f"spark_graft_streamL_{key}")
+    d = os.path.join(scratch_dir(), f"spark_graft_streamL_{key}")
     if os.path.isdir(d):
         return d
     stage = f"{d}.build.{os.getpid()}"

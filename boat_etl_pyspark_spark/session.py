@@ -162,10 +162,18 @@ def get_spark(app_name: str = "boat-etl-pyspark-spark",
             "-XX:ReservedCodeCacheSize=512m",
         )
         .config("spark.ui.enabled", "false")
-        # keep managed tables (bucketing tests etc.) out of the repo tree
+        # keep managed tables (bucketing tests etc.) out of the repo
+        # tree, on the RAM-backed scratch tier when one exists (same
+        # policy as streaming.events.scratch_dir: ephemeral local-mode
+        # artifacts; a cluster deployment sets a real warehouse path)
         .config(
             "spark.sql.warehouse.dir",
-            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark_graft_warehouse"),
+            os.environ.get(
+                "SPARK_GRAFT_WAREHOUSE",
+                ("/dev/shm/spark_graft_warehouse"
+                 if os.path.isdir("/dev/shm")
+                 else "/tmp/spark_graft_warehouse"),
+            ),
         )
     )
     for k, v in _RUNTIME_CONFS.items():

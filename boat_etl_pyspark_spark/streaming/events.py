@@ -75,6 +75,21 @@ def _events_schema_and_time(src_file: str | None):
     )
     return schema, ev
 
+def scratch_dir() -> str:
+    """Fast local scratch for stream-harness artifacts: arrival dirs,
+    checkpoints and accumulator sinks. These are process-lifetime
+    replay intermediates, so the RAM-backed tier is the right home
+    when one exists (guide §6: micro-batch commit latency is offset
+    log + commit log + state flush fsyncs, measured ~0.25s/batch on
+    ext4 /tmp vs tmpfs). At cluster scale the checkpoint location is
+    whatever durable store the deployment chooses — override here
+    with ``SPARK_GRAFT_STREAM_TMP``."""
+    d = os.environ.get("SPARK_GRAFT_STREAM_TMP")
+    if d:
+        return d
+    return "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+
+
 _SINK_IDS = itertools.count()
 
 # Most-recent memory-sink tables kept live; older ones are dropped by
@@ -92,7 +107,7 @@ def _stream_dir_for(sf_dir: str) -> str:
     temp directory (real deployments stream an arrival directory or
     Kafka — this shim exists only for the single-file fixture)."""
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    d = os.path.join(tempfile.gettempdir(), f"spark_graft_stream_{key}")
+    d = os.path.join(scratch_dir(), f"spark_graft_stream_{key}")
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, "events.parquet")
     src = os.path.join(sf_dir, "events.parquet")
@@ -124,7 +139,7 @@ def stream_dir_multi(sf_dir: str, n: int = 3) -> str:
     src = os.path.join(sf_dir, "events.parquet")
     src_mtime = os.stat(src).st_mtime_ns
     key = hashlib.md5(f"{sf_dir}:{n}:{src_mtime}".encode()).hexdigest()[:12]
-    d = os.path.join(tempfile.gettempdir(), f"spark_graft_streamN_{key}")
+    d = os.path.join(scratch_dir(), f"spark_graft_streamN_{key}")
     if os.path.isdir(d):
         return d
     stage = f"{d}.build.{os.getpid()}"
@@ -266,12 +281,21 @@ def run_stream_to_memory(
     The state-store partition width is a property of the stream's
     (isolated) session — pinned in ``read_events_stream`` — so nothing
     here touches shared conf."""
+    import shutil
+
     spark = result.sparkSession
     name = f"__stream_sink_{next(_SINK_IDS)}"
+    # explicit checkpoint on the fast scratch tier (with a pid in the
+    # name so concurrent processes never collide), removed as soon as
+    # the finite query terminates — the memory sink holds the result
+    ckpt = os.path.join(
+        scratch_dir(), f"spark_graft_memck_{os.getpid()}_{name}"
+    )
     q = (
         result.writeStream.format("memory")
         .queryName(name)
         .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
@@ -280,6 +304,7 @@ def run_stream_to_memory(
     finally:
         if q.isActive:
             q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
     # Memory-sink tables hold their full result rows in driver memory
     # and every call mints a fresh name, so a long sweep (bench: every
     # streaming query x 3 reps on one session) would accumulate them

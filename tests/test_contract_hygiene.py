@@ -109,6 +109,11 @@ _COLLECT_ALLOWLIST = {
     "plans/relational25.py": 2,      # quantile lo/hi/total + <=1024 buckets
     "plans/textcuration.py": 1,      # bounded query-vector pull (_MM_NQ)
     "plans/relational36.py": 2,      # MMR cands (16) + pair matrix (240)
+    "plans/relational7.py": 1,       # nation-graph edges (<= 25^2 rows)
+    "plans/relational15.py": 1,      # gram upper triangle (136 rows)
+    "plans/relational17.py": 1,      # nation-graph edges (<= 25^2 rows)
+    "plans/relational37.py": 2,      # nation-graph edges + nation dim
+    "plans/relational44.py": 1,      # event-type transitions (<= |alphabet|^2)
     "operators/skew.py": 1,          # diagnostics-only sampler
     "pipeline/boat.py": 2,           # min-year scalar + validation row
     "plans/relational50.py": 1,      # Fisher 2x2 counts (one 4-int row)

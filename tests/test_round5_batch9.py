@@ -968,7 +968,9 @@ def test_checkpoint_restart_matches_naive_and_is_incremental(run, tables):
     key = (
         f"{hashlib.md5(SF_SMOKE.encode()).hexdigest()[:12]}_{os.getpid()}"
     )
-    ckpt = os.path.join(tempfile.gettempdir(), f"spark_graft_ckr_c_{key}")
+    from boat_etl_pyspark_spark.streaming.events import scratch_dir
+
+    ckpt = os.path.join(scratch_dir(), f"spark_graft_ckr_c_{key}")
     offsets = [
         f for f in os.listdir(os.path.join(ckpt, "offsets"))
         if not f.startswith(".")

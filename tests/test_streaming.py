@@ -145,7 +145,9 @@ def test_checkpoint_restart_cleanup_spares_live_owners(spark):
     live = subprocess.Popen(["sleep", "120"])
     dead = subprocess.Popen(["true"])
     dead.wait()
-    tmp = tempfile.gettempdir()
+    from boat_etl_pyspark_spark.streaming.events import scratch_dir
+
+    tmp = scratch_dir()
     live_dir = os.path.join(tmp, f"spark_graft_ckr_a_feedbeef0001_{live.pid}")
     dead_dir = os.path.join(tmp, f"spark_graft_ckr_a_feedbeef0002_{dead.pid}")
     os.makedirs(live_dir, exist_ok=True)
