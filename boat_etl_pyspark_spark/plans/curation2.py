@@ -20,7 +20,7 @@ containment dedup.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import track_persist
@@ -36,30 +36,17 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle on user_id for the lag window (ties on ts broken by
     event_id in both engines), then a global (prev, next) count —
     map-side combined, 25 output rows. Probabilities are integer ppm
-    of each prev-state's outgoing total."""
-    # NULL ts meets opposite window-ORDER-BY defaults across engines
-    # and a NULL event_type would mint a phantom chain state — dropped
-    # symmetrically with the oracle.
-    ev = load_table(spark, sf_dir, "events").where(
-        F.col("ts").isNotNull()
-        & F.col("user_id").isNotNull()
-        & F.col("event_type").isNotNull()
-    )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    pairs = (
-        ev.withColumn("prev_event", F.lag("event_type").over(w))
-        .where(F.col("prev_event").isNotNull())
-        .groupBy("prev_event", F.col("event_type").alias("next_event"))
-        .agg(F.count("*").alias("n_transitions"))
-    )
-    w_prev = Window.partitionBy("prev_event")
-    total = F.sum("n_transitions").over(w_prev)
-    return (
-        pairs.withColumn("__total", total)
-        .withColumn(
-            "prob_ppm", F.expr("n_transitions * 1000000 DIV __total").cast("bigint")
-        )
-        .select("prev_event", "next_event", "n_transitions", "prob_ppm")
+    of each prev-state's outgoing total. The transition relation is
+    the session-shared `markov_trans_cached` build (one lag window
+    serves this query and the stationary-distribution consumer);
+    `tot` there is the same per-prev window sum `__total` was."""
+    from .relational44 import markov_trans_cached
+
+    return markov_trans_cached(spark, sf_dir).select(
+        F.col("prev").alias("prev_event"),
+        F.col("next").alias("next_event"),
+        F.col("c").alias("n_transitions"),
+        F.expr("c * 1000000 DIV tot").cast("bigint").alias("prob_ppm"),
     )
 
 

@@ -78,50 +78,75 @@ def ml_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights live in micro units, per-row residuals/losses are floored
     to micro BEFORE summation (order-independent — bit-identical at
     any parallelism), and the weight update is one portable integer
-    division (both engines truncate toward zero). Each step is ONE
-    aggregate over the persisted feature relation crossJoined with
-    the 1-row weight relation (broadcast, the PageRank-style scalar
-    injection — no driver collect); row k reports the metrics of
-    w_{{k-1}} on the data plus the post-step weights w_k. The
-    documents table is scanned once into features; at 100 TB the
-    identical loop is step-per-pass with the feature build amortized
-    across steps."""
+    division (both engines truncate toward zero — replicated below
+    with an explicit trunc-div, python's // floors). Each step is
+    ONE aggregate over the persisted feature relation with the three
+    weights inlined as integer literals, and the six aggregate
+    scalars are pulled back per step (a bounded 1-row collect — the
+    weight state is 3 integers, so the driver is the right place for
+    it; the old 1-row-DataFrame chain doubled its logical plan per
+    step and cost two broadcast jobs per iteration, ~33 stage-jobs
+    for 3 steps). Row k reports the metrics of w_{{k-1}} on the data
+    plus the post-step weights w_k. The documents table is scanned
+    once into features; at 100 TB the identical loop is step-per-pass
+    with the feature build amortized across steps."""
+    import re as _re
+
     feats = track_persist(
         load_table(spark, sf_dir, "documents").select(*_lr_features_spark())
     )
-    w = spark.createDataFrame(
-        [(0, 0, 0)], "w0 bigint, w1 bigint, w2 bigint"
-    )
-    out = None
+
+    def tdiv(a: int, b: int) -> int:
+        # SQL DIV truncates toward zero; python // floors
+        q = abs(a) // abs(b)
+        return q if (a < 0) == (b < 0) else -q
+
+    def subst(expr: str, w: dict) -> str:
+        lits = {
+            k: ("CAST(NULL AS BIGINT)" if v is None else str(v))
+            for k, v in w.items()
+        }
+        return _re.sub(r"\b(w0|w1|w2)\b", lambda m: lits[m.group(1)], expr)
+
+    w = {"w0": 0, "w1": 0, "w2": 0}
+    rows = []
     for it in range(1, _LR_ITERS + 1):
-        j = feats.crossJoin(F.broadcast(w))
-        agg = j.agg(
+        r = feats.agg(
             F.count("*").alias("n"),
-            F.sum(F.expr(f"{_RESID_MICRO} * 1000")).alias("g0"),
-            F.sum(F.expr(f"{_RESID_MICRO} * x1")).alias("g1"),
-            F.sum(F.expr(f"{_RESID_MICRO} * x2")).alias("g2"),
-            F.sum(F.expr(_ACC_HIT)).alias("acc_cnt"),
-            F.sum(F.expr(_LOSS_MICRO)).alias("loss_sum"),
+            F.sum(F.expr(subst(f"{_RESID_MICRO} * 1000", w))).alias("g0"),
+            F.sum(F.expr(subst(f"{_RESID_MICRO} * x1", w))).alias("g1"),
+            F.sum(F.expr(subst(f"{_RESID_MICRO} * x2", w))).alias("g2"),
+            F.sum(F.expr(subst(_ACC_HIT, w))).alias("acc_cnt"),
+            F.sum(F.expr(subst(_LOSS_MICRO, w))).alias("loss_sum"),
+        ).first()
+        n = r["n"]
+
+        def upd(wk, gk, n=n):
+            # NULL propagation of the SQL form: a NULL gradient (all
+            # rows NULL / empty input) or n = 0 (DIV by zero) -> NULL
+            if wk is None or gk is None or n == 0:
+                return None
+            return wk + tdiv(_LR_MILLI * gk, n * 1000000)
+
+        w = {
+            "w0": upd(w["w0"], r["g0"]),
+            "w1": upd(w["w1"], r["g1"]),
+            "w2": upd(w["w2"], r["g2"]),
+        }
+        acc_ppm = (
+            None if r["acc_cnt"] is None or n == 0
+            else tdiv(r["acc_cnt"] * 1000000, n)
         )
-        row = agg.crossJoin(F.broadcast(w)).select(
-            F.lit(it).cast("int").alias("iter"),
-            F.expr(f"w0 + ({_LR_MILLI} * g0) DIV (n * 1000000)").alias("w0"),
-            F.expr(f"w1 + ({_LR_MILLI} * g1) DIV (n * 1000000)").alias("w1"),
-            F.expr(f"w2 + ({_LR_MILLI} * g2) DIV (n * 1000000)").alias("w2"),
-            F.expr("acc_cnt * 1000000 DIV n").alias("acc_ppm"),
-            F.expr("loss_sum DIV n").alias("loss_micro"),
+        loss_micro = (
+            None if r["loss_sum"] is None or n == 0
+            else tdiv(r["loss_sum"], n)
         )
-        w = row.select("w0", "w1", "w2")
-        step = row.select(
-            "iter",
-            F.col("w0").alias("w0_micro"),
-            F.col("w1").alias("w1_micro"),
-            F.col("w2").alias("w2_micro"),
-            F.col("acc_ppm").cast("bigint").alias("acc_ppm"),
-            F.col("loss_micro").cast("bigint").alias("loss_micro"),
-        )
-        out = step if out is None else out.union(step)
-    return out.orderBy("iter")
+        rows.append((it, w["w0"], w["w1"], w["w2"], acc_ppm, loss_micro))
+    return spark.createDataFrame(
+        rows,
+        "iter int, w0_micro bigint, w1_micro bigint, w2_micro bigint,"
+        " acc_ppm bigint, loss_micro bigint",
+    ).orderBy("iter")
 
 
 def _lr_duck() -> str:

@@ -86,6 +86,36 @@ _PI_SCALE = 1_000_000_000_000  # state mass in parts-per-1e12
 _PI_ITERS = 8
 
 
+def markov_trans_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached (prev, next, c, tot) event-type transition
+    relation — ONE per-user lag window over events serves both markov
+    consumers (`events_markov_stationary` here and
+    `events_markov_transitions` in curation2, which previously re-ran
+    the window per call). NULL ts/user_id hit opposite window
+    NULL-ordering defaults and a NULL event_type would mint a phantom
+    chain state — dropped symmetrically with both oracles."""
+    from .textdedup import _cached
+
+    def build():
+        ev = load_table(spark, sf_dir, "events").where(
+            F.col("ts").isNotNull()
+            & F.col("user_id").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        return (
+            ev.withColumn("prev", F.lag("event_type").over(w))
+            .where(F.col("prev").isNotNull())
+            .groupBy("prev", F.col("event_type").alias("next"))
+            .agg(F.count("*").alias("c"))
+            .withColumn(
+                "tot", F.sum("c").over(Window.partitionBy("prev"))
+            )
+        )
+
+    return _cached(spark, sf_dir, "markov_trans", build)
+
+
 def _pi_iter_sql(trans: str, idiv: str) -> str:
     ctes = [
         f"""states AS (
@@ -141,26 +171,8 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     operands non-negative, so python // == Spark DIV == DuckDB //);
     the oracle still runs the unrolled-CTE form, so parity PROVES
     the replication."""
-    # NULL ts/user_id hit opposite window NULL-ordering defaults and a
-    # NULL event_type would mint a phantom chain state — dropped
-    # symmetrically with the oracle.
-    ev = load_table(spark, sf_dir, "events").where(
-        F.col("ts").isNotNull()
-        & F.col("user_id").isNotNull()
-        & F.col("event_type").isNotNull()
-    )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    trans = (
-        ev.withColumn("prev", F.lag("event_type").over(w))
-        .where(F.col("prev").isNotNull())
-        .groupBy("prev", F.col("event_type").alias("next"))
-        .agg(F.count("*").alias("c"))
-        .withColumn(
-            "tot", F.sum("c").over(Window.partitionBy("prev"))
-        )
-    )
     # bounded collect: ≤ |event-type alphabet|² transition rows
-    t_rows = trans.collect()
+    t_rows = markov_trans_cached(spark, sf_dir).collect()
     states = sorted({r["prev"] for r in t_rows})
     schema = "event_type string, pi_ppb bigint, delta_l1_e12 bigint"
     if not states:

@@ -658,8 +658,9 @@ def _dedup_clusters_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges_r.count()
     edges.unpersist()
     edges = edges_r
-    labels = labels.repartition(loop_width, "node").persist()
-    prev_cached = labels
+    labels = labels.repartition(loop_width, "node").localCheckpoint(
+        eager=False
+    )
     for _ in range(20):  # >> diameter of any dedup component
         neighbor_min = (
             edges.join(labels, edges.doc_b == labels.node)
@@ -668,8 +669,17 @@ def _dedup_clusters_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # the convergence flag rides along in the same pass, so
         # each round costs ONE action (the count materializes the
-        # persisted round result) instead of a second old-vs-new
-        # join job
+        # checkpointed round result) instead of a second old-vs-new
+        # join job. The LAZY localCheckpoint (not persist) is the
+        # lineage cut: `labels` is referenced twice per round (the
+        # neighbor join + the merge base), so a persist chain keeps a
+        # logical plan that DOUBLES per round — by round 13 the
+        # cached-labels plan carried ~8k Exchange nodes and every
+        # consumer paid ~2s of pure analysis before touching the
+        # (tiny, cached) data. Checkpointing pins the round result in
+        # the block manager like persist did AND truncates the plan
+        # to a LogicalRDD (the BFS/PageRank discipline); the RDD is
+        # freed by the ContextCleaner when the reference drops.
         stepped = (
             labels.join(neighbor_min, "node", "left")
             .select(
@@ -682,17 +692,12 @@ def _dedup_clusters_build(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("changed"),
             )
             .repartition(loop_width, "node")
-            .persist()
+            .localCheckpoint(eager=False)
         )
         changed = stepped.where("changed").count()
-        prev_cached.unpersist()
-        prev_cached = stepped
         labels = stepped.select("node", F.col("new_label").alias("label"))
         if changed == 0:
             break
-    # the surviving round's cache backs the returned plan; register it
-    # for release_caches instead of pinning it for the session
-    track_persist(prev_cached)
     clusters = labels.groupBy("label").agg(
         F.count("*").alias("cluster_size"), F.min("node").alias("keeper_doc_id")
     )
