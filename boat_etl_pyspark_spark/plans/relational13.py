@@ -377,11 +377,32 @@ def agg_histogram_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # DuckDB: same computation; // for integer division, strftime label.
-# The rn50x helper column is dropped implicitly (not selected).
+# WINDOW-FREE form (round 11): DuckDB v1.0.0's parallel window
+# executor nondeterministically mislays rows across partitions on
+# this cascaded-window shape (observed on the hostile sf0.01 fixture:
+# the NULL-orderdate row's ROW_NUMBER landed in another quarter's
+# partition ~1 run in 10; with 32 threads, 30 repeat executions of
+# the old windowed oracle produced 5 distinct outputs, while
+# threads=1 was 30/30 stable). Hash aggregates and joins are not
+# affected, so the running sum becomes a bounded self-join over the
+# merged histogram (<= a-few-hundred buckets per quarter — bucket
+# count is capped by the money contract bound / bucket width, not by
+# fact volume) and "the rn=1 bucket" becomes MIN(b) among buckets
+# with cum >= threshold. q is mapped to an unreachable sentinel when
+# NULL (date_trunc('quarter') can only yield quarter-start days,
+# never Dec 31) so NULL quarters survive the equi-joins exactly like
+# SQL's NULLs-group-together GROUP BY; NULLIF restores the NULL
+# label. The sentinel uses CASE WHEN on the RAW column, not
+# COALESCE/CASE on date_trunc's output: DuckDB v1.0.0's
+# date_trunc(parquet_ts) emits a corrupt validity mask for NULL
+# inputs (IS NULL reads false but every function of the value —
+# epoch, ::VARCHAR, comparisons — returns NULL), so any null-test of
+# the truncated value misfires and an equi-join on it drops the row.
 _HQ_DUCK = f"""
 WITH o AS (
   SELECT q, m, p FROM (
-    SELECT date_trunc('quarter', o_orderdate) AS q,
+    SELECT CASE WHEN o_orderdate IS NULL THEN TIMESTAMP '9999-12-31 00:00:00'
+                ELSE date_trunc('quarter', o_orderdate) END AS q,
            date_trunc('month', o_orderdate) AS m,
            {money_rounded_sql('o_totalprice')} AS p
     FROM orders
@@ -393,32 +414,32 @@ WITH o AS (
 ), merged AS (
   SELECT q, b, CAST(SUM(c) AS BIGINT) AS c FROM partials GROUP BY 1, 2
 ), cum AS (
-  SELECT q, b, c,
-         CAST(SUM(c) OVER (PARTITION BY q ORDER BY b) AS BIGINT) AS cum,
-         CAST(SUM(c) OVER (PARTITION BY q) AS BIGINT) AS n
-  FROM merged
-), marked AS (
-  SELECT *,
-         CASE WHEN cum >= (n * 50 + 99) // 100 THEN
-           ROW_NUMBER() OVER (PARTITION BY q, cum >= (n * 50 + 99) // 100
-                              ORDER BY b) END AS rn50,
-         CASE WHEN cum >= (n * 90 + 99) // 100 THEN
-           ROW_NUMBER() OVER (PARTITION BY q, cum >= (n * 90 + 99) // 100
-                              ORDER BY b) END AS rn90,
-         COUNT(*) OVER (PARTITION BY q) AS nb
-  FROM cum
+  SELECT m1.q, m1.b, m1.c, CAST(SUM(m2.c) AS BIGINT) AS cum
+  FROM merged m1 JOIN merged m2 ON m1.q = m2.q AND m2.b <= m1.b
+  GROUP BY m1.q, m1.b, m1.c
+), tot AS (
+  SELECT q, CAST(SUM(c) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS nb
+  FROM merged GROUP BY q
+), sel AS (
+  SELECT c1.q,
+         MIN(CASE WHEN c1.cum >= (t.n * 50 + 99) // 100 THEN c1.b END) AS b50,
+         MIN(CASE WHEN c1.cum >= (t.n * 90 + 99) // 100 THEN c1.b END) AS b90
+  FROM cum c1 JOIN tot t ON c1.q = t.q
+  GROUP BY c1.q
 )
-SELECT strftime(q, '%Y-%m') AS quarter,
-       CAST(MAX(n) AS BIGINT) AS n_orders,
-       CAST(MAX(CASE WHEN rn50 = 1 THEN
-         b * {_HQ_WIDTH} + ((n * 50 + 99) // 100 - (cum - c)) * {_HQ_WIDTH} // c
-       END) AS BIGINT) AS est_p50_cents,
-       CAST(MAX(CASE WHEN rn90 = 1 THEN
-         b * {_HQ_WIDTH} + ((n * 90 + 99) // 100 - (cum - c)) * {_HQ_WIDTH} // c
-       END) AS BIGINT) AS est_p90_cents,
-       CAST(MAX(nb) AS BIGINT) AS n_buckets
-FROM marked
-GROUP BY q
+SELECT strftime(NULLIF(t.q, TIMESTAMP '9999-12-31 00:00:00'), '%Y-%m') AS quarter,
+       CAST(t.n AS BIGINT) AS n_orders,
+       CAST(e50.b * {_HQ_WIDTH}
+            + ((t.n * 50 + 99) // 100 - (e50.cum - e50.c)) * {_HQ_WIDTH} // e50.c
+         AS BIGINT) AS est_p50_cents,
+       CAST(e90.b * {_HQ_WIDTH}
+            + ((t.n * 90 + 99) // 100 - (e90.cum - e90.c)) * {_HQ_WIDTH} // e90.c
+         AS BIGINT) AS est_p90_cents,
+       CAST(t.nb AS BIGINT) AS n_buckets
+FROM tot t
+JOIN sel s ON s.q = t.q
+LEFT JOIN cum e50 ON e50.q = t.q AND e50.b = s.b50
+LEFT JOIN cum e90 ON e90.q = t.q AND e90.b = s.b90
 """
 
 
