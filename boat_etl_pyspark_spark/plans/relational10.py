@@ -264,16 +264,30 @@ def validate_data_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(~cents(F.col("l_discount")).between(0, 10), 1).otherwise(0)
         ).cast("bigint").alias("lineitem_discount_out_of_range"),
     )
-    ship_before_order = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+    # ONE left join answers both cross-table rules (round 11, guide
+    # §2.4: the inner + anti join pair scanned and shuffled lineitem
+    # twice). Equivalence is exact even on hostile keys: a duplicated
+    # o_orderkey fans matched rows out identically to the old inner
+    # join, an unmatched lineitem surfaces exactly once with a NULL
+    # marker (the anti-join count), and a NULL-date match makes the
+    # ship predicate NULL -> counts 0, just as before.
+    join_rules = (
+        li.select("l_orderkey", "l_shipdate")
+        .join(
+            orders.select(
+                F.col("o_orderkey"),
+                F.col("o_orderdate"),
+                F.lit(1).alias("__matched"),
+            ),
+            li.l_orderkey == F.col("o_orderkey"),
+            "left",
+        )
         .agg(
             F.sum(F.when(F.col("l_shipdate") < F.col("o_orderdate"), 1).otherwise(0))
-            .cast("bigint").alias("lineitem_ship_before_order")
+            .cast("bigint").alias("lineitem_ship_before_order"),
+            F.sum(F.when(F.col("__matched").isNull(), 1).otherwise(0))
+            .cast("bigint").alias("lineitem_orphan_orderkey"),
         )
-    )
-    orphans = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti")
-        .agg(F.count("*").cast("bigint").alias("lineitem_orphan_orderkey"))
     )
     # documents ingest contract (round 6): the text analytics / dedup
     # families DEFINE their semantics over non-null text — a NULL
@@ -345,8 +359,7 @@ def validate_data_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         unpivot(o_agg)
         .unionAll(unpivot(l_agg))
-        .unionAll(unpivot(ship_before_order))
-        .unionAll(unpivot(orphans))
+        .unionAll(unpivot(join_rules))
         .unionAll(unpivot(d_agg))
         .unionAll(unpivot(e_agg))
         .unionAll(unpivot(emb_agg))

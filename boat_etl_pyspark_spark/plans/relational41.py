@@ -293,23 +293,86 @@ def agg_theils_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     (chi2/Cramer answer 'associated?'; U answers 'how much of Y's
     entropy does knowing X remove, and in which direction'). NOT the
     Theil inequality index (`agg_theil_index`). One groupBy builds
-    the 15-cell contingency relation, persisted so its four
-    consumers (total, two marginals, joint entropy) reuse it;
-    entropies are per-term micro-floored integer sums, and the two U
-    ratios are integer division over those micros — the contract is
-    micro-entropy arithmetic, identical in both engines. Scales: the
-    only full-data work is the contingency groupBy."""
-    from . import track_persist
+    the contingency relation; entropies are per-term micro-floored
+    integer sums, and the two U ratios are integer division over
+    those micros — the contract is micro-entropy arithmetic,
+    identical in both engines. Scales: the only full-data work is
+    the contingency groupBy.
+
+    The contingency table is bounded by the enum alphabets (priority
+    x status — ~15 cells on contract data, a few dozen with hostile
+    unknown/NULL enums; never fact-sized), so the four entropy
+    consumers run driver-side over one bounded collect (guide
+    §1.2/§5; the old persisted-view form re-read the cache in four
+    CTE subtrees and scheduled ~16 tiny jobs). Replication is exact:
+    entropy terms keep the SQL's float64 operation order
+    (-(c/n) * ln(c/n) * 1e6 floored per term, libm ln), the U ratios
+    use truncating integer division like Spark's DIV with its
+    NULL-on-zero-divisor edge, and an empty orders table yields the
+    SQL's single all-NULL row. Proven by oracle parity at two SFs
+    plus the hostile/NULL/empty nets (the DuckDB oracle is
+    untouched)."""
+    import math
 
     orders = load_table(spark, sf_dir, "orders")
-    jx = track_persist(
+    # bounded collect: <= |priority alphabet| x |status alphabet| cells
+    cells = (
         orders.groupBy(
             F.col("o_orderpriority").alias("x"),
             F.col("o_orderstatus").alias("y"),
-        ).agg(F.count("*").alias("c"))
+        )
+        .agg(F.count("*").alias("c"))
+        .collect()
     )
-    jx.createOrReplaceTempView("r41_theil_jx")
-    return spark.sql(_THEILU_CORE.format(jx="r41_theil_jx", idiv="DIV"))
+    schema = (
+        "n_rows bigint, h_priority_micro bigint, h_status_micro bigint, "
+        "h_joint_micro bigint, u_status_given_priority_micro bigint, "
+        "u_priority_given_status_micro bigint"
+    )
+    if not cells:
+        # empty-input SQL shape: every 1-row aggregate is NULL
+        return spark.createDataFrame(
+            [(None, None, None, None, None, None)], schema
+        )
+    n = sum(r["c"] for r in cells)
+
+    def ent(counts) -> int:
+        # SUM(CAST(floor(-(CAST(c AS DOUBLE) / n) * ln(CAST(c AS
+        # DOUBLE) / n) * 1000000) AS BIGINT)) — per-term float64 in
+        # the SQL's exact operation order, then exact integer sum
+        return sum(
+            int(
+                math.floor(
+                    -(float(c) / n) * math.log(float(c) / n) * 1000000
+                )
+            )
+            for c in counts
+        )
+
+    def tdiv(a: int, b: int):
+        # Spark DIV: truncate toward zero, NULL on zero divisor
+        if b == 0:
+            return None
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    mx: dict = {}
+    my: dict = {}
+    for r in cells:
+        mx[r["x"]] = mx.get(r["x"], 0) + r["c"]
+        my[r["y"]] = my.get(r["y"], 0) + r["c"]
+    hx = ent(mx.values())
+    hy = ent(my.values())
+    hj = ent(r["c"] for r in cells)
+    row = (
+        n,
+        hx,
+        hy,
+        hj,
+        tdiv((hy - (hj - hx)) * 1000000, hy),
+        tdiv((hx - (hj - hy)) * 1000000, hx),
+    )
+    return spark.createDataFrame([row], schema)
 
 
 _THEILU_DUCK = (

@@ -38,11 +38,11 @@ _BINS = 64
 _ROUNDS = 3
 
 
-def _binned_orders(spark: SparkSession, sf_dir: str, view: str):
+def _binned_orders(spark: SparkSession, sf_dir: str):
     """(bin, n, sY) histogram of order totalprice cents over the
-    order-date day index, built once and persisted (64 rows)."""
-    from . import track_persist
-
+    order-date day index — one distributed scan, <= 64 rows (bin is
+    never NULL: LEAST/GREATEST skip NULL operands in both engines, so
+    a NULL day index pins to bin 63)."""
     f = load_table(spark, sf_dir, "orders").select(
         F.datediff(
             F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
@@ -58,11 +58,7 @@ def _binned_orders(spark: SparkSession, sf_dir: str, view: str):
         ).alias("bin"),
         "y",
     )
-    hist = track_persist(
-        b.groupBy("bin").agg(F.count("*").alias("n"), F.sum("y").alias("sY"))
-    )
-    hist.createOrReplaceTempView(view)
-    return hist
+    return b.groupBy("bin").agg(F.count("*").alias("n"), F.sum("y").alias("sY"))
 
 
 _GBDT_HIST_DUCK = f"""
@@ -121,17 +117,84 @@ def _gbdt_rounds(hist0: str) -> str:
 
 def ml_gbdt_boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-round least-squares boosted stumps on order totalprice over
-    the order-date axis. One scan bins the data; the persisted 64-row
-    histogram carries (bin, n, residual-sum), and because a stump's
-    prediction is constant per side, each round's residual update is
-    pure integer arithmetic ON THE HISTOGRAM — rounds cost 64 rows
-    each regardless of table size, which is why histogram GBDT
-    scales. Output: each round's cut, sizes and integer-cent leaves.
-    Every number is exact (see module determinism contract)."""
-    _binned_orders(spark, sf_dir, "r43_gbdt_hist0")
-    return spark.sql(
-        "WITH " + _gbdt_rounds("r43_gbdt_hist0")
+    the order-date axis. One scan bins the data; the 64-row histogram
+    carries (bin, n, residual-sum), and because a stump's prediction
+    is constant per side, each round's residual update is pure
+    integer arithmetic ON THE HISTOGRAM — rounds cost 64 rows each
+    regardless of table size, which is why histogram GBDT scales.
+    Output: each round's cut, sizes and integer-cent leaves. Every
+    number is exact (see module determinism contract).
+
+    The histogram is bounded by the bin constant (<= 64 rows at ANY
+    fact volume), so the three boosting rounds run driver-side (guide
+    §1.2/§5): the old unrolled cum->best->hist CTE chain referenced
+    each round's output twice, doubling the plan per round and
+    scheduling ~22 tiny stage-jobs of pure coordination. Replication
+    is exact: the split score keeps the SQL's float64 operation order
+    (CAST(sl AS DOUBLE) * sl / nl left-to-right), leaves floor a
+    float64 quotient, SUM-over-prefix is NULL until the first
+    non-NULL residual sum (reachable only on hostile money), the
+    DESC sort places NULL scores last like Spark, and an empty best
+    relation empties every later round exactly like the CROSS JOIN
+    did. Oracle parity at two SFs plus the hostile/NULL/empty nets
+    and the pure-Python third implementation prove the replication."""
+    import math
+
+    # bounded collect: <= _BINS rows at any scale (bin is never NULL)
+    hist = {
+        r["bin"]: (r["n"], r["sY"])
+        for r in _binned_orders(spark, sf_dir).collect()
+    }
+    schema = (
+        "round bigint, cut_bin bigint, n_left bigint, n_right bigint, "
+        "leaf_left_cents bigint, leaf_right_cents bigint"
     )
+    n = {b: v[0] for b, v in hist.items()}
+    sY = {b: v[1] for b, v in hist.items()}
+    out = []
+    for rnd in range(1, _ROUNDS + 1):
+        bins = sorted(n)
+        nt = sum(n.values())
+        st_vals = [v for v in sY.values() if v is not None]
+        st = sum(st_vals) if st_vals else None
+        best = None  # (sortkey, cut, nl, nr, sl, sr)
+        nl = 0
+        sl = None
+        for b in bins:
+            nl += n[b]
+            if sY[b] is not None:
+                sl = (sl or 0) + sY[b]
+            if not (nl > 0 and nt - nl > 0):
+                continue
+            if sl is None or st is None:
+                score, sr = None, None
+            else:
+                sr = st - sl
+                score = (
+                    float(sl) * sl / nl + float(sr) * sr / (nt - nl)
+                )
+            # ORDER BY score DESC (NULLS LAST), bin ASC
+            key = (1, 0.0, b) if score is None else (0, -score, b)
+            if best is None or key < best[0]:
+                best = (key, b, nl, nt - nl, sl, sr)
+        if best is None:
+            break  # empty best -> every later round's CROSS JOIN is empty
+        _, cut, bnl, bnr, bsl, bsr = best
+        leafl = (
+            None if bsl is None else int(math.floor(float(bsl) / bnl))
+        )
+        leafr = (
+            None if bsr is None else int(math.floor(float(bsr) / bnr))
+        )
+        out.append((rnd, cut, bnl, bnr, leafl, leafr))
+        for b in bins:
+            leaf = leafl if b <= cut else leafr
+            sY[b] = (
+                None
+                if sY[b] is None or leaf is None
+                else sY[b] - n[b] * leaf
+            )
+    return spark.createDataFrame(out, schema)
 
 
 _GBDT_DUCK = _GBDT_HIST_DUCK + ", " + _gbdt_rounds("hist0")
@@ -143,9 +206,7 @@ _GBDT_DUCK = _GBDT_HIST_DUCK + ", " + _gbdt_rounds("hist0")
 _LC_FRACS = (1, 2, 4)  # hash buckets 1..k train; bucket 0 is holdout
 
 
-def _lc_hist_spark(spark: SparkSession, sf_dir: str, view: str):
-    from . import track_persist
-
+def _lc_hist_spark(spark: SparkSession, sf_dir: str):
     f = load_table(spark, sf_dir, "orders").select(
         (F.col("o_orderkey") % 5).alias("g"),
         money_cents("o_totalprice").alias("v"),
@@ -171,8 +232,7 @@ def _lc_hist_spark(spark: SparkSession, sf_dir: str, view: str):
         )
     aggs.append(F.sum(F.expr("CASE WHEN g = 0 THEN 1 ELSE 0 END")).alias("hn"))
     aggs.append(F.sum(F.expr("CASE WHEN g = 0 THEN y ELSE 0 END")).alias("hp"))
-    hist = track_persist(b.groupBy("bin").agg(*aggs))
-    hist.createOrReplaceTempView(view)
+    return b.groupBy("bin").agg(*aggs)
 
 
 def _lc_hist_duck() -> str:
@@ -264,14 +324,78 @@ def ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the same held-out bucket 0. ONE conditional-histogram scan
     feeds all three split searches AND the holdout scoring (the
     holdout's per-bin class counts ride in the same 64 rows), so the
-    whole curve costs one pass + window work on 64 rows — the
-    'will more data move the metric' answer a curation loop needs
-    before paying for more data. Holdout labels never leak into
-    training: leaf labels come from train-side majorities only."""
-    _lc_hist_spark(spark, sf_dir, "r43_lc_hist")
-    return spark.sql(
-        ("WITH " + _lc_rounds("r43_lc_hist")).format(idiv="DIV")
+    whole curve costs one pass + work on 64 rows — the 'will more
+    data move the metric' answer a curation loop needs before paying
+    for more data. Holdout labels never leak into training: leaf
+    labels come from train-side majorities only.
+
+    Like ml_gbdt_boosted_stumps, the three split searches + holdout
+    scoring run driver-side over the <= 64-row bounded histogram
+    (guide §1.2/§5; the old per-fraction cum->best->eval CTE chain
+    scheduled ~23 tiny jobs). Replication is exact: Gini keeps the
+    SQL's float64 operation order, the ASC sort ties on bin, a
+    fraction with no valid split emits no row (the SQL's empty-best
+    GROUP BY), NULL-bin rows cannot occur (LEAST/GREATEST skip NULL
+    operands, pinning NULL cents to bin 63), and the ppm division
+    mirrors Spark's NULL-on-zero-divisor DIV. Proven by oracle parity
+    at two SFs, the hostile/NULL/empty nets, and the pure-Python
+    third implementation in tests/test_round5_batch29.py."""
+    # bounded collect: <= _BINS rows at any scale (bin is never NULL)
+    rows = _lc_hist_spark(spark, sf_dir).collect()
+    schema = (
+        "train_buckets bigint, train_n bigint, cut_bin bigint, "
+        "holdout_n bigint, holdout_err_ppm bigint"
     )
+    out = []
+    bins = sorted(r["bin"] for r in rows)
+    byb = {r["bin"]: r for r in rows}
+    for k in _LC_FRACS:
+        nt = sum(byb[b][f"n{k}"] for b in bins)
+        post = sum(byb[b][f"p{k}"] for b in bins)
+        best = None  # (sortkey, cut, nl, posl)
+        nl = posl = 0
+        for b in bins:
+            nl += byb[b][f"n{k}"]
+            posl += byb[b][f"p{k}"]
+            if not (nl > 0 and nt - nl > 0):
+                continue
+            # the SQL's exact float64 shape, left-to-right
+            score = (
+                float(nl) / nt
+                * (
+                    1
+                    - (float(posl) / nl) * (float(posl) / nl)
+                    - (float(nl - posl) / nl) * (float(nl - posl) / nl)
+                )
+                + float(nt - nl) / nt
+                * (
+                    1
+                    - (float(post - posl) / (nt - nl))
+                    * (float(post - posl) / (nt - nl))
+                    - (float((nt - nl) - (post - posl)) / (nt - nl))
+                    * (float((nt - nl) - (post - posl)) / (nt - nl))
+                )
+            )
+            key = (score, b)  # ORDER BY score ASC, bin ASC
+            if best is None or key < best[0]:
+                best = (key, b, nl, posl)
+        if best is None:
+            continue  # empty best{k}: the eval GROUP BY emits no row
+        _, cut, bnl, bposl = best
+        bnr, bposr = nt - bnl, post - bposl
+        hnl = sum(byb[b]["hn"] for b in bins if b <= cut)
+        hpl = sum(byb[b]["hp"] for b in bins if b <= cut)
+        hnr = sum(byb[b]["hn"] for b in bins if b > cut)
+        hpr = sum(byb[b]["hp"] for b in bins if b > cut)
+        err_num = (hnl - hpl if 2 * bposl > bnl else hpl) + (
+            hnr - hpr if 2 * bposr > bnr else hpr
+        )
+        denom = hnl + hnr
+        # Spark DIV returns NULL on a zero divisor; operands are
+        # non-negative so floor-div equals truncating DIV here
+        err = None if denom == 0 else err_num * 1_000_000 // denom
+        out.append((k, nt, cut, denom, err))
+    return spark.createDataFrame(out, schema)
 
 
 _LC_DUCK = (_lc_hist_duck() + ", " + _lc_rounds("hist")).format(idiv="//")

@@ -151,6 +151,40 @@ FROM hist ORDER BY bin
 """
 
 
+_SWEEP_SPARK = f"""
+WITH docscore AS (
+  SELECT t.doc_id,
+         COUNT(*) AS n_toks,
+         SUM(CAST(floor(-ln(CAST(tc.c AS DOUBLE) / {{s}}) * 1000000)
+                  AS BIGINT)) DIV COUNT(*) AS score_micro
+  FROM {{tok}} t
+  JOIN (SELECT token, COUNT(*) AS c FROM {{tok}} GROUP BY token) tc
+    ON tc.token = t.token
+  GROUP BY t.doc_id
+), span AS (
+  SELECT MIN(score_micro) AS lo, MAX(score_micro) AS hi FROM docscore
+), binned AS (
+  SELECT LEAST((score_micro - lo) * {_SWEEP_BINS}
+                 DIV GREATEST(hi - lo, 1), {_SWEEP_BINS} - 1) AS bin,
+         n_toks, lo, hi
+  FROM docscore CROSS JOIN span
+), hist AS (
+  SELECT bin, COUNT(*) AS n_docs, SUM(n_toks) AS n_toks,
+         MIN(lo) AS lo, MIN(hi) AS hi
+  FROM binned GROUP BY bin
+)
+SELECT CAST(bin AS BIGINT) AS bin,
+       CAST(lo + (bin + 1) * (hi - lo) DIV {_SWEEP_BINS} AS BIGINT)
+         AS threshold_micro,
+       CAST(SUM(n_docs) OVER (ORDER BY bin) AS BIGINT) AS docs_kept,
+       CAST(SUM(n_docs) OVER (ORDER BY bin) * 1000000
+            DIV SUM(n_docs) OVER () AS BIGINT) AS docs_kept_ppm,
+       CAST(SUM(n_toks) OVER (ORDER BY bin) * 1000000
+            DIV SUM(n_toks) OVER () AS BIGINT) AS tokens_kept_ppm
+FROM hist ORDER BY bin
+"""
+
+
 def curate_quality_threshold_sweep(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -164,7 +198,15 @@ def curate_quality_threshold_sweep(
     16 candidate cuts costs one histogram, the same discipline as
     the decision-stump split search. The tokens-kept column is the
     one that matters for a training budget: it shows how much corpus
-    each stricter perplexity cut actually costs."""
+    each stricter perplexity cut actually costs.
+
+    Round 11 (guide §2.4): the corpus token total SUM over the
+    unigram counts is COUNT(*) of the token relation — a scalar
+    count of the persisted cache instead of a second full
+    groupBy-token shuffle — inlined as a literal (the oracle keeps
+    the tot CTE; equality is definitional, both count every
+    non-empty token once). The empty-corpus edge is unchanged:
+    docscore is empty before the literal is ever evaluated."""
     from . import track_persist
 
     docs = load_table(spark, sf_dir, "documents")
@@ -179,7 +221,8 @@ def curate_quality_threshold_sweep(
         )
     )
     tok.createOrReplaceTempView("r47_sweep_tok")
-    return spark.sql(_SWEEP_CORE.format(tok="r47_sweep_tok", idiv="DIV"))
+    s = tok.count()  # bounded scalar: the corpus token total
+    return spark.sql(_SWEEP_SPARK.format(tok="r47_sweep_tok", s=s))
 
 
 _SWEEP_DUCK = (

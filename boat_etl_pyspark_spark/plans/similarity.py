@@ -63,12 +63,77 @@ _DUCK_DOT = (
 )
 
 
+def _vecs_view(spark: SparkSession, sf_dir: str) -> str:
+    """Session-shared parsed-vector relation (vec_id, label, v, n2):
+    every similarity query re-ran the embedding array cast + norm
+    fold per invocation (and the CTE form re-ran it per REFERENCE —
+    Spark inlines CTEs); one persisted copy serves the whole family
+    (round 11, guide §2.4/§5 — the copurchase_pairs discipline). Each
+    row's values are per-row deterministic expressions, so the cached
+    relation is value-identical to the inline subquery it replaces.
+    First consumer pays the build inside its own timed region; keyed
+    by applicationId, rebuilt from parquet every run."""
+    from .textdedup import _cached
+
+    def build():
+        emb = _emb_view(spark, sf_dir, "__emb_shared")
+        return spark.sql(_SPARK_VECS.format(emb=emb))
+
+    _cached(spark, sf_dir, "sim_vecs", build).createOrReplaceTempView(
+        "__sim_vecs_shared"
+    )
+    return "__sim_vecs_shared"
+
+
+_IVF_LABELED_SPARK = """
+WITH n AS (SELECT * FROM {vecs}),
+cent AS (SELECT vec_id AS cent_id, v AS cv, n2 AS cn2 FROM n WHERE vec_id % 100 = 0),
+assign AS (
+  SELECT vec_id, cent_id AS cluster_id
+  FROM (
+    SELECT /*+ BROADCAST(cent) */
+           n.vec_id, cent.cent_id,
+           row_number() OVER (
+             PARTITION BY n.vec_id
+             ORDER BY {cosc} DESC,
+                      cent.cent_id
+           ) AS rk
+    FROM n CROSS JOIN cent
+  ) WHERE rk = 1
+)
+SELECT n.*, a.cluster_id FROM n JOIN assign a ON n.vec_id = a.vec_id
+"""
+
+
+def _labeled_view(spark: SparkSession, sf_dir: str) -> str:
+    """Session-shared IVF cluster assignment (the n-by-centroid
+    cross-join + argmax): consumed by ``sim_ivf_topk`` AND
+    ``sim_ivf_recall_eval`` (which referenced it twice more through
+    its q/ivf arms). Same caching/value-identity argument as
+    ``_vecs_view``; the assignment ROW_NUMBER is fully deterministic
+    (cosine DESC, cent_id tie-break)."""
+    from .textdedup import _cached
+
+    def build():
+        vecs = _vecs_view(spark, sf_dir)
+        cosc = (
+            _SPARK_DOT.format(a="n.v", b="cent.cv")
+            + " / (sqrt(n.n2) * sqrt(cent.cn2))"
+        )
+        return spark.sql(_IVF_LABELED_SPARK.format(vecs=vecs, cosc=cosc))
+
+    _cached(spark, sf_dir, "ivf_labeled", build).createOrReplaceTempView(
+        "__sim_labeled_shared"
+    )
+    return "__sim_labeled_shared"
+
+
 # ---------------------------------------------------------------------------
 # Brute-force cosine top-k
 # ---------------------------------------------------------------------------
 
 _BRUTE_SPARK = f"""
-WITH n AS ({_SPARK_VECS}),
+WITH n AS (SELECT * FROM {{vecs}}),
 q AS (SELECT * FROM n WHERE vec_id < 8),
 p AS (
   SELECT /*+ BROADCAST(q) */
@@ -96,8 +161,7 @@ WHERE rk <= 10
 
 
 def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _emb_view(spark, sf_dir, "__emb_bf")
-    return spark.sql(_BRUTE_SPARK.format(emb=emb))
+    return spark.sql(_BRUTE_SPARK.format(vecs=_vecs_view(spark, sf_dir)))
 
 
 # ---------------------------------------------------------------------------
@@ -105,24 +169,7 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _IVF_SPARK = f"""
-WITH n AS ({_SPARK_VECS}),
-cent AS (SELECT vec_id AS cent_id, v AS cv, n2 AS cn2 FROM n WHERE vec_id % 100 = 0),
-assign AS (
-  SELECT vec_id, cent_id AS cluster_id
-  FROM (
-    SELECT /*+ BROADCAST(cent) */
-           n.vec_id, cent.cent_id,
-           row_number() OVER (
-             PARTITION BY n.vec_id
-             ORDER BY {_SPARK_DOT.format(a='n.v', b='cent.cv')} / (sqrt(n.n2) * sqrt(cent.cn2)) DESC,
-                      cent.cent_id
-           ) AS rk
-    FROM n CROSS JOIN cent
-  ) WHERE rk = 1
-),
-labeled AS (
-  SELECT n.*, a.cluster_id FROM n JOIN assign a ON n.vec_id = a.vec_id
-),
+WITH labeled AS (SELECT * FROM {{labeled}}),
 q AS (SELECT * FROM labeled WHERE vec_id IN (3, 77, 154, 231, 308)),
 p AS (
   SELECT /*+ BROADCAST(q) */
@@ -168,8 +215,9 @@ WHERE rk <= 5
 
 
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _emb_view(spark, sf_dir, "__emb_ivf")
-    return spark.sql(_IVF_SPARK.format(emb=emb))
+    return spark.sql(
+        _IVF_SPARK.format(labeled=_labeled_view(spark, sf_dir))
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -177,7 +225,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _NORMSTATS_SPARK = f"""
-WITH n AS ({_SPARK_VECS})
+WITH n AS (SELECT * FROM {{vecs}})
 SELECT label,
        COUNT(*) AS n_vectors,
        CAST(MAX(size(v)) AS BIGINT) AS n_dims,
@@ -202,8 +250,9 @@ GROUP BY label
 
 
 def sim_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _emb_view(spark, sf_dir, "__emb_ns")
-    return spark.sql(_NORMSTATS_SPARK.format(emb=emb))
+    return spark.sql(
+        _NORMSTATS_SPARK.format(vecs=_vecs_view(spark, sf_dir))
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -217,7 +266,7 @@ def sim_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RP_H = "(CAST((({j} * 64 + {d}) * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0 - 0.5)"
 
 _RP_SPARK = f"""
-WITH n AS ({_SPARK_VECS}),
+WITH n AS (SELECT * FROM {{vecs}}),
 b AS (
   SELECT vec_id, label,
          concat_ws('', transform(sequence(0, 7),
@@ -256,8 +305,7 @@ GROUP BY bucket
 
 
 def sim_rp_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _emb_view(spark, sf_dir, "__emb_rp")
-    return spark.sql(_RP_SPARK.format(emb=emb))
+    return spark.sql(_RP_SPARK.format(vecs=_vecs_view(spark, sf_dir)))
 
 
 QUERIES = {

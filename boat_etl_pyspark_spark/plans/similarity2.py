@@ -23,8 +23,8 @@ from .similarity import (
     _DUCK_DOT,
     _DUCK_VECS,
     _SPARK_DOT,
-    _SPARK_VECS,
-    _emb_view,
+    _labeled_view,
+    _vecs_view,
 )
 
 _RECALL_K = 5
@@ -87,18 +87,62 @@ ORDER BY e.q_vec_id
 """
 
 
+_RECALL_SPARK = f"""
+WITH labeled AS (SELECT * FROM {{labeled}}),
+q AS (SELECT * FROM labeled WHERE vec_id IN {_PROBES}),
+ivf AS (
+  SELECT q_vec_id, n_vec_id FROM (
+    SELECT q.vec_id AS q_vec_id, c.vec_id AS n_vec_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {{cosq}} DESC, c.vec_id) AS rk
+    FROM q JOIN labeled c
+      ON q.cluster_id = c.cluster_id AND q.vec_id != c.vec_id
+  ) WHERE rk <= {_RECALL_K}
+),
+exact AS (
+  SELECT q_vec_id, n_vec_id FROM (
+    SELECT q.vec_id AS q_vec_id, c.vec_id AS n_vec_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {{cosq}} DESC, c.vec_id) AS rk
+    FROM q JOIN (SELECT * FROM {{vecs}}) c ON q.vec_id != c.vec_id
+  ) WHERE rk <= {_RECALL_K}
+)
+SELECT e.q_vec_id,
+       CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(SUM(CASE WHEN i.n_vec_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_overlap,
+       CAST(SUM(CASE WHEN i.n_vec_id IS NOT NULL THEN 1 ELSE 0 END)
+            * 1000000 DIV COUNT(*) AS BIGINT) AS recall_ppm
+FROM exact e
+LEFT JOIN ivf i
+  ON i.q_vec_id = e.q_vec_id AND i.n_vec_id = e.n_vec_id
+GROUP BY e.q_vec_id
+ORDER BY e.q_vec_id
+"""
+
+
 def sim_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of IVF own-cluster retrieval vs exact brute force for
     the five standard probes (see module docstring). The cosine
     expressions are textually identical to ``sim_ivf_topk`` /
     ``sim_bruteforce_topk`` (whose doubles already hash-match the
     oracle), so the ranking — and therefore the recall — is
-    engine-exact; the output itself is pure integers."""
-    emb = _emb_view(spark, sf_dir, "__emb_recall")
+    engine-exact; the output itself is pure integers.
+
+    Round 11 (guide §2.4): consumes the session-shared parsed-vector
+    and IVF-assignment relations (``similarity._vecs_view`` /
+    ``_labeled_view``) instead of re-deriving both inline — the CTE
+    form recomputed the embedding parse ~5x and the n-by-centroid
+    assignment twice per call (Spark inlines CTE references). Same
+    per-row-deterministic expressions, so values are identical; the
+    DuckDB oracle still spells out the full derivation."""
+    labeled = _labeled_view(spark, sf_dir)
+    vecs = _vecs_view(spark, sf_dir)
+    cosq = (
+        _SPARK_DOT.format(a="q.v", b="c.v") + " / (sqrt(q.n2) * sqrt(c.n2))"
+    )
     return spark.sql(
-        _recall_sql(
-            _SPARK_VECS.format(emb=emb), _SPARK_DOT, "/*+ BROADCAST(cent) */"
-        ).format(idiv="DIV")
+        _RECALL_SPARK.format(labeled=labeled, vecs=vecs, cosq=cosq)
     )
 
 

@@ -661,6 +661,19 @@ def _dedup_clusters_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = labels.repartition(loop_width, "node").localCheckpoint(
         eager=False
     )
+
+    def _free_ckpt(df) -> None:
+        # explicitly drop a superseded round's checkpointed blocks
+        # (the analyzed plan of a localCheckpoint IS the LogicalRDD)
+        # instead of leaving up to 20 node-sized snapshots for the
+        # ContextCleaner to GC eventually; best-effort — the cleaner
+        # remains the backstop
+        try:
+            df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        except Exception:
+            pass
+
+    prev_ckpt = labels
     for _ in range(20):  # >> diameter of any dedup component
         neighbor_min = (
             edges.join(labels, edges.doc_b == labels.node)
@@ -695,6 +708,10 @@ def _dedup_clusters_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=False)
         )
         changed = stepped.where("changed").count()
+        # this round's result is materialized; the previous round's
+        # checkpoint can no longer be referenced — free it now
+        _free_ckpt(prev_ckpt)
+        prev_ckpt = stepped
         labels = stepped.select("node", F.col("new_label").alias("label"))
         if changed == 0:
             break

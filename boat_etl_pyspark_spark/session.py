@@ -45,6 +45,20 @@ _RUNTIME_CONFS = {
 _SHIPPED: set[str] = set()
 
 
+def _shm_has_headroom() -> bool:
+    """True when the RAM-backed tier exists with >= 1 GiB free, the
+    same guard as ``streaming.events.scratch_dir`` — a small-tmpfs
+    host degrades to /tmp instead of ENOSPC-ing a managed-table
+    write."""
+    if not os.path.isdir("/dev/shm"):
+        return False
+    try:
+        st = os.statvfs("/dev/shm")
+    except OSError:
+        return False
+    return st.f_bavail * st.f_frsize >= 1 << 30
+
+
 def _ship_package(spark: SparkSession) -> None:
     """Make ``boat_etl_pyspark_spark`` importable on executor Python
     workers regardless of the hosting driver's cwd/PYTHONPATH.
@@ -171,7 +185,7 @@ def get_spark(app_name: str = "boat-etl-pyspark-spark",
             os.environ.get(
                 "SPARK_GRAFT_WAREHOUSE",
                 ("/dev/shm/spark_graft_warehouse"
-                 if os.path.isdir("/dev/shm")
+                 if _shm_has_headroom()
                  else "/tmp/spark_graft_warehouse"),
             ),
         )

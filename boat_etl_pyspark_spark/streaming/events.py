@@ -83,11 +83,21 @@ def scratch_dir() -> str:
     log + commit log + state flush fsyncs, measured ~0.25s/batch on
     ext4 /tmp vs tmpfs). At cluster scale the checkpoint location is
     whatever durable store the deployment chooses — override here
-    with ``SPARK_GRAFT_STREAM_TMP``."""
+    with ``SPARK_GRAFT_STREAM_TMP``. The tmpfs tier is only chosen
+    when it has real headroom (>= 1 GiB free), so a small-tmpfs or
+    memory-pressured host degrades to the normal temp dir instead of
+    ENOSPC-ing mid-stream."""
     d = os.environ.get("SPARK_GRAFT_STREAM_TMP")
     if d:
         return d
-    return "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    if os.path.isdir("/dev/shm"):
+        try:
+            st = os.statvfs("/dev/shm")
+            if st.f_bavail * st.f_frsize >= 1 << 30:
+                return "/dev/shm"
+        except OSError:
+            pass
+    return tempfile.gettempdir()
 
 
 _SINK_IDS = itertools.count()

@@ -114,6 +114,8 @@ _COLLECT_ALLOWLIST = {
     "plans/relational17.py": 1,      # nation-graph edges (<= 25^2 rows)
     "plans/relational37.py": 2,      # nation-graph edges + nation dim
     "plans/relational44.py": 1,      # event-type transitions (<= |alphabet|^2)
+    "plans/relational43.py": 2,      # gbdt/learning-curve histograms (<= 64 bins)
+    "plans/relational41.py": 1,      # theil contingency cells (enum alphabet^2)
     "operators/skew.py": 1,          # diagnostics-only sampler
     "pipeline/boat.py": 2,           # min-year scalar + validation row
     "plans/relational50.py": 1,      # Fisher 2x2 counts (one 4-int row)
