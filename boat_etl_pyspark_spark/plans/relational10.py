@@ -283,9 +283,21 @@ def validate_data_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left",
         )
         .agg(
-            F.sum(F.when(F.col("l_shipdate") < F.col("o_orderdate"), 1).otherwise(0))
+            # the old inner-join SUM is NULL when zero rows MATCH —
+            # gate the per-row 0/1 on the match marker so unmatched
+            # rows contribute NULL (skipped), not 0
+            F.sum(
+                F.when(
+                    F.col("__matched").isNotNull(),
+                    F.when(
+                        F.col("l_shipdate") < F.col("o_orderdate"), 1
+                    ).otherwise(0),
+                )
+            )
             .cast("bigint").alias("lineitem_ship_before_order"),
-            F.sum(F.when(F.col("__matched").isNull(), 1).otherwise(0))
+            # the old anti-join COUNT(*) is 0 (never NULL) on empty
+            # input — count the unmatched markers, don't sum
+            F.count(F.when(F.col("__matched").isNull(), F.lit(1)))
             .cast("bigint").alias("lineitem_orphan_orderkey"),
         )
     )

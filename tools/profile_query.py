@@ -3,7 +3,8 @@
 
 For each named query: time the plan CONSTRUCTION (python/py4j +
 analysis) separately from EXECUTION (noop sink), min-of-N, and
-optionally dump ``explain('formatted')`` to plans/r10/<name>_<tag>.txt.
+optionally dump ``explain('formatted')`` to plans/<round>/<name>_<tag>.txt
+(--plan-dir, default r11).
 
 Usage::
 
@@ -29,6 +30,7 @@ def main() -> None:
     ap.add_argument("names", nargs="+")
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--explain-tag", default=None)
+    ap.add_argument("--plan-dir", default="r11")
     ap.add_argument("--sf-dir", default=os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     args = ap.parse_args()
@@ -72,7 +74,7 @@ def main() -> None:
             "total_all": [round(t, 3) for t in total_ts],
         }
         if args.explain_tag and df is not None:
-            pdir = os.path.join(repo, "plans", "r10")
+            pdir = os.path.join(repo, "plans", args.plan_dir)
             os.makedirs(pdir, exist_ok=True)
             path = os.path.join(pdir, f"{name}_{args.explain_tag}.txt")
             plan = df._sc._jvm.PythonSQLUtils.explainString(
