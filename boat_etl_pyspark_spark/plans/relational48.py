@@ -59,10 +59,16 @@ def graph_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (each round is its own query execution, so the exchange is
     # rebuilt, never reused) — 7 of the ~20 tiny jobs this loop
     # schedules, all for the same constant.
+    #
+    # Round 11: the k pull and the initial survivor set each ran a
+    # FULL groupBy/distinct pass over the 2|E|-row endpoint relation
+    # (measured ~2s each at sf0.1). One node-sized degree relation
+    # now feeds both — the checkpoint materializes during the k pull,
+    # and surv0 = its keys is set-identical to deg.distinct() (a
+    # groupBy's grouping keys ARE the distinct endpoints).
+    d0 = deg.groupBy("node").count().localCheckpoint(eager=False)
     kv = (
-        deg.groupBy("node")
-        .count()
-        .agg(
+        d0.agg(
             F.count("*").alias("n"),
             F.sum("count").alias("twom"),
         )
@@ -72,7 +78,7 @@ def graph_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     # empty graph: the old one-row kdf relation held NULL here, so
     # every round filtered to zero survivors and k reported NULL —
     # F.lit(None) reproduces both (NULL comparison is never true)
-    surv = deg.select("node").distinct().localCheckpoint(eager=False)
+    surv = d0.select("node")
     out = None
     for r in range(1, _KCORE_ROUNDS + 1):
         # surv is node-sized; without stats on a checkpointed
