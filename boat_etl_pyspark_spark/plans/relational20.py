@@ -168,9 +168,6 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.when(F.col("event_type") == "view", F.col("us"))).alias(
                 "first_view"
             ),
-            F.min(
-                F.when(F.col("event_type") == "purchase", F.col("us"))
-            ).alias("any_purchase"),
         )
         .where(F.col("first_view").isNotNull())
     )

@@ -196,11 +196,16 @@ def ml_lift_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("y"),
         )
     )
-    ranked = global_rank(ev, ["neg_cents", "event_id"])
-    n_rel = ranked.agg(F.count("*").alias("n"))
+    # ONE bounded count serves both global_rank's partition sizing and
+    # the decile width (was: rank's internal count + a second agg over
+    # the ranked relation crossJoined back in — two extra jobs and a
+    # broadcast exchange for the same scalar; guide §2.4)
+    n = ev.count()
+    ranked = global_rank(ev, ["neg_cents", "event_id"], rows=n)
     deciles = (
-        ranked.crossJoin(F.broadcast(n_rel))
-        .withColumn("decile", F.expr("(rank - 1) * 10 DIV n + 1"))
+        ranked.withColumn(
+            "decile", F.expr(f"(rank - 1) * 10 DIV {n} + 1")
+        )
         .groupBy("decile")
         .agg(
             F.count("*").alias("n_events"),

@@ -56,7 +56,17 @@ _SHARED: dict = {}
 def _cached(spark: SparkSession, sf_dir: str, kind: str, build):
     key = (spark.sparkContext.applicationId, sf_dir, kind)
     if key not in _SHARED:
-        _SHARED[key] = build().persist()
+        df = build().persist()
+        # Materialize NOW, not at first consumption: a lazily-persisted
+        # relation referenced by SEVERAL subtrees of one DAG (broadcast
+        # builds racing the probe side) fills the cache partition-by-
+        # partition under block locks, serializing the whole query —
+        # measured 80s cold vs 8s with the same builds run eagerly for
+        # dedup_embedding_cosine at sf0.1 (OPTIMIZATION_r11.md). The
+        # count is one map-combined job over work the first consumer
+        # was about to do anyway, still inside its timed region.
+        df.count()
+        _SHARED[key] = df
     return _SHARED[key]
 
 
@@ -943,18 +953,22 @@ SELECT doc_id, j DIV 8 AS band,
 FROM bits GROUP BY 1, 2
 """
 
-# Verification computes the sparse dot as a map lookup per candidate
-# pair (one row per pair, no explode/re-aggregation shuffle): the
-# integer sum order follows a's entries, but integer addition is
-# associative-exact, so the result is identical to the oracle's
-# join-then-SUM form. The final stage is DataFrame API over the
+# Verification computes the sparse dot per candidate pair (one row
+# per pair, no explode/re-aggregation shuffle) via map_zip_with: the
+# key-union merge is built once per pair in O(|a|+|b|), where the old
+# per-entry element_at(mb, ...) rescanned the whole b map per a entry
+# — O(|a|x|b|) interpreted ops per pair, measured 2-4x slower at this
+# round's candidate volume (1.25M pairs; see OPTIMIZATION_r11.md).
+# Missing keys make the product NULL and coalesce to 0; the summed
+# term set is identical and integer addition is associative-exact, so
+# the result matches the oracle's join-then-SUM form bit-for-bit. The final stage is DataFrame API over the
 # persisted stage DataFrames — referencing them through SQL temp
 # views defeats nested-cache plan substitution and silently
 # recomputes the signature subtree on both sides of the self-join
 # (measured: 2s per side at sf0.1).
 _EMBCOS_DOT = (
-    "aggregate(map_entries(ma), 0L, "
-    "(acc, e) -> acc + e.value * coalesce(element_at(mb, e.key), 0L))"
+    "aggregate(map_values(map_zip_with(ma, mb, (k, p, q) -> p * q)), 0L, "
+    "(acc, v) -> acc + coalesce(v, 0L))"
 )
 
 _EMBCOS_DUCK = """
