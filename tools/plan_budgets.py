@@ -42,8 +42,38 @@ _PY_NODES = (
 )
 
 
+def _drop_initial_plan_blocks(plan: str) -> str:
+    """Remove ``== Initial Plan ==`` blocks from an (executed) adaptive
+    plan string. Session-shared caches are materialized eagerly
+    (textdedup._cached), so their stored subplans print BOTH the final
+    and the initial AQE plan — counting raw matches would double every
+    FileScan under a cache. Only the final (actually executed) shape
+    is budgeted."""
+    out = []
+    skip_indent = None
+    for line in plan.splitlines():
+        body = line.lstrip(" :+-")
+        indent = len(line) - len(body)
+        if skip_indent is not None:
+            # section content prints at indent EQUAL to its marker
+            # ("+- == Initial Plan ==" then "   HashAggregate ..."),
+            # and nothing legitimately follows the Initial section
+            # inside the same adaptive block — skip until the
+            # indentation returns to an ancestor level
+            if indent >= skip_indent:
+                continue
+            skip_indent = None
+        if body.startswith("== Initial Plan =="):
+            skip_indent = indent
+            continue
+        out.append(line)
+    return "\n".join(out)
+
+
 def plan_metrics(df) -> dict:
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = _drop_initial_plan_blocks(
+        df._jdf.queryExecution().executedPlan().toString()
+    )
     return {
         "scans": len(re.findall(r"FileScan parquet", plan)),
         "python": sum(plan.count(n) for n in _PY_NODES),
